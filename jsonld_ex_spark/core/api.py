@@ -1,0 +1,120 @@
+"""JsonLdProcessor API: expand / compact / flatten / toRdf / fromRdf.
+
+Reference parity: lib/json_ld.ex:97-359 in /root/reference.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from jsonld_ex_spark.core import errors as err
+from jsonld_ex_spark.core.context import (
+    Context,
+    Options,
+    RemoteDocument,
+    new_context,
+    process_context,
+)
+from jsonld_ex_spark.core.errors import JsonLdError
+from jsonld_ex_spark.core.expansion import expand as _expand_algo
+from jsonld_ex_spark.core.flattening import (
+    BlankNodeGenerator,
+    flatten_node_map,
+    node_map as _node_map,
+)
+from jsonld_ex_spark.core.to_rdf import expanded_to_rdf
+
+
+def _load_input(input_doc: Any, options: Options) -> tuple[Any, str | None, str | None]:
+    """Returns (document, document_url, context_url)."""
+    if isinstance(input_doc, RemoteDocument):
+        doc = input_doc.document
+        if isinstance(doc, (str, bytes)):
+            doc = json.loads(doc)
+        return doc, input_doc.document_url, input_doc.context_url
+    if isinstance(input_doc, str):
+        try:
+            remote = options.document_loader(input_doc)
+        except JsonLdError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{input_doc}: {e}") from e
+        doc = remote.document
+        if isinstance(doc, (str, bytes)):
+            try:
+                doc = json.loads(doc)
+            except Exception as e:  # noqa: BLE001
+                raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{input_doc}: {e}") from e
+        return doc, remote.document_url, remote.context_url
+    return input_doc, None, None
+
+
+def _initial_context(document_url: str | None, context_url: str | None, options: Options) -> Context:
+    base = document_url or options.base
+    active = Context(base_iri=options.base if options.base is not None else document_url,
+                     original_base_url=base if document_url else options.base)
+    # per spec: base IRI = document URL unless options.base overrides;
+    # original base URL = document URL
+    active.base_iri = options.base if options.base is not None else document_url
+    active.original_base_url = document_url if document_url is not None else options.base
+    if options.expand_context is not None:
+        ec = options.expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        active = process_context(active, ec, options, base_url=active.original_base_url)
+    if context_url is not None:
+        active = process_context(active, context_url, options, base_url=context_url)
+    return active
+
+
+def expand(input_doc: Any, options: Options | None = None) -> list:
+    """JsonLdProcessor.expand (spec §6.1)."""
+    options = options or Options()
+    doc, document_url, context_url = _load_input(input_doc, options)
+    active = _initial_context(document_url, context_url, options)
+    expanded = _expand_algo(active, None, doc, options, base_url=document_url)
+    if isinstance(expanded, dict) and set(expanded.keys()) == {"@graph"}:
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return expanded if isinstance(expanded, list) else [expanded]
+
+
+def flatten(input_doc: Any, ctx: Any = None, options: Options | None = None) -> Any:
+    """JsonLdProcessor.flatten (spec §6.2): expand → node map → flatten."""
+    options = options or Options()
+    expanded = expand(input_doc, options)
+    nm = _node_map(expanded, BlankNodeGenerator())
+    flattened = flatten_node_map(nm, ordered=options.ordered)
+    if ctx is not None:
+        from jsonld_ex_spark.core.compaction import compact as _compact
+
+        return _compact(flattened, ctx, options)
+    return flattened
+
+
+def to_rdf(input_doc: Any, options: Options | None = None) -> list:
+    """JsonLdProcessor.toRdf: expand (ordered=False) → node map → quads."""
+    options = options or Options()
+    import dataclasses
+
+    expand_opts = dataclasses.replace(options, ordered=False)
+    expanded = expand(input_doc, expand_opts)
+    return expanded_to_rdf(expanded, options)
+
+
+def compact(input_doc: Any, ctx: Any, options: Options | None = None) -> Any:
+    """JsonLdProcessor.compact (spec §6.1.2)."""
+    from jsonld_ex_spark.core.compaction import compact_document
+
+    options = options or Options()
+    return compact_document(input_doc, ctx, options)
+
+
+def from_rdf(quads: list, options: Options | None = None) -> list:
+    """Serialize RDF as JSON-LD (spec §9)."""
+    from jsonld_ex_spark.core.from_rdf import from_rdf as _from_rdf
+
+    options = options or Options()
+    return _from_rdf(quads, options)

@@ -1,0 +1,54 @@
+"""W3C JSON-LD 1.1 expand test suite (385 cases).
+
+Mirrors /root/reference/test/acceptance/w3c/expand_test.exs: positive
+cases compare expanded output for structural equality (ordered=True);
+negative cases assert the exact spec error code.  1.0-only cases are
+skipped (the reference reports them as untested), as are the 4 cases the
+reference skips for ordering-of-output reasons.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonld_ex_spark.core.api import expand
+from jsonld_ex_spark.core.errors import JsonLdError
+
+from tests.w3c_harness import (
+    case_kind,
+    case_options,
+    input_url,
+    is_1_0_only,
+    load_json,
+    manifest_cases,
+)
+
+# Skipped by the reference for output-ordering reasons (earl: passed semi-auto)
+ORDERING_SKIPS = {"#t0034", "#t0035", "#tin03", "#tdi03"}
+
+CASES = manifest_cases("expand")
+
+
+def _id(case):
+    return case["@id"]
+
+
+@pytest.mark.parametrize("case", CASES, ids=_id)
+def test_expand(case):
+    if is_1_0_only(case):
+        pytest.skip("JSON-LD 1.0 only")
+    if case["@id"] in ORDERING_SKIPS:
+        pytest.skip("ordering-sensitive comparison (reference skips too)")
+    options = case_options(case)
+    options.ordered = True
+    kind = case_kind(case)
+    if kind == "positive":
+        expected = load_json(case["expect"])
+        actual = expand(input_url(case), options)
+        assert actual == expected
+    elif kind == "negative":
+        with pytest.raises(JsonLdError) as exc_info:
+            expand(input_url(case), options)
+        assert exc_info.value.code == case["expectErrorCode"]
+    else:
+        pytest.skip(f"unhandled kind {kind}")
