@@ -22,6 +22,31 @@ from jsonld_ex_spark.core.errors import JsonLdError
 from jsonld_ex_spark.core.utils import as_list, is_blank_node_id
 
 
+def _strict_eq(a: Any, b: Any) -> bool:
+    """JSON-value equality that does NOT conflate bool/int/float.
+
+    Python's ``True == 1`` / ``1 == 1.0`` would wrongly dedup
+    ``{"@value": true}`` against ``{"@value": 1}`` during node-map merge.
+    """
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, bool):
+        return a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return type(a) == type(b) and a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_strict_eq(v, b[k]) for k, v in a.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_strict_eq(x, y) for x, y in zip(a, b))
+    if type(a) != type(b):
+        return False
+    return a == b
+
+
+def _strict_in(element: Any, values: list) -> bool:
+    return any(_strict_eq(element, v) for v in values)
+
+
 class BlankNodeGenerator:
     """Deterministic per-document blank node id issuer."""
 
@@ -74,7 +99,7 @@ def generate_node_map(
         if list_obj is None:
             if subject_node is not None:
                 values = subject_node.setdefault(active_property, [])
-                if element not in values:
+                if not _strict_in(element, values):
                     values.append(element)
         else:
             list_obj["@list"].append(element)

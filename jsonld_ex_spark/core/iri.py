@@ -53,8 +53,11 @@ def is_well_formed_iri(value: str) -> bool:
     """Well-formed absolute IRI check used by toRdf to drop bad triples."""
     if not isinstance(value, str) or not is_absolute_iri(value):
         return False
-    scheme, _, _, _, _ = split_iri(value)
-    return scheme is not None and _SCHEME_RE.match(scheme) is not None
+    scheme, _, _, _, fragment = split_iri(value)
+    if scheme is None or _SCHEME_RE.match(scheme) is None:
+        return False
+    # RFC 3986: '#' cannot appear raw inside a fragment (i.e. no second '#')
+    return fragment is None or "#" not in fragment
 
 
 def remove_dot_segments(path: str) -> str:
