@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship KG-construction pipeline at sf0.001.
+queries()      — every implemented operator/query, keyed per SURVEY.md §2.
+oracle_sql()   — DuckDB-equivalent SQL for the driver's correctness gate.
 """
 
 from __future__ import annotations
@@ -15,24 +13,56 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcript turns → JSON-LD docs → RDF triples (sf0.001)."""
+    from jsonld_ex_spark.operators.kg_pipeline import kg_triples
+
+    return kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jsonld_ex_spark.operators import kg_queries
+    from jsonld_ex_spark.operators.kg_pipeline import kg_triples
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # KG-construction pipeline (SURVEY.md §2.1: expand/flatten/toRdf
+        # fused stage; §2.2 scans/joins/aggregations/windows)
+        "kg_transcripts": kg_queries.kg_transcripts,
+        "kg_turn_order": kg_queries.kg_turn_order,
+        "kg_mentions": kg_queries.kg_mentions,
+        "kg_entity_links": kg_queries.kg_entity_links,
+        "kg_triples": kg_triples,
+        "kg_triple_stats": kg_queries.kg_triple_stats,
+    }
+    try:
+        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops
+
+        q.update(text_ops.queries())
+        q.update(dedup_ops.queries())
+        q.update(ann_ops.queries())
+        q.update(relational_ops.queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonld_ex_spark.plans import oracles
+
+    o = {
+        "kg_transcripts": oracles.transcripts_oracle(),
+        "kg_turn_order": oracles.kg_turn_order_oracle(),
+        "kg_mentions": oracles.kg_mentions_oracle(),
+        "kg_entity_links": oracles.kg_entity_links_oracle(),
+        "kg_triples": oracles.kg_triples_oracle(),
+        "kg_triple_stats": oracles.kg_triple_stats_oracle(),
+    }
+    try:
+        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops
+
+        o.update(text_ops.oracle_sql())
+        o.update(dedup_ops.oracle_sql())
+        o.update(ann_ops.oracle_sql())
+        o.update(relational_ops.oracle_sql())
+    except ImportError:
+        pass
+    return o

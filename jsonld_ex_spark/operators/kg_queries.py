@@ -1,0 +1,76 @@
+"""Spark DataFrame queries for the KG pipeline (paired with plans.oracles).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names/types match the corresponding DuckDB oracle exactly (driver
+correctness gate hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonld_ex_spark.operators.kg_pipeline import MENTION_RE, kg_triples
+from jsonld_ex_spark.sources.transcripts import entity_dict_df, transcripts_df
+
+
+def kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_df(spark, sf_dir)
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection: JVM-side regexp over turn text (no Python UDF)."""
+    t = transcripts_df(spark, sf_dir)
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")).alias("surface_norm"),
+        )
+        .dropDuplicates(["conv_id", "turn_idx", "surface_norm"])
+    )
+
+
+def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking: mentions ⋈ broadcast(entity_dict) + aggregate.
+
+    The dictionary is tiny and hot → explicit broadcast hash join (no
+    shuffle of the big side); at 10^12-turn scale this is the only
+    viable join shape for the dictionary side.
+    """
+    mentions = kg_mentions(spark, sf_dir)
+    dict_df = entity_dict_df(spark)
+    return (
+        mentions.join(F.broadcast(dict_df), on="surface_norm", how="inner")
+        .groupBy("entity_id", "canonical_iri")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        kg_triples(spark, sf_dir)
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("subj").alias("n_subj"))
+    )
+
+
+def kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant surface: stable (conv_id, turn_idx) ordering.
+
+    expected_idx is computed with a window over the restored order; the
+    oracle checks it equals turn_idx for every row end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    t = transcripts_df(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w) - F.lit(1)).alias("expected_idx"),
+        "text",
+    )

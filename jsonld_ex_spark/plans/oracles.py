@@ -1,0 +1,122 @@
+"""DuckDB oracle SQL for the KG pipeline queries.
+
+The kg_triples oracle is the strongest correctness check in the repo: it
+derives the expected RDF triples *relationally* (pure SQL over the same
+transcript synthesis CTE), completely independently of the JSON-LD
+algorithm stack — if the Spark pipeline (expand → flatten → toRdf with
+skolemized blank nodes) agrees with it row-for-row, both the document
+assembly and the algorithm layer are right.
+"""
+
+from __future__ import annotations
+
+from jsonld_ex_spark.sources.transcripts import (
+    CONV_NS,
+    ENTITY_NS,
+    VOCAB,
+    transcripts_oracle_cte,
+)
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def transcripts_oracle() -> str:
+    return transcripts_oracle_cte("lineitem")
+
+
+def kg_triples_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t}),
+mx AS (SELECT conv_id, max(turn_idx) AS max_idx FROM t GROUP BY conv_id),
+turn AS (
+  SELECT t.*, concat('urn:turn:', conv_id, ':', turn_idx) AS turn_iri,
+         concat('_:', conv_id, '.', turn_idx) AS cell
+  FROM t
+)
+SELECT * FROM (
+  SELECT DISTINCT concat('{CONV_NS}', conv_id) AS subj, '{RDF}type' AS pred,
+         '{VOCAB}Conversation' AS obj, true AS obj_is_iri,
+         CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang,
+         CAST(NULL AS VARCHAR) AS graph, conv_id, CAST(NULL AS INT) AS turn_idx
+  FROM t
+  UNION ALL
+  SELECT DISTINCT concat('{CONV_NS}', conv_id), '{VOCAB}turns',
+         concat('_:', conv_id, '.0'), true, NULL, NULL, NULL, conv_id, CAST(NULL AS INT)
+  FROM t
+  UNION ALL
+  SELECT cell, '{RDF}first', turn_iri, true, NULL, NULL, NULL, conv_id, turn_idx FROM turn
+  UNION ALL
+  SELECT cell, '{RDF}rest',
+         CASE WHEN turn_idx = max_idx THEN '{RDF}nil'
+              ELSE concat('_:', conv_id, '.', turn_idx + 1) END,
+         true, NULL, NULL, NULL, conv_id, turn_idx
+  FROM turn JOIN mx USING (conv_id)
+  UNION ALL
+  SELECT turn_iri, '{RDF}type', '{VOCAB}Turn', true, NULL, NULL, NULL, conv_id, turn_idx FROM turn
+  UNION ALL
+  SELECT turn_iri, '{VOCAB}role', role, false, '{XSD}string', NULL, NULL, conv_id, turn_idx FROM turn
+  UNION ALL
+  SELECT turn_iri, '{VOCAB}text', text, false, '{XSD}string', NULL, NULL, conv_id, turn_idx FROM turn
+  UNION ALL
+  SELECT turn_iri, '{VOCAB}tool', tool, false, '{XSD}string', NULL, NULL, conv_id, turn_idx
+  FROM turn WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT turn_iri, '{VOCAB}ts', strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), false,
+         '{XSD}dateTime', NULL, NULL, conv_id, turn_idx FROM turn
+  UNION ALL
+  SELECT turn_iri, '{VOCAB}turn_idx', concat('', turn_idx), false,
+         '{XSD}integer', NULL, NULL, conv_id, turn_idx FROM turn
+  UNION ALL
+  SELECT DISTINCT turn_iri, '{VOCAB}mentions',
+         concat('{ENTITY_NS}E', substr(m, 5)), true, NULL, NULL, NULL, conv_id, turn_idx
+  FROM turn, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(m)
+) AS triples
+"""
+
+
+def kg_mentions_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t})
+SELECT DISTINCT conv_id, turn_idx, m AS surface_norm
+FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(m)
+"""
+
+
+def kg_entity_links_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    from jsonld_ex_spark.sources.transcripts import entity_dict_oracle_sql
+
+    return f"""
+WITH t AS ({t}),
+dict AS ({entity_dict_oracle_sql()}),
+m AS (
+  SELECT DISTINCT conv_id, turn_idx, mm AS surface_norm
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+)
+SELECT d.entity_id, d.canonical_iri, count(*) AS n_mentions,
+       count(DISTINCT m.conv_id) AS n_convs
+FROM m JOIN dict d USING (surface_norm)
+GROUP BY d.entity_id, d.canonical_iri
+"""
+
+
+def kg_triple_stats_oracle() -> str:
+    return f"""
+WITH triples AS ({kg_triples_oracle()})
+SELECT pred, count(*) AS n, count(DISTINCT subj) AS n_subj
+FROM triples GROUP BY pred
+"""
+
+
+def kg_turn_order_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t})
+SELECT conv_id, turn_idx,
+       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS expected_idx,
+       text
+FROM t
+"""

@@ -1,0 +1,108 @@
+"""Deterministic synthetic transcript source (BASELINE.json input_hint shape).
+
+The sandbox testdata has no transcript table, so we synthesize one
+deterministically from ``lineitem`` with SQL that is executable verbatim
+by BOTH Spark SQL and DuckDB — the correctness oracle runs the *same*
+text, so the two engines' transcript tables agree exactly by
+construction (verified in tests/test_transcripts.py).
+
+Shape (input_hint): (conv_id string, turn_idx int, role string,
+text string, tool string, ts timestamp).  One conversation per order,
+one turn per lineitem row; ~1-7 turns/conversation; entity mentions
+``ENT_nnnn`` embedded in text with a skewed (hot-entity) distribution —
+entity ids 0-6 absorb ~1/3 of all mentions, exercising the salted
+repartitioning path.
+
+At 10^12-turn scale this module is replaced by
+``spark.read.format("iceberg").load(...)`` of the real transcript
+table; everything downstream consumes only the DataFrame contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+N_ENTITIES = 211
+HOT_ENTITIES = 7
+VOCAB = "https://sparkld.dev/vocab#"
+CONV_NS = "https://sparkld.dev/conv/"
+ENTITY_NS = "https://sparkld.dev/entity/"
+EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+# {ts_fn}: Spark=timestamp_micros, DuckDB=make_timestamp (both: µs → naive ts)
+_TRANSCRIPTS_SQL = """
+WITH turns_base AS (
+  SELECT
+    concat('conv-', lpad(concat('', l_orderkey), 10, '0')) AS conv_id,
+    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS INT) AS turn_idx,
+    l_orderkey, l_partkey, l_suppkey, l_quantity, l_returnflag, l_linestatus
+  FROM {lineitem}
+), enriched AS (
+  SELECT
+    conv_id, turn_idx, l_orderkey, l_quantity, l_returnflag, l_linestatus,
+    CASE WHEN l_partkey % 3 = 0 THEN l_partkey % {hot} ELSE l_partkey % {n_ent} END AS ent1,
+    CASE WHEN l_suppkey % 5 = 0 THEN l_suppkey % 3 ELSE l_suppkey % {n_ent} END AS ent2,
+    CASE WHEN turn_idx % 3 = 0 THEN 'user'
+         WHEN turn_idx % 3 = 1 THEN 'assistant'
+         ELSE 'tool' END AS role
+  FROM turns_base
+)
+SELECT
+  conv_id,
+  turn_idx,
+  role,
+  concat(
+    CASE WHEN l_orderkey % 97 = 0 THEN 'Zürich café — ' ELSE '' END,
+    'The ', l_returnflag, ' shipment of ', CAST(l_quantity AS INT),
+    ' units references ENT_', lpad(concat('', ent1), 4, '0'),
+    CASE WHEN l_quantity >= 25
+         THEN concat(' and ENT_', lpad(concat('', ent2), 4, '0'))
+         ELSE '' END,
+    ' with status ', l_linestatus, '.'
+  ) AS text,
+  CASE WHEN role = 'tool' THEN 'kb_search' ELSE NULL END AS tool,
+  {ts_fn}(({epoch} + l_orderkey * 100 + turn_idx) * 1000000) AS ts
+FROM enriched
+"""
+
+_ENTITY_DICT_SQL = """
+SELECT
+  concat('E', lpad(concat('', {id_col}), 4, '0')) AS entity_id,
+  concat('ENT_', lpad(concat('', {id_col}), 4, '0')) AS surface_norm,
+  concat('{entity_ns}E', lpad(concat('', {id_col}), 4, '0')) AS canonical_iri
+FROM {range_rel}
+"""
+
+
+def transcripts_sql(lineitem_rel: str, dialect: str) -> str:
+    ts_fn = "timestamp_micros" if dialect == "spark" else "make_timestamp"
+    return _TRANSCRIPTS_SQL.format(
+        lineitem=lineitem_rel, ts_fn=ts_fn, epoch=EPOCH,
+        hot=HOT_ENTITIES, n_ent=N_ENTITIES,
+    )
+
+
+def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript DataFrame for a testdata scale-factor directory.
+
+    All synthesis is Catalyst-expressible (projection + one window over
+    the natural (orderkey, linenumber) clustering) — no Python UDFs.
+    """
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("_li_src")
+    return spark.sql(transcripts_sql("_li_src", "spark"))
+
+
+def transcripts_oracle_cte(lineitem_rel: str = "lineitem") -> str:
+    """DuckDB-executable body (same SQL text, DuckDB ts function)."""
+    return transcripts_sql(lineitem_rel, "duckdb")
+
+
+def entity_dict_df(spark: SparkSession) -> DataFrame:
+    spark.range(N_ENTITIES).createOrReplaceTempView("_ent_range")
+    return spark.sql(_ENTITY_DICT_SQL.format(id_col="id", range_rel="_ent_range", entity_ns=ENTITY_NS))
+
+
+def entity_dict_oracle_sql() -> str:
+    return _ENTITY_DICT_SQL.format(
+        id_col="range", range_rel=f"range({N_ENTITIES})", entity_ns=ENTITY_NS
+    )

@@ -1,0 +1,60 @@
+"""End-to-end KG pipeline correctness vs the DuckDB relational oracle.
+
+This is the repo-local mirror of the driver's gate: every kg_* query is
+compared row-for-row (order-insensitive) against pure-SQL oracles at
+sf0.001.  kg_triples is the load-bearing one: it validates transcript
+synthesis + doc assembly + expand + flatten + toRdf + skolemization in
+one shot.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonld_ex_spark.operators import kg_queries
+from jsonld_ex_spark.operators.kg_pipeline import kg_triples
+from jsonld_ex_spark.plans import oracles
+
+from tests.spark_fixtures import compare_with_oracle, spark  # noqa: F401
+
+pytestmark = pytest.mark.spark
+
+
+def test_transcripts_match_oracle(spark):  # noqa: F811
+    compare_with_oracle(kg_queries.kg_transcripts(spark, "/root/testdata/sf0.001"),
+                        oracles.transcripts_oracle())
+
+
+def test_mentions_match_oracle(spark):  # noqa: F811
+    compare_with_oracle(kg_queries.kg_mentions(spark, "/root/testdata/sf0.001"),
+                        oracles.kg_mentions_oracle())
+
+
+def test_entity_links_match_oracle(spark):  # noqa: F811
+    compare_with_oracle(kg_queries.kg_entity_links(spark, "/root/testdata/sf0.001"),
+                        oracles.kg_entity_links_oracle())
+
+
+def test_triples_match_oracle(spark):  # noqa: F811
+    compare_with_oracle(kg_triples(spark, "/root/testdata/sf0.001"),
+                        oracles.kg_triples_oracle())
+
+
+def test_triple_stats_match_oracle(spark):  # noqa: F811
+    compare_with_oracle(kg_queries.kg_triple_stats(spark, "/root/testdata/sf0.001"),
+                        oracles.kg_triple_stats_oracle())
+
+
+def test_turn_order_invariant(spark):  # noqa: F811
+    df = kg_queries.kg_turn_order(spark, "/root/testdata/sf0.001")
+    bad = df.where("expected_idx <> turn_idx").count()
+    assert bad == 0
+    compare_with_oracle(df, oracles.kg_turn_order_oracle())
+
+
+def test_skolem_ids_stable_across_runs(spark):  # noqa: F811
+    """north_star: deterministic skolemization — two independent runs
+    produce the identical triple set (incl. blank-node labels)."""
+    a = sorted(map(tuple, kg_triples(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, kg_triples(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
