@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines (documents table).
+
+* exact          — md5 fingerprint groupBy (hash-partitioned, scales linearly)
+* ngram jaccard  — word-trigram shingles, candidate pairs via shingle
+                   co-occurrence join, exact set-overlap Jaccard
+* minhash LSH    — md5-based minhash signatures (engine-portable), banded
+                   bucketing, candidate pairs via bucket join
+* simhash        — 64-bit simhash in a vectorized Arrow pandas UDF
+                   (no SQL oracle — driver records rows-only)
+* embedding near-dup — quantized-integer dot products (bit-exact across
+                   engines), threshold pairs
+
+Scale notes (100 TB): every operator here is a shuffle-on-key pipeline —
+shingle/bucket joins are the standard LSH scale path (band count bounds
+candidate pairs); nothing collects to the driver; exact dedup is a
+single hash aggregate.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH_SEEDS = 12
+N_BANDS = 4  # 3 rows per band
+JACCARD_THRESHOLD = 0.5
+COSINE_Q = 1000  # embedding quantization factor
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint → group size + canonical (min) doc_id."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    d = d.select("doc_id", fp.alias("fingerprint"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint")
+    return d.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-trigram shingles per document (JVM higher-order fns)."""
+    d = _docs(spark, sf_dir)
+    words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    d = d.select("doc_id", words.alias("words"))
+    shingles = F.expr(
+        "CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words) - 2),"
+        " i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"
+        " ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.explode(shingles).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-trigram Jaccard ≥ 0.5.
+
+    Candidate pairs come from a co-occurring-shingle self-join (only
+    pairs sharing ≥1 shingle are scored — at scale the shingle key is
+    the shuffle key and hot shingles are the skew risk; a frequency cap
+    would be added for web-scale corpora).
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(F.col("n_common") * (1 / JACCARD_THRESHOLD) >= F.col("sa") + F.col("sb") - F.col("n_common"))
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("sa") + F.col("sb") - F.col("n_common")).alias("n_union"),
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs.
+
+    Signature: for seed s, minhash_s(doc) = min(md5(s || shingle)) —
+    md5 is identical across engines, so the DuckDB oracle reproduces
+    signatures bit-exactly.  Banding: N_BANDS bands × 3 rows; a pair is
+    a candidate iff some band agrees on all rows (bucket join on the
+    band fingerprint — the classic distributed LSH shape).
+    """
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(N_MINHASH_SEEDS).select(F.col("id").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("mh"))
+    )
+    rows_per_band = N_MINHASH_SEEDS // N_BANDS
+    banded = mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("mh")))))).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            counts = [0] * _SIMHASH_BITS
+            words = [w for w in (text or "").lower().split() if w]
+            for w in words:
+                h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
+                for bit in range(_SIMHASH_BITS):
+                    counts[bit] += 1 if (h >> bit) & 1 else -1
+            sig = 0
+            for bit in range(_SIMHASH_BITS):
+                if counts[bit] > 0:
+                    sig |= 1 << bit
+            out.append((doc_id, sig - (1 << 63)))  # shift into signed int64
+        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (vectorized Arrow pandas UDF stage).
+
+    Non-SQL-expressible (bit-twiddling) → no DuckDB oracle; correctness
+    is covered by unit tests on known inputs + determinism test.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by quantized dot product.
+
+    Embeddings are quantized to integers (round(x*1000)) so the score is
+    bit-exact across engines; pairs above threshold are near-dups.
+    Brute-force O(n²) pair scan — the LSH-bucketed scale path is
+    ann_ops.ann_lsh_topk.
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select(
+        F.col("vec_id"),
+        F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {COSINE_Q}) as long))").alias("qv"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)"
+    )
+    norm_a = F.expr("aggregate(zip_with(a.qv, a.qv, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)")
+    norm_b = F.expr("aggregate(zip_with(b.qv, b.qv, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)")
+    # cosine >= 0.9  ⟺  dot² >= 0.81·|a|²·|b|²  (dot > 0) — integer-exact
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("qdot"),
+            norm_a.alias("qnorm_a"),
+            norm_b.alias("qnorm_b"),
+        )
+        .where("qdot > 0 AND qdot * qdot * 100 >= 81 * qnorm_a * qnorm_b")
+    )
+
+
+def queries():
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+    }
+
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           concat_ws(' ', words[i], words[i+1], words[i+2]) AS shingle
+    FROM (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS words
+      FROM documents
+    ), unnest(CASE WHEN len(words) >= 3
+                   THEN range(1, len(words) - 1)
+                   ELSE [] END) AS t(i)
+  )
+)
+"""
+
+
+def oracle_sql():
+    rows_per_band = N_MINHASH_SEEDS // N_BANDS
+    return {
+        "dedup_exact": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+              FROM documents
+            )
+            SELECT doc_id, fingerprint,
+                   count(*) OVER (PARTITION BY fingerprint) AS group_size,
+                   min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id
+            FROM f""",
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM shingles a JOIN shingles b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common, sa.n + sb.n - n_common AS n_union
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common * {1 / JACCARD_THRESHOLD} >= sa.n + sb.n - n_common""",
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            mh AS (
+              SELECT doc_id, seed,
+                     min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
+              FROM shingles, unnest(range(0, {N_MINHASH_SEEDS})) AS s(seed)
+              GROUP BY doc_id, seed
+            ),
+            buckets AS (
+              SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band,
+                     md5(array_to_string(list_sort(list(concat(CAST(seed AS VARCHAR), ':', mh))), '|')) AS bucket
+              FROM mh GROUP BY doc_id, band
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id""",
+        "dedup_embedding_cosine": f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_Q}) AS BIGINT)) AS qv
+              FROM embeddings
+            )
+            SELECT vec_a, vec_b, qdot, qnorm_a, qnorm_b FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot,
+                     CAST(list_dot_product(a.qv, a.qv) AS BIGINT) AS qnorm_a,
+                     CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS qnorm_b
+              FROM q a JOIN q b ON a.vec_id < b.vec_id
+            ) WHERE qdot > 0 AND qdot * qdot * 100 >= 81 * qnorm_a * qnorm_b""",
+        # dedup_simhash: intentionally no oracle (bit-level UDF)
+    }

@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines, over the documents table.
+
+All hot-path logic is JVM-side (regexp / length / md5 — whole-stage
+codegen); no Python UDFs.  Counts (not float ratios) are returned so the
+DuckDB oracle matches bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[A-Za-z0-9]+"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORDS = "(the|and|of|a|to|in|is|it|for|on)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-split words + alnum token regex."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, punctuation count, stopword count,
+    mean token length ×100 (integer-exact for the oracle)."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)"))
+    n_punct = F.size(F.expr(f"regexp_extract_all(text, '{PUNCT_RE}', 0)"))
+    n_stop = F.size(F.expr(f"regexp_extract_all(lower(text), '\\\\b{STOPWORDS}\\\\b', 0)"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        (F.length("text") < F.lit(100)).alias("is_short"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": "(the|and|is|of)",
+    "de": "(der|die|das|und)",
+    "es": "(el|la|los|que)",
+    "fr": "(le|les|des|est)",
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker hit counts per language,
+    argmax with deterministic tie-break on language code."""
+    d = _docs(spark, sf_dir)
+    cols = [F.col("doc_id")]
+    for lang, pat in _LANG_MARKERS.items():
+        cols.append(
+            F.size(F.expr(f"regexp_extract_all(lower(text), '\\\\b{pat}\\\\b', 0)")).alias(f"hits_{lang}")
+        )
+    d = d.select(*cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(F.lit(False), F.lit(""))
+    # deterministic argmax: first language (sorted) achieving the max
+    pred = None
+    for lang in sorted(_LANG_MARKERS):
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return d.select("doc_id", *[f"hits_{lang}" for lang in _LANG_MARKERS], pred.alias("lang_pred"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text (exact-dup key), plus a 16-hex-char prefix as a short fp."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = F.md5(norm)
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("fp16"))
+
+
+def queries():
+    return {
+        "text_tokens": text_tokens,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+    }
+
+
+def oracle_sql():
+    markers_hits = ",\n  ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{pat}\\b', 0)) AS hits_{lang}"
+        for lang, pat in _LANG_MARKERS.items()
+    )
+    langs = sorted(_LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANG_MARKERS) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return {
+        "text_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents""",
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS n_tokens,
+                   len(regexp_extract_all(text, '{PUNCT_RE}', 0)) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\\b{STOPWORDS}\\b', 0)) AS n_stopwords,
+                   length(text) < 100 AS is_short
+            FROM documents""",
+        "text_langid": f"""
+            WITH h AS (SELECT doc_id, {markers_hits} FROM documents)
+            SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, {argmax} AS lang_pred
+            FROM h""",
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+                   substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp16
+            FROM documents""",
+    }
