@@ -1,0 +1,134 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The headline metric is turns/sec through the flagship KG pipeline
+(transcripts → JSON-LD expand/flatten/toRdf → triples), reported as
+elapsed seconds in "value" plus per-query seconds.
+
+Scaling evidence (BASELINE.json north_rule, sandbox protocol): run
+    python bench.py --scaling
+to execute the same pipeline at local[8] and local[32] and report
+throughput at both + efficiency (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .appName("jsonld_ex_spark-bench")
+        .getOrCreate()
+    )
+
+
+BENCH_QUERIES = [
+    "kg_triples",
+    "kg_entity_links",
+    "kg_triple_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "text_quality",
+    "text_fingerprint",
+    "tpch_q1",
+    "join_customer_geo",
+    "window_running_spend",
+    "events_by_type",
+]
+
+
+def run_query(spark, fn, sf_dir: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        secs, n = run_query(spark, qmap[name], sf_dir)
+        timings[name] = round(secs, 3)
+        counts[name] = n
+    return {"timings": timings, "counts": counts}
+
+
+def turns_count(spark, sf_dir: str) -> int:
+    from jsonld_ex_spark.sources.transcripts import transcripts_df
+
+    return transcripts_df(spark, sf_dir).count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            spark = make_spark(n)
+            spark.sparkContext.setLogLevel("ERROR")
+            turns = turns_count(spark, sf_dir)
+            # warm-up (JVM + Arrow paths), then timed run
+            import __spark_entry__ as entrymod
+
+            kg = entrymod.queries()["kg_triples"]
+            kg(spark, sf_dir).count()
+            t0 = time.perf_counter()
+            kg(spark, sf_dir).count()
+            secs = time.perf_counter() - t0
+            results[n] = {"sec": round(secs, 3), "turns_per_sec": round(turns / secs, 1)}
+            spark.stop()
+        eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
+        print(json.dumps({
+            "metric": "kg_triples turns/sec scaling local[8]->local[32]",
+            "local8": results[8], "local32": results[32],
+            "scaling_efficiency": round(eff, 3), "sf": sf,
+        }))
+        return
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    turns = turns_count(spark, sf_dir)
+    res = run_bench(spark, sf_dir)
+    total = round(sum(res["timings"].values()), 3)
+    kg_secs = res["timings"]["kg_triples"]
+    print(json.dumps({
+        "metric": "kg-pipeline+trainingdata-ops elapsed",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": float(sf),
+        "turns": turns,
+        "turns_per_sec_kg_triples": round(turns / kg_secs, 1),
+        "triples": res["counts"]["kg_triples"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,9 +88,9 @@ def flatten(input_doc: Any, ctx: Any = None, options: Options | None = None) -> 
     nm = _node_map(expanded, BlankNodeGenerator())
     flattened = flatten_node_map(nm, ordered=options.ordered)
     if ctx is not None:
-        from jsonld_ex_spark.core.compaction import compact as _compact
+        from jsonld_ex_spark.core.compaction import compact_expanded
 
-        return _compact(flattened, ctx, options)
+        return compact_expanded(flattened, ctx, options)
     return flattened
 
 

@@ -175,7 +175,7 @@ def process_context(
 
     for ctx in local:
         if ctx is None:
-            if not override_protected and active.has_protected_terms():
+            if not override_protected and result.has_protected_terms():
                 raise JsonLdError(err.INVALID_CONTEXT_NULLIFICATION)
             prev = result
             result = new_context(options, base_url=active.original_base_url)

@@ -72,7 +72,12 @@ def is_node_object(value: object) -> bool:
 
 
 def is_graph_object(value: object) -> bool:
-    return isinstance(value, dict) and "@graph" in value
+    """Spec definition: a map with @graph and at most @id/@index/@context."""
+    return (
+        isinstance(value, dict)
+        and "@graph" in value
+        and set(value.keys()) <= {"@graph", "@id", "@index", "@context"}
+    )
 
 
 def is_simple_graph_object(value: object) -> bool:

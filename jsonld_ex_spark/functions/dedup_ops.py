@@ -162,35 +162,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by quantized dot product.
+    """Embedding near-dup pairs by quantized dot product (cosine ≥ 0.9).
 
-    Embeddings are quantized to integers (round(x*1000)) so the score is
-    bit-exact across engines; pairs above threshold are near-dups.
-    Brute-force O(n²) pair scan — the LSH-bucketed scale path is
-    ann_ops.ann_lsh_topk.
+    Embeddings are quantized to integers (round(x*1000)) so scores are
+    bit-exact across engines.  Execution is a blocked integer GEMM: the
+    full quantized matrix is broadcast (n×64 int64 — small), each task
+    multiplies its partition's block against it with numpy and emits
+    only above-threshold pairs.  At 100 TB the same shape holds with
+    the broadcast side replaced by LSH/IVF-bucketed blocks; the O(n²)
+    score space never materializes as a Spark join.
+    cosine ≥ 0.9  ⟺  100·dot² ≥ 81·|a|²·|b|²  (dot>0) — integer-exact.
     """
+    import numpy as np
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.select(
-        F.col("vec_id"),
+        "vec_id",
         F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {COSINE_Q}) as long))").alias("qv"),
     )
-    a, b = q.alias("a"), q.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)"
-    )
-    norm_a = F.expr("aggregate(zip_with(a.qv, a.qv, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)")
-    norm_b = F.expr("aggregate(zip_with(b.qv, b.qv, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)")
-    # cosine >= 0.9  ⟺  dot² >= 0.81·|a|²·|b|²  (dot > 0) — integer-exact
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            dot.alias("qdot"),
-            norm_a.alias("qnorm_a"),
-            norm_b.alias("qnorm_b"),
-        )
-        .where("qdot > 0 AND qdot * qdot * 100 >= 81 * qnorm_a * qnorm_b")
+    all_pdf = q.toPandas()  # broadcast side (n×64 ints); blocked at real scale
+    ids = np.asarray(all_pdf["vec_id"], dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.int64) for v in all_pdf["qv"]])
+    norms = (mat * mat).sum(axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        a_ids, a_mat, a_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            blk_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            blk = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            if len(blk) == 0:
+                continue
+            dots = blk @ a_mat.T  # int64-exact
+            blk_norms = (blk * blk).sum(axis=1)
+            lhs = 100 * dots.astype(object) * dots  # avoid int64 overflow in dot²
+            rhs = 81 * np.outer(blk_norms.astype(object), a_norms)
+            mask = (dots > 0) & (lhs >= rhs) & (blk_ids[:, None] < a_ids[None, :])
+            bi, ai = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": blk_ids[bi],
+                    "vec_b": a_ids[ai],
+                    "qdot": dots[bi, ai],
+                    "qnorm_a": blk_norms[bi],
+                    "qnorm_b": a_norms[ai],
+                }
+            )
+
+    return q.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        block_pairs,
+        schema="vec_a long, vec_b long, qdot long, qnorm_a long, qnorm_b long",
     )
 
 
