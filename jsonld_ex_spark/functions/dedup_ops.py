@@ -107,17 +107,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band fingerprint — the classic distributed LSH shape).
     """
     sh = _shingles(spark, sf_dir)
-    seeds = spark.range(N_MINHASH_SEEDS).select(F.col("id").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("mh"))
-    )
     rows_per_band = N_MINHASH_SEEDS // N_BANDS
-    banded = mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    buckets = banded.groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("mh")))))).alias("bucket")
+    # all signatures in ONE aggregation pass (12 codegen min() columns —
+    # no seed crossJoin, no 12x row explosion)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(N_MINHASH_SEEDS)
+        ]
     )
+    band_structs = []
+    for band in range(N_BANDS):
+        seeds = sorted(range(band * rows_per_band, (band + 1) * rows_per_band), key=str)
+        bucket = F.md5(
+            F.concat_ws("|", *[F.concat(F.lit(f"{s}:"), F.col(f"mh{s}")) for s in seeds])
+        )
+        band_structs.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
+    buckets = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

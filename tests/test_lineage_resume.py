@@ -1,0 +1,68 @@
+"""Checkpoint/resume invariants (north_star): interrupted run resumes
+from the per-partition lineage ledger and the final triple set equals a
+single uninterrupted run's output exactly (incl. skolem ids)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+from jsonld_ex_spark.operators.triples import dedup_triples, salted_repartition, with_subject_bucket
+from jsonld_ex_spark.sources.transcripts import transcripts_df
+from jsonld_ex_spark.streaming.lineage import bucket_of, run_with_lineage
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+pytestmark = pytest.mark.spark
+SF = "/root/testdata/sf0.001"
+
+
+def test_resume_produces_identical_triples(spark):  # noqa: F811
+    tmp = tempfile.mkdtemp()
+    out1, led1 = f"{tmp}/full/triples", f"{tmp}/full/ledger"
+    out2, led2 = f"{tmp}/resumed/triples", f"{tmp}/resumed/ledger"
+    try:
+        t = transcripts_df(spark, SF)
+
+        # uninterrupted run
+        m = run_with_lineage(t, spark, conversation_triples, out1, led1, "run-a", n_buckets=8)
+        assert m["buckets_processed"] == 8
+
+        # interrupted run: first process only buckets 0-3 (simulated crash),
+        # then resume over the full input
+        half = t.where(bucket_of("conv_id", 8) < 4)
+        m1 = run_with_lineage(half, spark, conversation_triples, out2, led2, "run-b1", n_buckets=8)
+        assert 0 < m1["buckets_processed"] <= 4
+        m2 = run_with_lineage(t, spark, conversation_triples, out2, led2, "run-b2", n_buckets=8)
+        assert m1["buckets_processed"] + m2["buckets_processed"] == 8
+
+        a = sorted(map(tuple, spark.read.parquet(out1).drop("_bucket").collect()))
+        b = sorted(map(tuple, spark.read.parquet(out2).drop("_bucket").collect()))
+        assert a == b
+
+        # third call: nothing left to do
+        m3 = run_with_lineage(t, spark, conversation_triples, out2, led2, "run-b3", n_buckets=8)
+        assert m3["resumed"] and m3["buckets_processed"] == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_salted_repartition_spreads_hot_subjects(spark):  # noqa: F811
+    triples = conversation_triples(transcripts_df(spark, SF))
+    hot = triples.groupBy("subj").count().orderBy(F.desc("count")).first()
+    salted = salted_repartition(triples.where(F.col("subj") == hot["subj"]), n_salts=8, partitions=8)
+    parts = salted.rdd.glom().map(len).collect()
+    nonempty = [p for p in parts if p > 0]
+    assert len(nonempty) > 1, f"hot subject not spread: {parts}"
+
+
+def test_dedup_and_bucket_columns(spark):  # noqa: F811
+    triples = conversation_triples(transcripts_df(spark, SF))
+    n = triples.count()
+    assert dedup_triples(triples).count() == n  # pipeline emits no dup triples
+    b = with_subject_bucket(triples, 16).select("subj_bucket").distinct().count()
+    assert 1 < b <= 16
