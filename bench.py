@@ -28,10 +28,13 @@ def make_spark(cpus: int):
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # keep AQE skew handling but do NOT let it coalesce the
+        # pandas-UDF stage down to a few partitions: shuffle bytes are
+        # small relative to the Python compute per row
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .appName("jsonld_ex_spark-bench")
@@ -88,25 +91,41 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
+        # north_rule scaling evidence (sandbox protocol): identical job +
+        # input at local[8] (=N) and local[32] (=4N).  The input is
+        # replicated MULT× JVM-side so Python-stage compute dominates the
+        # fixed session/scan overhead — at real cluster scale (10^12
+        # turns) the compute:overhead ratio is far more extreme.
+        from pyspark.sql import functions as F
+
+        from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+        from jsonld_ex_spark.sources.transcripts import transcripts_df
+
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
         results = {}
         for n in (8, 32):
             spark = make_spark(n)
             spark.sparkContext.setLogLevel("ERROR")
-            turns = turns_count(spark, sf_dir)
-            # warm-up (JVM + Arrow paths), then timed run
-            import __spark_entry__ as entrymod
-
-            kg = entrymod.queries()["kg_triples"]
-            kg(spark, sf_dir).count()
+            t = transcripts_df(spark, sf_dir)
+            replicated = (
+                t.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+                .withColumn("conv_id", F.concat_ws("#", "conv_id", F.col("_rep").cast("string")))
+                .drop("_rep")
+            )
+            turns = replicated.count()
+            # warm-up: full pipeline once at the base SF
+            conversation_triples(t).count()
             t0 = time.perf_counter()
-            kg(spark, sf_dir).count()
+            conversation_triples(replicated).count()
             secs = time.perf_counter() - t0
-            results[n] = {"sec": round(secs, 3), "turns_per_sec": round(turns / secs, 1)}
+            results[n] = {"sec": round(secs, 3), "turns": turns,
+                          "turns_per_sec": round(turns / secs, 1)}
             spark.stop()
         eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
         print(json.dumps({
             "metric": "kg_triples turns/sec scaling local[8]->local[32]",
             "local8": results[8], "local32": results[32],
+            "replication": mult,
             "scaling_efficiency": round(eff, 3), "sf": sf,
         }))
         return

@@ -174,6 +174,8 @@ def process_context(
         local = [local]
 
     for ctx in local:
+        # the context object mutates below — drop any memoized expansions
+        result.__dict__.pop("_iri_cache", None)
         if ctx is None:
             if not override_protected and result.has_protected_terms():
                 raise JsonLdError(err.INVALID_CONTEXT_NULLIFICATION)
@@ -599,6 +601,7 @@ def _finish(
             raise JsonLdError(err.PROTECTED_TERM_REDEFINITION, term)
         definition = previous
     active.term_defs[term] = definition
+    active.__dict__.pop("_iri_cache", None)  # term set changed
     defined[term] = True
 
 
@@ -640,11 +643,43 @@ def expand_iri(
     local_context: dict | None = None,
     defined: dict[str, bool] | None = None,
 ) -> str | None:
-    """IRI Expansion (spec §5.2.2)."""
+    """IRI Expansion (spec §5.2.2).
+
+    Memoized per Context instance when no local context is in play:
+    processed contexts are immutable (process_context copies), and the
+    same terms/IRIs recur for every document sharing a context — the
+    pipeline's "broadcast context cache" fast path.
+    """
     if value is None or is_keyword(value):
         return value
     if not isinstance(value, str):
         return value
+
+    cache = None
+    if local_context is None:
+        cache = active.__dict__.get("_iri_cache")
+        if cache is None:
+            cache = {}
+            active.__dict__["_iri_cache"] = cache
+        key = (value, vocab, document_relative)
+        hit = cache.get(key, UNSET)
+        if hit is not UNSET:
+            return hit
+        result = _expand_iri_uncached(active, value, options, document_relative, vocab)
+        cache[key] = result
+        return result
+    return _expand_iri_uncached(active, value, options, document_relative, vocab, local_context, defined)
+
+
+def _expand_iri_uncached(
+    active: Context,
+    value: str,
+    options: Options,
+    document_relative: bool,
+    vocab: bool,
+    local_context: dict | None = None,
+    defined: dict[str, bool] | None = None,
+) -> str | None:
     if has_keyword_form(value):
         return None
 

@@ -49,8 +49,13 @@ def is_relative_iri(value: str) -> bool:
     return isinstance(value, str) and _BAD_IRI_CHARS_RE.search(value) is None
 
 
+@lru_cache(maxsize=65536)
 def is_well_formed_iri(value: str) -> bool:
-    """Well-formed absolute IRI check used by toRdf to drop bad triples."""
+    """Well-formed absolute IRI check used by toRdf to drop bad triples.
+
+    Memoized: in the triple pipeline the same predicate/type IRIs recur
+    for every document, so this is the hottest call in toRdf.
+    """
     if not isinstance(value, str) or not is_absolute_iri(value):
         return False
     scheme, _, _, _, fragment = split_iri(value)

@@ -1,0 +1,145 @@
+"""Remote Document and Context Retrieval (W3C JSON-LD 1.1 API §9.6
+LoadDocumentCallback semantics).
+
+Reference parity: lib/json/ld/document_loader/remote_document.ex:60-261.
+
+Transport-agnostic: the actual HTTP GET is injected as ``fetch(url) ->
+HttpResponse`` so tests (and air-gapped executors) provide stubs.  In
+the Spark pipeline all remote contexts are resolved ONCE on the driver
+through this loader and shipped to executors pre-processed — executors
+never perform I/O (SURVEY.md §2.1#18).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+from jsonld_ex_spark.core import errors as err
+from jsonld_ex_spark.core.context import RemoteDocument
+from jsonld_ex_spark.core.errors import JsonLdError
+from jsonld_ex_spark.core.iri import resolve_iri
+
+JSON_LD_CONTEXT_REL = "http://www.w3.org/ns/json-ld#context"
+MAX_REDIRECTS = 10
+
+
+@dataclass
+class HttpResponse:
+    status: int
+    headers: dict[str, object] = field(default_factory=dict)  # value: str | list[str]
+    body: str = ""
+    url: str | None = None
+
+
+Fetch = Callable[[str], HttpResponse]
+
+_LINK_RE = re.compile(r'<([^>]*)>((?:\s*;\s*[A-Za-z0-9*_-]+=(?:"[^"]*"|[^;,\s]+))*)')
+_PARAM_RE = re.compile(r';\s*([A-Za-z0-9*_-]+)=(?:"([^"]*)"|([^;,\s]+))')
+
+
+def parse_link_header(value) -> list[dict]:
+    """Parse Link header(s) into [{target, rel, type, ...}, ...]."""
+    links = []
+    values = value if isinstance(value, list) else [value]
+    for v in values:
+        for m in _LINK_RE.finditer(v):
+            params = {
+                pm.group(1).lower(): pm.group(2) if pm.group(2) is not None else pm.group(3)
+                for pm in _PARAM_RE.finditer(m.group(2))
+            }
+            links.append({"target": m.group(1), **params})
+    return links
+
+
+def _header(headers: dict, name: str):
+    for k, v in headers.items():
+        if k.lower() == name.lower():
+            return v
+    return None
+
+
+def _media_type(content_type: str | None) -> str:
+    return (content_type or "").split(";")[0].strip().lower()
+
+
+def load_remote_document(
+    url: str,
+    fetch: Fetch,
+    max_redirects: int = MAX_REDIRECTS,
+    _following_alternate: bool = False,
+) -> RemoteDocument:
+    """LoadDocumentCallback: content-type dispatch, redirects, Link
+    header context discovery, alternate-document following."""
+    current = url
+    response = None
+    for _ in range(max_redirects + 1):
+        try:
+            response = fetch(current)
+        except JsonLdError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{current}: {e}") from e
+        if response.status in (301, 302, 303, 307, 308):
+            location = _header(response.headers, "Location")
+            if not location:
+                raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{current}: redirect without Location")
+            current = resolve_iri(current, location)
+            continue
+        break
+    if response is None or not (200 <= response.status < 300):
+        raise JsonLdError(
+            err.LOADING_DOCUMENT_FAILED,
+            f"{current}: HTTP {response.status if response else 'n/a'}",
+        )
+
+    final_url = response.url or current
+    media = _media_type(_header(response.headers, "Content-Type"))
+    links = parse_link_header(_header(response.headers, "Link") or "")
+
+    is_ld_json = media == "application/ld+json"
+    is_json = media == "application/json" or media.endswith("+json")
+
+    if not is_json:
+        # not JSON at all: follow an alternate link to application/ld+json
+        alternates = [
+            l for l in links
+            if l.get("rel") == "alternate" and l.get("type") == "application/ld+json"
+        ]
+        if alternates and not _following_alternate:
+            alt_url = resolve_iri(final_url, alternates[0]["target"])
+            return load_remote_document(alt_url, fetch, max_redirects, _following_alternate=True)
+        raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{final_url}: unsupported content type {media!r}")
+
+    context_url = None
+    if not is_ld_json:
+        context_links = [l for l in links if l.get("rel") == JSON_LD_CONTEXT_REL]
+        if len(context_links) > 1:
+            raise JsonLdError(err.MULTIPLE_CONTEXT_LINK_HEADERS, final_url)
+        if context_links:
+            context_url = resolve_iri(final_url, context_links[0]["target"])
+        # NB: alternate links are only followed for non-JSON media types
+        # ("does not redirect if type is application/json")
+
+    try:
+        document = json.loads(response.body)
+    except ValueError as e:
+        raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{final_url}: invalid JSON: {e}") from e
+
+    return RemoteDocument(
+        document=document,
+        document_url=final_url,
+        content_type=media,
+        context_url=context_url,
+    )
+
+
+def make_document_loader(fetch: Fetch):
+    """Adapt a transport into the Options.document_loader signature."""
+
+    def loader(url: str) -> RemoteDocument:
+        return load_remote_document(url, fetch)
+
+    return loader
