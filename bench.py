@@ -101,9 +101,11 @@ def main() -> None:
         from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
         from jsonld_ex_spark.sources.transcripts import transcripts_df
 
-        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
         results = {}
-        for n in (8, 32):
+        for n in (n_small, n_small * 4):
             spark = make_spark(n)
             spark.sparkContext.setLogLevel("ERROR")
             t = transcripts_df(spark, sf_dir)
@@ -115,17 +117,22 @@ def main() -> None:
             turns = replicated.count()
             # warm-up: full pipeline once at the base SF
             conversation_triples(t).count()
-            t0 = time.perf_counter()
-            conversation_triples(replicated).count()
-            secs = time.perf_counter() - t0
-            results[n] = {"sec": round(secs, 3), "turns": turns,
-                          "turns_per_sec": round(turns / secs, 1)}
+            # the sandbox VM shows heavy CPU noise (2-3x between identical
+            # runs): take the best of `reps` timed runs per configuration
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                conversation_triples(replicated).count()
+                times.append(time.perf_counter() - t0)
+            secs = min(times)
+            results[n] = {"sec": round(secs, 3), "all_secs": [round(x, 2) for x in times],
+                          "turns": turns, "turns_per_sec": round(turns / secs, 1)}
             spark.stop()
-        eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
+        eff = results[n_small * 4]["turns_per_sec"] / (4 * results[n_small]["turns_per_sec"])
         print(json.dumps({
-            "metric": "kg_triples turns/sec scaling local[8]->local[32]",
-            "local8": results[8], "local32": results[32],
-            "replication": mult,
+            "metric": f"kg_triples turns/sec scaling local[{n_small}]->local[{n_small * 4}]",
+            f"local{n_small}": results[n_small], f"local{n_small * 4}": results[n_small * 4],
+            "replication": mult, "timing": "min of %d runs per config" % reps,
             "scaling_efficiency": round(eff, 3), "sf": sf,
         }))
         return

@@ -157,7 +157,12 @@ def doc_to_triple_rows(conv_id: str, doc: dict, active: Context, options: Option
 
 
 def _extract_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: assembled conversations → triple rows."""
+    """mapInPandas body: assembled conversations → triple rows.
+
+    Output is accumulated columnar (9 lists) — pd.DataFrame from a dict
+    of columns is ~10x cheaper than from a list of row tuples at
+    ~40 rows/conversation × 10^4 conversations per Arrow batch.
+    """
     active = _pipeline_context()
     options = Options()
     cols = list(TRIPLE_SCHEMA.fieldNames())
