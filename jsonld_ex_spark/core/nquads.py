@@ -16,7 +16,13 @@ _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
 
 
 def _escape(s: str) -> str:
-    return "".join(_ESCAPES.get(c, c) for c in s)
+    # control characters are written as \uXXXX — Python's splitlines()
+    # (used by the parser) treats \x0b/\x0c/\x1c-\x1e/\x85/ /
+    # as line breaks, so raw control chars would corrupt round-trips
+    return "".join(
+        _ESCAPES.get(c, c if (c >= " " and c not in "\x85  ") else f"\\u{ord(c):04X}")
+        for c in s
+    )
 
 
 _UNESCAPE_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))")

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 )
 
 from jsonld_ex_spark.core.context import Context, Options, process_context
+from jsonld_ex_spark.core.errors import JsonLdError
 from jsonld_ex_spark.core.expansion import expand as expand_algo
 from jsonld_ex_spark.core.flattening import BlankNodeGenerator, node_map
 from jsonld_ex_spark.core.to_rdf import to_rdf_from_node_map
@@ -66,6 +67,9 @@ CONV_CONTEXT = {
 }
 
 MENTION_RE = r"ENT_[0-9]{4}"
+
+# marker predicate for quarantined (per-document error) rows
+QUARANTINE_PRED = "https://sparkld.dev/system#processingError"
 
 TRIPLE_SCHEMA = StructType(
     [
@@ -180,8 +184,18 @@ def _extract_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 }
                 for t in turns
             ]
-            doc = build_conversation_doc(conv_id, turn_dicts)
-            out.extend(doc_to_triple_rows(conv_id, doc, active, options))
+            try:
+                doc = build_conversation_doc(conv_id, turn_dicts)
+                out.extend(doc_to_triple_rows(conv_id, doc, active, options))
+            except JsonLdError as e:
+                # per-row error capture (reference raises JSON.LD.Error and
+                # aborts; at corpus scale a bad document must quarantine,
+                # not kill the job).  One marker triple per failed doc,
+                # filterable by QUARANTINE_PRED; spec error code preserved.
+                out.append((
+                    f"{CONV_NS}{conv_id}", QUARANTINE_PRED, e.code,
+                    False, None, None, None, conv_id, None,
+                ))
         yield pd.DataFrame(out, columns=cols)
 
 

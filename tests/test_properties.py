@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5: the reference has no randomized tests)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from jsonld_ex_spark.core.api import expand, to_rdf
+from jsonld_ex_spark.core.context import Options
+from jsonld_ex_spark.core.iri import remove_base, resolve_iri
+from jsonld_ex_spark.core.nquads import parse_nquads, quads_to_nquads
+from jsonld_ex_spark.core.rdf import canonical_double
+
+OPTS = dict(base="http://example.com/base/doc")
+
+_term = st.sampled_from(["name", "age", "knows", "tag", "note"])
+_iri_str = st.sampled_from(
+    ["http://ex.org/a", "http://ex.org/b#c", "rel/path", "#frag", "_:b0"]
+)
+_scalar = st.one_of(
+    st.text(alphabet=string.printable, max_size=12),
+    st.integers(min_value=-10**15, max_value=10**15),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+_value_obj = st.fixed_dictionaries(
+    {"@value": _scalar},
+    optional={"@language": st.sampled_from(["en", "de", "fr-CA"])},
+).filter(lambda v: not ("@language" in v and not isinstance(v["@value"], str)))
+
+
+def _node(children=None):
+    optional = {
+        "@id": _iri_str,
+        "@type": st.lists(st.sampled_from(["http://ex.org/T1", "T2"]), max_size=2),
+        "name": st.lists(st.one_of(_scalar, _value_obj), max_size=3),
+        "tag": st.one_of(_scalar, st.lists(_scalar, max_size=3)),
+    }
+    if children is not None:
+        optional["knows"] = st.lists(children, max_size=2)
+    return st.fixed_dictionaries({}, optional=optional)
+
+
+_doc = st.recursive(_node(), _node, max_leaves=8).map(
+    lambda d: {"@context": {"@vocab": "http://vocab.example/", "name": "http://ex.org/name"}, **d}
+)
+
+
+@given(_doc)
+@settings(max_examples=150, deadline=None)
+def test_expand_idempotent(doc):
+    options = Options(**OPTS)
+    once = expand(doc, options)
+    twice = expand(once, Options(**OPTS))
+    assert twice == once
+
+
+@given(_doc)
+@settings(max_examples=100, deadline=None)
+def test_to_rdf_total_and_nquads_roundtrip(doc):
+    options = Options(**OPTS)
+    quads = to_rdf(doc, options)
+    text = quads_to_nquads(quads)
+    assert sorted(map(repr, parse_nquads(text))) == sorted(map(repr, set(map(tuple, quads))))
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+@settings(max_examples=300)
+def test_canonical_double_roundtrips(x):
+    assert float(canonical_double(x)) == x
+
+
+_path_seg = st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=5)
+
+
+@given(
+    st.lists(_path_seg, min_size=1, max_size=4),
+    st.lists(_path_seg, min_size=0, max_size=4),
+    st.one_of(st.none(), _path_seg),
+    st.one_of(st.none(), _path_seg),
+)
+@settings(max_examples=200)
+def test_remove_base_inverts_resolve(base_segs, target_segs, query, frag):
+    base = "http://h.example/" + "/".join(base_segs)
+    target = "http://h.example/" + "/".join(target_segs)
+    if query is not None:
+        target += "?" + query
+    if frag is not None:
+        target += "#" + frag
+    rel = remove_base(base, target)
+    assert resolve_iri(base, rel) == target
