@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": kg_queries.kg_entity_links,
         "kg_triples": kg_triples,
         "kg_triple_stats": kg_queries.kg_triple_stats,
+        "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops
@@ -55,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_links": oracles.kg_entity_links_oracle(),
         "kg_triples": oracles.kg_triples_oracle(),
         "kg_triple_stats": oracles.kg_triple_stats_oracle(),
+        "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),
     }
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops

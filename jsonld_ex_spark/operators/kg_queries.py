@@ -74,3 +74,54 @@ def kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - F.lit(1)).alias("expected_idx"),
         "text",
     )
+
+
+def kg_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-algorithm-stack round trip per conversation, inside the UDF:
+    doc → expand → toRdf → fromRdf → compact → expand → toRdf must be
+    isomorphic to the first quad set.  Exercises Serialize-RDF-as-JSON-LD
+    and Compaction (SURVEY.md §2.1 #13-17) on pipeline-shaped data under
+    the driver's oracle gate (oracle: every conversation passes).
+    """
+    import pandas as pd
+
+    from jsonld_ex_spark.core.api import compact as compact_api
+    from jsonld_ex_spark.core.api import expand as expand_api
+    from jsonld_ex_spark.core.api import from_rdf as from_rdf_api
+    from jsonld_ex_spark.core.context import Options
+    from jsonld_ex_spark.core.expansion import expand as expand_algo
+    from jsonld_ex_spark.core.flattening import BlankNodeGenerator
+    from jsonld_ex_spark.core.nquads import isomorphic
+    from jsonld_ex_spark.core.to_rdf import expanded_to_rdf
+    from jsonld_ex_spark.operators.kg_pipeline import (
+        CONV_CONTEXT,
+        _pipeline_context,
+        assemble_conversations,
+        build_conversation_doc,
+    )
+
+    def check(batches):
+        active = _pipeline_context()
+        options = Options()
+        for pdf in batches:
+            ids, oks = [], []
+            for conv_id, turns in zip(pdf["conv_id"], pdf["turns"]):
+                td = [
+                    {"turn_idx": int(t["turn_idx"]), "role": t["role"], "text": t["text"],
+                     "tool": t["tool"], "ts": t["ts_str"],
+                     "mentions": list(t["mentions"]) if t["mentions"] is not None else []}
+                    for t in turns
+                ]
+                doc = build_conversation_doc(conv_id, td)
+                expanded = expand_algo(active, None, doc, options)
+                quads = expanded_to_rdf(expanded, options, BlankNodeGenerator(skolem_prefix=f"{conv_id}."))
+                docs = from_rdf_api(quads, options)
+                compacted = compact_api(docs, {"@context": CONV_CONTEXT}, options)
+                quads2 = expanded_to_rdf(expand_api(compacted, options), options)
+                ids.append(conv_id)
+                oks.append(bool(isomorphic(quads, quads2)))
+            yield pd.DataFrame({"conv_id": ids, "ok": oks})
+
+    return assemble_conversations(transcripts_df(spark, sf_dir)).mapInPandas(
+        check, schema="conv_id string, ok boolean"
+    )

@@ -120,3 +120,11 @@ SELECT conv_id, turn_idx,
        text
 FROM t
 """
+
+
+def kg_roundtrip_check_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t})
+SELECT DISTINCT conv_id, true AS ok FROM t
+"""
