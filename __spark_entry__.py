@@ -35,12 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
     try:
-        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops
+        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 
         q.update(text_ops.queries())
         q.update(dedup_ops.queries())
         q.update(ann_ops.queries())
         q.update(relational_ops.queries())
+        q.update(multimodal_ops.queries())
     except ImportError:
         pass
     return q
@@ -59,12 +60,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),
     }
     try:
-        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops
+        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 
         o.update(text_ops.oracle_sql())
         o.update(dedup_ops.oracle_sql())
         o.update(ann_ops.oracle_sql())
         o.update(relational_ops.oracle_sql())
+        o.update(multimodal_ops.oracle_sql())
     except ImportError:
         pass
     return o

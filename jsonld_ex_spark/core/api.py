@@ -118,3 +118,26 @@ def from_rdf(quads: list, options: Options | None = None) -> list:
 
     options = options or Options()
     return _from_rdf(quads, options)
+
+
+def context(ctx: Any, options: Options | None = None) -> Context:
+    """Process a context document → active Context (reference
+    JSON.LD.context/2, lib/json_ld.ex:330-340)."""
+    options = options or Options()
+    if isinstance(ctx, dict) and "@context" in ctx:
+        ctx = ctx["@context"]
+    return process_context(new_context(options), ctx, options, base_url=options.base)
+
+
+def node_map(input_doc: Any, options: Options | None = None) -> dict:
+    """Expanded input → node map (reference JSON.LD.node_map/2)."""
+    options = options or Options()
+    expanded = expand(input_doc, options)
+    return _node_map(expanded, BlankNodeGenerator())
+
+
+def is_jsonld_keyword(value: Any) -> bool:
+    """Reference JSON.LD.keyword?/1 (lib/json_ld.ex:79-81)."""
+    from jsonld_ex_spark.core.utils import is_keyword
+
+    return is_keyword(value)

@@ -1,0 +1,174 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Media travel as opaque ``binary`` columns plus a typed metadata struct —
+the 100 TB pattern: payloads stay columnar (parquet/Iceberg binary),
+metadata predicates prune scans JVM-side, and only the matched rows'
+bytes reach Python (Arrow-batched) for decode/feature work.
+
+The actual codec work (image decode, resample, frame extraction) needs
+libraries this container doesn't ship, so the decode kernel is STUBBED:
+``decode_media(..., strict=True)`` raises NotImplementedError, and the
+default deterministic fake derives stable pseudo-frames/features from
+the bytes — the Spark-side plumbing (schemas, partitioning, UDF
+signatures, Arrow batch shapes, explode of variable-length outputs) is
+real and tested.
+
+The synthetic media table is derived deterministically from documents:
+payload = utf-8 bytes of text (a stand-in blob), media_type from
+doc_id, fake dimensions from n_chars.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FRAME_SIZE = 64  # bytes per pseudo-frame
+N_FEATURES = 8
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table: (doc_id, payload binary, meta struct)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, strict: bool = False) -> bytes:
+    """Decode kernel. STUB: real codecs (PIL/ffmpeg/soundfile) are not in
+    this container.  strict=True raises (the honest production path);
+    default returns the payload unchanged as the deterministic fake."""
+    if strict:
+        raise NotImplementedError(
+            f"no codec available for {media_type!r} in this environment; "
+            "plug PIL/ffmpeg here on a real cluster image"
+        )
+    return payload
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction — pure JVM (no bytes leave the scan)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, feats = [], []
+        for doc_id, payload, media_type in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            raw = decode_media(bytes(payload), media_type)
+            # deterministic fake feature: 8-bucket byte histogram
+            hist = [0] * N_FEATURES
+            for b in raw:
+                hist[b % N_FEATURES] += 1
+            ids.append(doc_id)
+            feats.append(hist)
+        yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: Arrow-batched mapInPandas over the payloads
+    (decode stub inside), array<long> feature column out."""
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return m.mapInPandas(_features_batch, schema="doc_id long, features array<long>")
+
+
+def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out_id, out_idx, out_frame, out_fp = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = decode_media(bytes(payload), "video/mp4")
+            for i in range(0, max(len(raw), 1), FRAME_SIZE):
+                frame = raw[i : i + FRAME_SIZE]
+                out_id.append(doc_id)
+                out_idx.append(i // FRAME_SIZE)
+                out_frame.append(frame)
+                # fingerprint over the UPPERCASE HEX form so the DuckDB
+                # oracle (no blob substring) reproduces it exactly
+                out_fp.append(hashlib.md5(frame.hex().upper().encode()).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame, "frame_md5": out_fp}
+        )
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: variable-length explode from a mapInPandas stage
+    (one input row → N frame rows), binary frames + stable fingerprints."""
+    m = media_table(spark, sf_dir).where(F.col("meta.media_type") == "video/mp4")
+    return m.select("doc_id", "payload").mapInPandas(
+        _frames_batch, schema="doc_id long, frame_idx int, frame binary, frame_md5 string"
+    )
+
+
+def queries():
+    return {
+        "media_metadata": media_metadata,
+        "media_features": media_features,
+        "media_frame_stats": media_frame_stats,
+    }
+
+
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated frame statistics (SQL-oracle-able surface over the
+    frame-sample stage): frames per doc + distinct fingerprints."""
+    frames = media_frame_sample(spark, sf_dir)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("frame_md5").alias("n_distinct_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"),
+    )
+
+
+def oracle_sql():
+    return {
+        "media_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   CAST(n_chars % 640 + 16 AS INT) AS width,
+                   CAST(n_chars % 480 + 16 AS INT) AS height,
+                   CAST(n_chars * 10 AS BIGINT) AS duration_ms
+            FROM documents""",
+        "media_frame_stats": f"""
+            SELECT doc_id,
+                   count(*) AS n_frames,
+                   count(DISTINCT md5(sub)) AS n_distinct_frames,
+                   CAST(sum(length(sub) // 2) AS BIGINT) AS total_bytes
+            FROM (
+              SELECT doc_id,
+                     substring(hex(encode(text)), i, {FRAME_SIZE * 2}) AS sub
+              FROM documents,
+                   unnest(range(1, octet_length(encode(text)) * 2 + 1, {FRAME_SIZE * 2})) AS t(i)
+              WHERE doc_id % 3 = 2
+            ) GROUP BY doc_id""",
+        # media_features: rows-only (decode-stub UDF; determinism covered in pytest)
+    }
