@@ -171,20 +171,37 @@ def _expand_element(
     base_url: str | None,
 ) -> None:
     """Spec §5.1.2 steps 13-14 (key loop + @nest recursion)."""
+    # per-context key-dispatch cache: key → (expanded_property, is_kw, td)
+    # (invalidated together with the iri cache on context mutation)
+    key_cache = active.__dict__.get("_iri_cache")
+    if key_cache is None:
+        key_cache = {}
+        active.__dict__["_iri_cache"] = key_cache
+
     keys = sorted(element.keys()) if options.ordered else list(element.keys())
     for key in keys:
         if key == "@context":
             continue
         value = element[key]
-        expanded_property = expand_iri(active, key, options, vocab=True)
-        if expanded_property is None or (
-            isinstance(expanded_property, str)
-            and ":" not in expanded_property
-            and not is_keyword(expanded_property)
-        ):
+        dispatch = key_cache.get(("#k", key))
+        if dispatch is None:
+            expanded_property = expand_iri(active, key, options, vocab=True)
+            skip = expanded_property is None or (
+                isinstance(expanded_property, str)
+                and ":" not in expanded_property
+                and not is_keyword(expanded_property)
+            )
+            dispatch = (
+                expanded_property,
+                (not skip) and is_keyword(expanded_property),
+                skip,
+            )
+            key_cache[("#k", key)] = dispatch
+        expanded_property, is_kw, skip = dispatch
+        if skip:
             continue
 
-        if is_keyword(expanded_property):
+        if is_kw:
             _expand_keyword(
                 active, type_scoped, active_property, key, value, expanded_property,
                 result, nests, input_type, options, base_url,
@@ -196,6 +213,18 @@ def _expand_element(
 
         if td is not None and td.type_mapping == "@json" and not options.is_1_0:
             expanded_value: Any = {"@value": value, "@type": "@json"}
+        elif (td is None or td.local_context is UNSET) and type(value) in (str, int, float, bool):
+            # fast path: scalar value, no property-scoped context — skip
+            # the generic expand() dispatch (hot path: most properties in
+            # data pipelines are scalars)
+            expanded_value = expand_value(active, key, value, options)
+        elif (
+            (td is None or td.local_context is UNSET)
+            and type(value) is list
+            and "@list" not in container
+            and all(type(v) in (str, int, float, bool) for v in value)
+        ):
+            expanded_value = [expand_value(active, key, v, options) for v in value]
         elif "@language" in container and isinstance(value, dict):
             expanded_value = _expand_language_map(active, td, value, options)
         elif ("@index" in container or "@type" in container or "@id" in container) and isinstance(value, dict):

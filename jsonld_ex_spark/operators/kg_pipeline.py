@@ -126,16 +126,15 @@ def build_conversation_doc(conv_id: str, turns: list[dict]) -> dict:
     }
 
 
-_TURN_SUBJ_RE = re.compile(r"^urn:turn:[^:]+:(\d+)$")
-
-
 def _lineage_turn_idx(conv_id: str, subj_kind: str, subj: str) -> int | None:
     if subj_kind == "bnode":
         # list-cell skolem label: "<conv_id>.<ordinal>"
         _, _, ordinal = subj.rpartition(".")
         return int(ordinal) if ordinal.isdigit() else None
-    m = _TURN_SUBJ_RE.match(subj)
-    return int(m.group(1)) if m else None
+    if subj.startswith("urn:turn:"):
+        _, _, ordinal = subj.rpartition(":")
+        return int(ordinal) if ordinal.isdigit() else None
+    return None
 
 
 def doc_to_triple_rows(conv_id: str, doc: dict, active: Context, options: Options) -> list[tuple]:
