@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_stats": kg_queries.kg_triple_stats,
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
+    from jsonld_ex_spark.operators import entity_linking
+
+    q.update(entity_linking.queries())
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 
@@ -58,6 +61,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": oracles.kg_triples_oracle(),
         "kg_triple_stats": oracles.kg_triple_stats_oracle(),
         "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),
+        "kg_link_scores": oracles.kg_link_scores_oracle(),
+        "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),
     }
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops

@@ -128,3 +128,38 @@ def kg_roundtrip_check_oracle() -> str:
 WITH t AS ({t})
 SELECT DISTINCT conv_id, true AS ok FROM t
 """
+
+
+def kg_link_scores_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    from jsonld_ex_spark.sources.transcripts import entity_dict_oracle_sql
+
+    return f"""
+WITH t AS ({t}),
+dict AS ({entity_dict_oracle_sql()}),
+cands AS (
+  SELECT DISTINCT conv_id, turn_idx, role, length(text) AS text_len,
+         m AS surface_norm, strpos(text, m) - 1 AS position
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(m)
+)
+SELECT conv_id, turn_idx, d.entity_id, d.canonical_iri,
+       least(1000 - (500 * position) // greatest(text_len, 1)
+             + 100 * CASE WHEN role = 'user' THEN 1 ELSE 0 END, 1000) AS score
+FROM cands JOIN dict d USING (surface_norm)
+"""
+
+
+def kg_entity_cooccurrence_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t}),
+m AS (
+  SELECT DISTINCT conv_id, mm AS surface_norm
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+)
+SELECT a.surface_norm AS ent_a, b.surface_norm AS ent_b, count(*) AS n_convs
+FROM m a JOIN m b USING (conv_id)
+WHERE a.surface_norm < b.surface_norm
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
