@@ -34,7 +34,13 @@ _TRANSCRIPTS_SQL = """
 WITH turns_base AS (
   SELECT
     concat('conv-', lpad(concat('', l_orderkey), 10, '0')) AS conv_id,
-    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS INT) AS turn_idx,
+    CAST(row_number() OVER (
+      PARTITION BY l_orderkey
+      -- (orderkey, linenumber) is NOT unique in the generated data;
+      -- extend the sort key until it is, so row_number is deterministic
+      -- and identical across engines
+      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    ) - 1 AS INT) AS turn_idx,
     l_orderkey, l_partkey, l_suppkey, l_quantity, l_returnflag, l_linestatus
   FROM {lineitem}
 ), enriched AS (
