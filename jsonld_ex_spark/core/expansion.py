@@ -178,8 +178,11 @@ def _expand_element(
         key_cache = {}
         active.__dict__["_iri_cache"] = key_cache
 
-    keys = sorted(element.keys()) if options.ordered else list(element.keys())
-    for key in keys:
+    # keys always iterated sorted: output ARRAY order is only affected
+    # when two keys expand to the same property (e.g. aliased @type) and
+    # sorted iteration makes that merge deterministic — matching the
+    # reference (Elixir small maps iterate key-sorted) in unordered mode
+    for key in sorted(element.keys()):
         if key == "@context":
             continue
         value = element[key]
@@ -403,7 +406,10 @@ def _expand_language_map(active: Context, td, value: dict, options: Options) -> 
     if td is not None and td.direction_mapping is not UNSET:
         direction = td.direction_mapping
     result = []
-    for language in sorted(value.keys()) if options.ordered else value.keys():
+    # always key-sorted: output order for map containers is unconstrained
+    # by the spec in unordered mode; sorted matches the golden fixtures
+    # (and the reference, whose Elixir maps iterate sorted)
+    for language in sorted(value.keys()):
         for item in as_list(value[language]):
             if item is None:
                 continue
@@ -431,7 +437,8 @@ def _expand_index_map(
     """Spec §5.1.2 step 13.8 (index/id/type maps)."""
     index_key = (td.index_mapping if td is not None else None) or "@index"
     result = []
-    for index in sorted(value.keys()) if options.ordered else value.keys():
+    for index in sorted(value.keys()):  # see note in _expand_language_map
+
         map_context = active
         if ("@id" in container or "@type" in container) and active.previous_context is not None:
             map_context = active.previous_context

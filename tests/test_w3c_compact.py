@@ -28,12 +28,13 @@ def _id(case):
     return case["@id"]
 
 
+@pytest.mark.parametrize("ordered", [True, False], ids=["ordered", "unordered"])
 @pytest.mark.parametrize("case", CASES, ids=_id)
-def test_compact(case):
+def test_compact(case, ordered):
     if is_1_0_only(case):
         pytest.skip("JSON-LD 1.0 only")
     options = case_options(case)
-    options.ordered = True
+    options.ordered = ordered
     kind = case_kind(case)
     ctx = load_json(case["context"])
     kwargs = {}

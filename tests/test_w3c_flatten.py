@@ -29,12 +29,18 @@ def _id(case):
     return case["@id"]
 
 
+ORDERING_SKIPS = {"#t0034", "#t0035", "#tin03"}
+
+
+@pytest.mark.parametrize("ordered", [True, False], ids=["ordered", "unordered"])
 @pytest.mark.parametrize("case", CASES, ids=_id)
-def test_flatten(case):
+def test_flatten(case, ordered):
     if is_1_0_only(case):
         pytest.skip("JSON-LD 1.0 only")
+    if not ordered and case["@id"] in ORDERING_SKIPS:
+        pytest.skip("ordering-sensitive comparison (reference skips too)")
     options = case_options(case)
-    options.ordered = True
+    options.ordered = ordered
     kind = case_kind(case)
     ctx = load_json(case["context"]) if case.get("context") else None
     if ctx is not None:

@@ -30,14 +30,15 @@ def _id(case):
 REFERENCE_SKIPS = {"#t0027": "w3c/json-ld-api#555 / PR 625 (reference skips too)"}
 
 
+@pytest.mark.parametrize("ordered", [True, False], ids=["ordered", "unordered"])
 @pytest.mark.parametrize("case", CASES, ids=_id)
-def test_from_rdf(case):
+def test_from_rdf(case, ordered):
     if is_1_0_only(case):
         pytest.skip("JSON-LD 1.0 only")
     if case["@id"] in REFERENCE_SKIPS:
         pytest.skip(REFERENCE_SKIPS[case["@id"]])
     options = case_options(case)
-    options.ordered = True
+    options.ordered = ordered
     kind = case_kind(case)
     quads = parse_nquads(load_text(case["input"]))
     if kind == "positive":
