@@ -49,3 +49,52 @@ def write_triples(triples: DataFrame, path: str, n_buckets: int = 64, mode: str 
         .partitionBy("subj_bucket")
         .parquet(path)
     )
+
+
+def nquads_lines(triples):
+    """Render the triple table as N-Quads lines - entirely JVM-side
+    (string escaping via chained regexp_replace; no Python in the plan).
+
+    Serialization parity with the reference's N-Quads output surface
+    (its test harness round-trips through RDF.NQuads)."""
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    langstring = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+    def node(col):
+        return F.when(F.col(col).startswith("_:"), F.col(col)).otherwise(
+            F.concat(F.lit("<"), F.col(col), F.lit(">"))
+        )
+
+    escaped = F.regexp_replace(F.col("obj"), "\\\\", "\\\\\\\\")
+    escaped = F.regexp_replace(escaped, "\"", "\\\\\"")
+    escaped = F.regexp_replace(escaped, "\n", "\\\\n")
+    escaped = F.regexp_replace(escaped, "\r", "\\\\r")
+    escaped = F.regexp_replace(escaped, "\t", "\\\\t")
+    literal = F.concat(
+        F.lit("\""), escaped, F.lit("\""),
+        F.when(F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang")))
+        .when(
+            F.col("obj_dt").isNotNull()
+            & (F.col("obj_dt") != xsd_string)
+            & (F.col("obj_dt") != langstring),
+            F.concat(F.lit("^^<"), F.col("obj_dt"), F.lit(">")),
+        )
+        .otherwise(F.lit("")),
+    )
+    obj_term = F.when(F.col("obj_is_iri"), node("obj")).otherwise(literal)
+    graph_part = F.when(
+        F.col("graph").isNotNull(), F.concat(F.lit(" "), node("graph"))
+    ).otherwise(F.lit(""))
+
+    return triples.select(
+        F.concat(
+            node("subj"), F.lit(" "),
+            F.lit("<"), F.col("pred"), F.lit("> "),
+            obj_term, graph_part, F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def write_nquads(triples, path):
+    """N-Quads text sink for the triple table."""
+    nquads_lines(triples).write.mode("overwrite").text(path)

@@ -143,3 +143,20 @@ def make_document_loader(fetch: Fetch):
         return load_remote_document(url, fetch)
 
     return loader
+
+
+def file_loader(url: str) -> RemoteDocument:
+    """Local-filesystem loader (reference: JSON.LD.read_file!/RDF
+    serialization-format reading, lib/json_ld.ex:10).  Accepts plain
+    paths and file:// URLs."""
+    import json as _json
+
+    path = url[7:] if url.startswith("file://") else url
+    try:
+        with open(path, encoding="utf-8") as f:
+            doc = _json.load(f)
+    except FileNotFoundError as e:
+        raise JsonLdError(err.LOADING_DOCUMENT_FAILED, str(e)) from e
+    except ValueError as e:
+        raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{path}: invalid JSON: {e}") from e
+    return RemoteDocument(document=doc, document_url=f"file://{path}")

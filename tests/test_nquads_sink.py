@@ -1,0 +1,43 @@
+"""JVM-side N-Quads sink must agree byte-for-byte with the pure-Python
+core serializer on the pipeline's triple table."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonld_ex_spark.core.nquads import quads_to_nquads
+from jsonld_ex_spark.core.rdf import RDF_LANGSTRING
+from jsonld_ex_spark.operators.kg_pipeline import kg_triples
+from jsonld_ex_spark.operators.triples import nquads_lines
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+pytestmark = pytest.mark.spark
+SF = "/root/testdata/sf0.001"
+
+
+def _row_to_quad(r):
+    def node(v):
+        return ("bnode", v[2:]) if v.startswith("_:") else ("iri", v)
+
+    s = node(r["subj"])
+    p = ("iri", r["pred"])
+    if r["obj_is_iri"]:
+        o = node(r["obj"])
+    elif r["obj_lang"] is not None:
+        o = ("lit", r["obj"], RDF_LANGSTRING, r["obj_lang"])
+    else:
+        o = ("lit", r["obj"], r["obj_dt"], None)
+    g = node(r["graph"]) if r["graph"] is not None else None
+    return (s, p, o, g)
+
+
+def test_jvm_nquads_matches_core_serializer(spark):  # noqa: F811
+    triples = kg_triples(spark, SF).cache()
+    jvm_lines = sorted(r["line"] for r in nquads_lines(triples).collect())
+    rows = triples.collect()
+    core_text = quads_to_nquads([_row_to_quad(r) for r in rows])
+    core_lines = sorted(core_text.strip().split("\n"))
+    assert jvm_lines == core_lines
+    plan = nquads_lines(triples)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # serialization stays JVM-side
