@@ -35,6 +35,10 @@ def make_spark(cpus: int):
         # pandas-UDF stage down to a few partitions: shuffle bytes are
         # small relative to the Python compute per row
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 2048-row Arrow batches: measurably faster AND far less variance
+        # than the 10k default for the nested-struct conversation rows
+        # (smoother pipelining, smaller allocator spikes)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .appName("jsonld_ex_spark-bench")
