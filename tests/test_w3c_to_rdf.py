@@ -39,8 +39,8 @@ def test_to_rdf(case):
         pytest.skip("JSON-LD 1.0 only")
     if case["@id"] in REFERENCE_SKIPS:
         pytest.skip(REFERENCE_SKIPS[case["@id"]])
-    if case.get("option", {}).get("produceGeneralizedRdf"):
-        pytest.skip("generalized RDF not supported (reference skips too)")
+    # NB: produceGeneralizedRdf cases (#t0118/#te075) run and pass here —
+    # the reference skips them (missing generalized-RDF support)
     options = case_options(case)
     kind = case_kind(case)
     if kind == "positive":
