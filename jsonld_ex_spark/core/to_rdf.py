@@ -100,7 +100,9 @@ def to_rdf_from_node_map(
                         if obj_term is not None:
                             quads.append((subject_term, pred_term, obj_term, graph_term))
         quads.extend(list_triples)
-    return quads
+    # an RDF dataset is a SET of quads: distinct node-map values can
+    # canonicalize to the same literal (e.g. 0 and 0.0 → "0"^^xsd:integer)
+    return list(dict.fromkeys(quads))
 
 
 def _object_to_rdf(

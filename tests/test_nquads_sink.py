@@ -34,10 +34,15 @@ def _row_to_quad(r):
 
 def test_jvm_nquads_matches_core_serializer(spark):  # noqa: F811
     triples = kg_triples(spark, SF).cache()
-    jvm_lines = sorted(r["line"] for r in nquads_lines(triples).collect())
-    rows = triples.collect()
-    core_text = quads_to_nquads([_row_to_quad(r) for r in rows])
-    core_lines = sorted(core_text.strip().split("\n"))
-    assert jvm_lines == core_lines
-    plan = nquads_lines(triples)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan  # serialization stays JVM-side
+    try:
+        jvm_lines = sorted(r["line"] for r in nquads_lines(triples).collect())
+        rows = triples.collect()
+        core_text = quads_to_nquads([_row_to_quad(r) for r in rows])
+        core_lines = sorted(core_text.strip().split("\n"))
+        assert jvm_lines == core_lines
+        plan = nquads_lines(triples)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # serialization stays JVM-side
+    finally:
+        # don't leave a cached plan in the shared session (later plan-shape
+        # tests would see InMemoryTableScan instead of the real exchanges)
+        triples.unpersist()
