@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # timestamp literals
     for t in tables:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return spark.sql(sql)

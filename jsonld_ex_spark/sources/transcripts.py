@@ -93,7 +93,10 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All synthesis is Catalyst-expressible (projection + one window over
     the natural (orderkey, linenumber) clustering) — no Python UDFs.
+    Session timezone is pinned to UTC so timestamp rendering (xsd:dateTime
+    lexicals, oracle comparisons) is caller-environment-independent.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("_li_src")
     return spark.sql(transcripts_sql("_li_src", "spark"))
 
