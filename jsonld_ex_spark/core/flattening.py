@@ -172,9 +172,11 @@ def generate_node_map(
         included = element.pop("@included")
         generate_node_map(included, node_map, generator, active_graph)
 
-    for prop in sorted(k for k in element.keys() if k != "@id"):
+    for prop in sorted(element):
+        if prop == "@id":
+            continue
         value = element[prop]
-        if is_blank_node_id(prop):
+        if prop.startswith("_:"):
             prop = generator.generate(prop)
         if prop not in node:
             node[prop] = []

@@ -43,12 +43,20 @@ _LANGTAG_RE = re.compile(r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$")
 
 Quad = tuple  # (subj_term, pred_term, obj_term, graph_term_or_None)
 
+UNSET_PRED = object()  # pred-term cache miss sentinel
+
+
+_RDF_TYPE_TERM = ("iri", RDF_TYPE)
+_RDF_FIRST_TERM = ("iri", RDF_FIRST)
+_RDF_REST_TERM = ("iri", RDF_REST)
+_RDF_NIL_TERM = ("iri", RDF_NIL)
+
 
 def _node_term(value: str) -> tuple | None:
-    if is_blank_node_id(value):
-        return rdf.bnode(value[2:])
+    if value.startswith("_:"):
+        return ("bnode", value[2:])
     if is_well_formed_iri(value):
-        return rdf.iri(value)
+        return ("iri", value)
     return None
 
 
@@ -68,6 +76,7 @@ def to_rdf_from_node_map(
             if graph_term is None:
                 continue
         list_triples: list[Quad] = []
+        pred_terms: dict[str, tuple | None] = {}
         for subject in sorted(graph.keys()):
             node = graph[subject]
             subject_term = _node_term(subject)
@@ -80,25 +89,25 @@ def to_rdf_from_node_map(
                         t_term = _node_term(t)
                         if t_term is None:
                             continue
-                        quads.append((subject_term, rdf.iri(RDF_TYPE), t_term, graph_term))
-                elif is_keyword(prop):
+                        quads.append((subject_term, _RDF_TYPE_TERM, t_term, graph_term))
                     continue
-                elif is_blank_node_id(prop) and not options.produce_generalized_rdf:
+                pred_term = pred_terms.get(prop, UNSET_PRED)
+                if pred_term is UNSET_PRED:
+                    if is_keyword(prop):
+                        pred_term = None
+                    elif prop.startswith("_:"):
+                        pred_term = ("bnode", prop[2:]) if options.produce_generalized_rdf else None
+                    elif is_well_formed_iri(prop):
+                        pred_term = ("iri", prop)
+                    else:
+                        pred_term = None
+                    pred_terms[prop] = pred_term
+                if pred_term is None:
                     continue
-                elif is_blank_node_id(prop):
-                    pred_term = rdf.bnode(prop[2:])
-                    for item in values:
-                        obj_term = _object_to_rdf(item, options, generator, list_triples, graph_term)
-                        if obj_term is not None:
-                            quads.append((subject_term, pred_term, obj_term, graph_term))
-                elif not is_well_formed_iri(prop):
-                    continue
-                else:
-                    pred_term = rdf.iri(prop)
-                    for item in values:
-                        obj_term = _object_to_rdf(item, options, generator, list_triples, graph_term)
-                        if obj_term is not None:
-                            quads.append((subject_term, pred_term, obj_term, graph_term))
+                for item in values:
+                    obj_term = _object_to_rdf(item, options, generator, list_triples, graph_term)
+                    if obj_term is not None:
+                        quads.append((subject_term, pred_term, obj_term, graph_term))
         quads.extend(list_triples)
     # an RDF dataset is a SET of quads: distinct node-map values can
     # canonicalize to the same literal (e.g. 0 and 0.0 → "0"^^xsd:integer)
@@ -113,11 +122,13 @@ def _object_to_rdf(
     graph_term: tuple | None,
 ) -> tuple | None:
     """Object to RDF Conversion (spec §8.2)."""
-    if isinstance(item, dict) and "@id" in item and "@value" not in item and "@list" not in item:
-        return _node_term(item["@id"])
-    if isinstance(item, dict) and "@list" in item:
-        return _list_to_rdf(item["@list"], options, generator, list_triples, graph_term)
-    if not isinstance(item, dict) or "@value" not in item:
+    if not isinstance(item, dict):
+        return None
+    if "@value" not in item:
+        if "@list" in item:
+            return _list_to_rdf(item["@list"], options, generator, list_triples, graph_term)
+        if "@id" in item:
+            return _node_term(item["@id"])
         return None
 
     value = item["@value"]
@@ -176,14 +187,14 @@ def _list_to_rdf(
 ) -> tuple:
     """List Conversion (spec §8.3)."""
     if not items:
-        return rdf.iri(RDF_NIL)
-    bnodes = [rdf.bnode(generator.generate()[2:]) for _ in items]
+        return _RDF_NIL_TERM
+    bnodes = [("bnode", generator.generate()[2:]) for _ in items]
     for i, item in enumerate(items):
         obj = _object_to_rdf(item, options, generator, list_triples, graph_term)
         if obj is not None:
-            list_triples.append((bnodes[i], rdf.iri(RDF_FIRST), obj, graph_term))
-        rest = bnodes[i + 1] if i + 1 < len(items) else rdf.iri(RDF_NIL)
-        list_triples.append((bnodes[i], rdf.iri(RDF_REST), rest, graph_term))
+            list_triples.append((bnodes[i], _RDF_FIRST_TERM, obj, graph_term))
+        rest = bnodes[i + 1] if i + 1 < len(items) else _RDF_NIL_TERM
+        list_triples.append((bnodes[i], _RDF_REST_TERM, rest, graph_term))
     return bnodes[0]
 
 

@@ -145,8 +145,10 @@ def doc_to_triple_rows(conv_id: str, doc: dict, active: Context, options: Option
     nm = node_map(expanded, generator)
     quads = to_rdf_from_node_map(nm, options, generator)
     rows = []
+    lineage_memo: dict[str, int | None] = {}
     for s, p, o, g in quads:
-        subj = s[1] if s[0] == "iri" else "_:" + s[1]
+        s_kind, s_val = s
+        subj = s_val if s_kind == "iri" else "_:" + s_val
         pred = p[1]
         if o[0] == "lit":
             obj, obj_is_iri, obj_dt, obj_lang = o[1], False, o[2], o[3]
@@ -154,7 +156,10 @@ def doc_to_triple_rows(conv_id: str, doc: dict, active: Context, options: Option
             obj = o[1] if o[0] == "iri" else "_:" + o[1]
             obj_is_iri, obj_dt, obj_lang = True, None, None
         graph = (g[1] if g[0] == "iri" else "_:" + g[1]) if g is not None else None
-        turn_idx = _lineage_turn_idx(conv_id, s[0], s[1])
+        turn_idx = lineage_memo.get(subj, -2)
+        if turn_idx == -2:
+            turn_idx = _lineage_turn_idx(conv_id, s_kind, s_val)
+            lineage_memo[subj] = turn_idx
         rows.append((subj, pred, obj, obj_is_iri, obj_dt, obj_lang, graph, conv_id, turn_idx))
     return rows
 
