@@ -92,3 +92,27 @@ def test_remove_base_inverts_resolve(base_segs, target_segs, query, frag):
         target += "#" + frag
     rel = remove_base(base, target)
     assert resolve_iri(base, rel) == target
+
+
+_ctx_variants = st.sampled_from([
+    {"@vocab": "http://vocab.example/", "name": "http://ex.org/name"},
+    {"@vocab": "http://vocab.example/", "name": {"@id": "http://ex.org/name"},
+     "knows": {"@type": "@id"}},
+    {"@vocab": "http://vocab.example/", "ex": "http://ex.org/",
+     "name": {"@id": "ex:name", "@container": "@set"}},
+    {"@vocab": "http://vocab.example/", "tag": {"@container": "@list"}},
+])
+
+
+@given(_doc, _ctx_variants)
+@settings(max_examples=120, deadline=None)
+def test_compact_expand_roundtrip(doc, ctx):
+    """compact(expand(doc), ctx) re-expands to exactly expand(doc):
+    compaction must be meaning-preserving for any context."""
+    from jsonld_ex_spark.core.api import compact
+
+    options = Options(**OPTS)
+    expanded = expand(doc, options)
+    compacted = compact(expanded, {"@context": ctx}, Options(**OPTS))
+    re_expanded = expand(compacted, Options(**OPTS))
+    assert re_expanded == expanded
