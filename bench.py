@@ -65,9 +65,16 @@ BENCH_QUERIES = [
 
 
 def run_query(spark, fn, sf_dir: str) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = fn(spark, sf_dir).count()
-    return time.perf_counter() - t0, n
+    # best-of-2: the sandbox host has multi-minute CPU-steal storms that
+    # can inflate a single run 2-15x; two attempts keep the recorded
+    # numbers representative (see BENCH/BASELINE.md timing protocol)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        secs = time.perf_counter() - t0
+        best = secs if best is None else min(best, secs)
+    return best, n
 
 
 def run_bench(spark, sf_dir: str) -> dict:
