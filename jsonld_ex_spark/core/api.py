@@ -26,13 +26,13 @@ from jsonld_ex_spark.core.flattening import (
 from jsonld_ex_spark.core.to_rdf import expanded_to_rdf
 
 
-def _load_input(input_doc: Any, options: Options) -> tuple[Any, str | None, str | None]:
-    """Returns (document, document_url, context_url)."""
+def _load_input(input_doc: Any, options: Options) -> tuple[Any, str | None, str | None, str | None]:
+    """Returns (document, document_url, context_url, base_override)."""
     if isinstance(input_doc, RemoteDocument):
         doc = input_doc.document
         if isinstance(doc, (str, bytes)):
             doc = json.loads(doc)
-        return doc, input_doc.document_url, input_doc.context_url
+        return doc, input_doc.document_url, input_doc.context_url, input_doc.base_iri
     if isinstance(input_doc, str):
         try:
             remote = options.document_loader(input_doc)
@@ -46,8 +46,8 @@ def _load_input(input_doc: Any, options: Options) -> tuple[Any, str | None, str 
                 doc = json.loads(doc)
             except Exception as e:  # noqa: BLE001
                 raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{input_doc}: {e}") from e
-        return doc, remote.document_url, remote.context_url
-    return input_doc, None, None
+        return doc, remote.document_url, remote.context_url, remote.base_iri
+    return input_doc, None, None, None
 
 
 def _initial_context(document_url: str | None, context_url: str | None, options: Options) -> Context:
@@ -71,8 +71,12 @@ def _initial_context(document_url: str | None, context_url: str | None, options:
 def expand(input_doc: Any, options: Options | None = None) -> list:
     """JsonLdProcessor.expand (spec §6.1)."""
     options = options or Options()
-    doc, document_url, context_url = _load_input(input_doc, options)
+    doc, document_url, context_url, base_override = _load_input(input_doc, options)
     active = _initial_context(document_url, context_url, options)
+    if base_override is not None:
+        # HTML <base href> overrides the document/option base
+        active.base_iri = base_override
+        active.original_base_url = base_override
     expanded = _expand_algo(active, None, doc, options, base_url=document_url)
     if isinstance(expanded, dict) and set(expanded.keys()) == {"@graph"}:
         expanded = expanded["@graph"]
@@ -82,7 +86,9 @@ def expand(input_doc: Any, options: Options | None = None) -> list:
 
 
 def flatten(input_doc: Any, ctx: Any = None, options: Options | None = None) -> Any:
-    """JsonLdProcessor.flatten (spec §6.2): expand → node map → flatten."""
+    """JsonLdProcessor.flatten (spec §6.2): expand → node map → flatten.
+
+    HTML inputs: extractAllScripts keeps the first-script default."""
     options = options or Options()
     expanded = expand(input_doc, options)
     nm = _node_map(expanded, BlankNodeGenerator())
@@ -90,7 +96,7 @@ def flatten(input_doc: Any, ctx: Any = None, options: Options | None = None) -> 
     if ctx is not None:
         from jsonld_ex_spark.core.compaction import compact_expanded
 
-        return compact_expanded(flattened, ctx, options)
+        return compact_expanded(flattened, ctx, options, force_graph=True)
     return flattened
 
 
@@ -99,8 +105,17 @@ def to_rdf(input_doc: Any, options: Options | None = None) -> list:
     options = options or Options()
     import dataclasses
 
-    expand_opts = dataclasses.replace(options, ordered=False)
-    expanded = expand(input_doc, expand_opts)
+    reset = options.extract_all_scripts is None
+    if reset:
+        # HTML inputs: extractAllScripts defaults to TRUE for toRdf;
+        # set in place so document-loader closures see it
+        options.extract_all_scripts = True
+    try:
+        expand_opts = dataclasses.replace(options, ordered=False)
+        expanded = expand(input_doc, expand_opts)
+    finally:
+        if reset:
+            options.extract_all_scripts = None
     return expanded_to_rdf(expanded, options)
 
 

@@ -675,8 +675,11 @@ def compact_document(input_doc: Any, ctx: Any, options: Options) -> Any:
     return compact_expanded(expanded, ctx, options)
 
 
-def compact_expanded(expanded: Any, ctx: Any, options: Options) -> Any:
-    """Compact an already-expanded document against ctx."""
+def compact_expanded(expanded: Any, ctx: Any, options: Options, force_graph: bool = False) -> Any:
+    """Compact an already-expanded document against ctx.
+
+    force_graph: flattened output always keeps its nodes under @graph
+    (JSON.LD.flatten contract), even for a single node."""
     context = ctx
     if isinstance(context, dict) and "@context" in context:
         context = context["@context"]
@@ -688,6 +691,10 @@ def compact_expanded(expanded: Any, ctx: Any, options: Options) -> Any:
         result = {}
     elif isinstance(result, list):
         result = {compact_iri(active, "@graph", options, vocab=True): result}
+    elif force_graph and result:
+        graph_alias = compact_iri(active, "@graph", options, vocab=True)
+        if set(result.keys()) != {graph_alias}:
+            result = {graph_alias: [result]}
     if ctx is not None and context:
         if isinstance(ctx, dict) and "@context" in ctx:
             result = {"@context": ctx["@context"], **result}

@@ -55,6 +55,7 @@ class RemoteDocument:
     content_type: str = "application/ld+json"
     context_url: str | None = None
     profile: str | None = None
+    base_iri: str | None = None  # e.g. from an HTML <base> element
 
 
 # DocumentLoader: url -> RemoteDocument (raises JsonLdError on failure)
@@ -82,6 +83,9 @@ class Options:
     use_native_types: bool = False
     use_rdf_type: bool = False
     lowercase_language: bool = True
+    # HTML script extraction: None = operation default (expand/compact
+    # extract the first script; flatten/toRdf extract all)
+    extract_all_scripts: bool | None = None
 
     @property
     def is_1_0(self) -> bool:

@@ -69,6 +69,7 @@ def load_remote_document(
     url: str,
     fetch: Fetch,
     max_redirects: int = MAX_REDIRECTS,
+    extract_all_scripts: bool | None = None,
     _following_alternate: bool = False,
 ) -> RemoteDocument:
     """LoadDocumentCallback: content-type dispatch, redirects, Link
@@ -111,6 +112,19 @@ def load_remote_document(
         if alternates and not _following_alternate:
             alt_url = resolve_iri(final_url, alternates[0]["target"])
             return load_remote_document(alt_url, fetch, max_redirects, _following_alternate=True)
+        if media in ("text/html", "application/xhtml+xml"):
+            from jsonld_ex_spark.sources.html_extraction import extract_html_jsonld
+
+            base_part, _, frag = url.partition("#")
+            doc, base_href = extract_html_jsonld(
+                response.body, fragment=frag or None,
+                extract_all_scripts=bool(extract_all_scripts),
+            )
+            base_iri = resolve_iri(final_url, base_href) if base_href else None
+            return RemoteDocument(
+                document=doc, document_url=final_url.partition("#")[0],
+                content_type=media, base_iri=base_iri,
+            )
         raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{final_url}: unsupported content type {media!r}")
 
     context_url = None
@@ -136,11 +150,15 @@ def load_remote_document(
     )
 
 
-def make_document_loader(fetch: Fetch):
-    """Adapt a transport into the Options.document_loader signature."""
+def make_document_loader(fetch: Fetch, options=None):
+    """Adapt a transport into the Options.document_loader signature.
+
+    Pass the Options object to honor per-operation extractAllScripts
+    defaults for HTML documents (read lazily at load time)."""
 
     def loader(url: str) -> RemoteDocument:
-        return load_remote_document(url, fetch)
+        eas = options.extract_all_scripts if options is not None else None
+        return load_remote_document(url, fetch, extract_all_scripts=eas)
 
     return loader
 
