@@ -5,8 +5,8 @@
                    co-occurrence join, exact set-overlap Jaccard
 * minhash LSH    — md5-based minhash signatures (engine-portable), banded
                    bucketing, candidate pairs via bucket join
-* simhash        — 64-bit simhash in a vectorized Arrow pandas UDF
-                   (no SQL oracle — driver records rows-only)
+* simhash        — 64-bit TF-weighted simhash, numpy-vectorized Arrow
+                   kernel; md5-bit-exact DuckDB oracle
 * embedding near-dup — quantized-integer dot products (bit-exact across
                    engines), threshold pairs
 
@@ -18,7 +18,6 @@ single hash aggregate.
 
 from __future__ import annotations
 
-import struct
 from typing import Iterator
 
 import pandas as pd
@@ -141,29 +140,43 @@ _SIMHASH_BITS = 64
 
 def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
+    import re
 
+    import numpy as np
+
+    token_re = re.compile(r"[a-z0-9]+")
     for pdf in batches:
-        out = []
+        out_ids, out_sigs = [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            counts = [0] * _SIMHASH_BITS
-            words = [w for w in (text or "").lower().split() if w]
-            for w in words:
-                h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
-                for bit in range(_SIMHASH_BITS):
-                    counts[bit] += 1 if (h >> bit) & 1 else -1
-            sig = 0
-            for bit in range(_SIMHASH_BITS):
-                if counts[bit] > 0:
-                    sig |= 1 << bit
-            out.append((doc_id, sig - (1 << 63)))  # shift into signed int64
-        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+            words = token_re.findall((text or "").lower())
+            if not words:
+                out_ids.append(doc_id)
+                out_sigs.append(-(1 << 63))
+                continue
+            uniq, tf = np.unique(np.asarray(words, dtype=object), return_counts=True)
+            # first 8 md5 bytes per unique word, little-endian bit order:
+            # bit j of the uint64 == np.unpackbits(bitorder='little') col j
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            bits = np.unpackbits(digests, axis=1, bitorder="little").astype(np.int64)
+            counts = ((2 * bits - 1) * tf[:, None]).sum(axis=0)
+            sig = sum(1 << int(j) for j in np.nonzero(counts > 0)[0])
+            out_ids.append(doc_id)
+            out_sigs.append(int(sig - (1 << 63)))  # shift into signed int64
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (vectorized Arrow pandas UDF stage).
+    """64-bit term-frequency-weighted SimHash per document.
 
-    Non-SQL-expressible (bit-twiddling) → no DuckDB oracle; correctness
-    is covered by unit tests on known inputs + determinism test.
+    Kernel is an Arrow-batched mapInPandas stage with numpy bit
+    unpacking (one unpackbits over the per-word digest matrix instead
+    of a per-word × 64-bit Python loop).  Tokens are ``[a-z0-9]+`` of
+    lower(text) and the per-word hash is the little-endian uint64 of
+    ``md5(word)[:8]`` — both reproducible in SQL, so the DuckDB oracle
+    extracts the same 64 bits from the md5 hex (see oracle_sql()).
     """
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
@@ -309,5 +322,34 @@ def oracle_sql():
                      CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS qnorm_b
               FROM q a JOIN q b ON a.vec_id < b.vec_id
             ) WHERE qdot > 0 AND qdot * qdot * 100 >= 81 * qnorm_a * qnorm_b""",
-        # dedup_simhash: intentionally no oracle (bit-level UDF)
+        # bit j of the little-endian uint64 of md5(word)[:8] lives in hex
+        # pair (j//8) of the md5 hex string; signed int64 = sig - 2^63 is
+        # assembled without overflow by handling bit 63 as the sign part.
+        "dedup_simhash": """
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents
+            ),
+            wbits AS (
+              SELECT doc_id, b.bit,
+                     CASE WHEN (
+                       ((strpos('0123456789abcdef', substring(md5(w), CAST((b.bit // 8) * 2 + 1 AS INT), 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substring(md5(w), CAST((b.bit // 8) * 2 + 2 AS INT), 1)) - 1)
+                       ) >> CAST(b.bit % 8 AS INT)
+                     ) % 2 = 1 THEN 1 ELSE -1 END AS v
+              FROM words, unnest(range(0, 64)) AS b(bit)
+            ),
+            counts AS (SELECT doc_id, bit, sum(v) AS c FROM wbits GROUP BY doc_id, bit),
+            sigs AS (
+              SELECT doc_id,
+                     COALESCE(sum(CASE WHEN bit < 63 AND c > 0
+                                       THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                                       ELSE CAST(0 AS BIGINT) END), 0)
+                     + CASE WHEN max(CASE WHEN bit = 63 AND c > 0 THEN 1 ELSE 0 END) = 1
+                            THEN 0 ELSE -9223372036854775807 - 1 END AS simhash
+              FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.simhash, -9223372036854775807 - 1) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sigs s USING (doc_id)""",
     }

@@ -78,26 +78,32 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
-        ids, feats = [], []
+        ids, idxs, vals = [], [], []
         for doc_id, payload, media_type in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
             raw = decode_media(bytes(payload), media_type)
-            # deterministic fake feature: 8-bucket byte histogram
-            hist = [0] * N_FEATURES
-            for b in raw:
-                hist[b % N_FEATURES] += 1
-            ids.append(doc_id)
-            feats.append(hist)
-        yield pd.DataFrame({"doc_id": ids, "features": feats})
+            # deterministic fake feature: 8-bucket byte histogram (vectorized)
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            hist = np.bincount(buf % N_FEATURES, minlength=N_FEATURES)
+            ids.extend([doc_id] * N_FEATURES)
+            idxs.extend(range(N_FEATURES))
+            vals.extend(int(v) for v in hist)
+        yield pd.DataFrame({"doc_id": ids, "feature_idx": idxs, "value": vals})
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction: Arrow-batched mapInPandas over the payloads
-    (decode stub inside), array<long> feature column out."""
+    (decode stub inside).  Output is EXPLODED — one row per
+    (doc_id, feature_idx) — so every column is scalar/hashable (the
+    gate's pandas canonicalizer can't sort array columns) and the byte
+    histogram is reproducible as a DuckDB oracle (hex-pair parsing,
+    same trick as the media_frame_stats oracle)."""
     m = media_table(spark, sf_dir).select(
         "doc_id", "payload", F.col("meta.media_type").alias("media_type")
     )
-    return m.mapInPandas(_features_batch, schema="doc_id long, features array<long>")
+    return m.mapInPandas(_features_batch, schema="doc_id long, feature_idx int, value long")
 
 
 def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,5 +176,22 @@ def oracle_sql():
                    unnest(range(1, octet_length(encode(text)) * 2 + 1, {FRAME_SIZE * 2})) AS t(i)
               WHERE doc_id % 3 = 2
             ) GROUP BY doc_id""",
-        # media_features: rows-only (decode-stub UDF; determinism covered in pytest)
+        # byte % 8 == (low hex nibble) % 8, so the histogram is computable
+        # from hex pairs without blob indexing (DuckDB lacks blob substring)
+        "media_features": f"""
+            WITH hx AS (
+              SELECT doc_id, hex(encode(text)) AS h FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     (strpos('0123456789ABCDEF', substring(h, CAST(i * 2 AS INT), 1)) - 1) % {N_FEATURES} AS fi
+              FROM hx, unnest(range(1, length(h) // 2 + 1)) AS t(i)
+            ),
+            counts AS (SELECT doc_id, fi, count(*) AS c FROM b GROUP BY doc_id, fi)
+            SELECT d.doc_id,
+                   CAST(idx.i AS INT) AS feature_idx,
+                   COALESCE(c.c, 0) AS value
+            FROM documents d
+            CROSS JOIN unnest(range(0, {N_FEATURES})) AS idx(i)
+            LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.fi = idx.i""",
     }

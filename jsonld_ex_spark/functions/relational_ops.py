@@ -2,7 +2,13 @@
 aggregations, windows, sorts/limits, set ops) over the TPC-H-ish tables.
 
 Monetary aggregates are cast to DECIMAL(18,2) before summing so results
-are bit-exact across Spark and DuckDB (double summation order is not).
+are bit-exact across Spark and DuckDB (double summation order is not),
+then emitted as integer cents (``CAST(x * 100 AS BIGINT)``): Spark
+renders DECIMAL(38,2) with trailing zeros ('248095.00') while DuckDB's
+.df() downcasts DECIMAL to float64 ('248095.0'), so a DECIMAL output
+column hash-mismatches in the gate even when the values are identical.
+BIGINT cents render identically everywhere (CLAUDE.md: integer
+quantization for cross-engine exactness).
 """
 
 from __future__ import annotations
@@ -19,8 +25,8 @@ def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataF
 
 _Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_c,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -38,19 +44,19 @@ GROUP BY n.n_name, r.r_name
 
 _Q_WINDOW = """
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_c,
        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_spend_c
 FROM orders
 """
 
 _Q_TOPK = """
-SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS spend_c
 FROM orders
 GROUP BY o_custkey
-ORDER BY spend DESC, o_custkey ASC
+ORDER BY spend_c DESC, o_custkey ASC
 LIMIT 10
 """
 
@@ -58,7 +64,7 @@ _Q_EVENTS = """
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_c
 FROM events
 GROUP BY event_type
 """

@@ -28,8 +28,10 @@ def test_media_features_deterministic(spark):  # noqa: F811
     a = sorted(map(repr, media_features(spark, SF).collect()))
     b = sorted(map(repr, media_features(spark, SF).collect()))
     assert a == b
-    row = media_features(spark, SF).first()
-    assert len(row["features"]) == 8
+    # exploded shape: exactly 8 (doc_id, feature_idx, value) rows per doc
+    rows = media_features(spark, SF).where("doc_id = 0").orderBy("feature_idx").collect()
+    assert [r["feature_idx"] for r in rows] == list(range(8))
+    assert all(r["value"] >= 0 for r in rows)
 
 
 def test_frame_sample_shapes(spark):  # noqa: F811
