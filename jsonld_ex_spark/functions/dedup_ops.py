@@ -1,14 +1,16 @@
 """Deduplication operators for training-data pipelines (documents table).
 
 * exact          — md5 fingerprint groupBy (hash-partitioned, scales linearly)
-* ngram jaccard  — word-trigram shingles, candidate pairs via shingle
+* ngram jaccard  — word-trigram shingles (document-frequency-capped to
+                   kill hot-shingle skew), candidate pairs via shingle
                    co-occurrence join, exact set-overlap Jaccard
 * minhash LSH    — md5-based minhash signatures (engine-portable), banded
                    bucketing, candidate pairs via bucket join
 * simhash        — 64-bit TF-weighted simhash, numpy-vectorized Arrow
                    kernel; md5-bit-exact DuckDB oracle
-* embedding near-dup — quantized-integer dot products (bit-exact across
-                   engines), threshold pairs
+* embedding near-dup — banded sign-LSH candidates + quantized-integer
+                   dot scoring (bit-exact across engines); fully
+                   distributed, no driver-side table materialization
 
 Scale notes (100 TB): every operator here is a shuffle-on-key pipeline —
 shingle/bucket joins are the standard LSH scale path (band count bounds
@@ -28,6 +30,7 @@ N_MINHASH_SEEDS = 12
 N_BANDS = 4  # 3 rows per band
 JACCARD_THRESHOLD = 0.5
 COSINE_Q = 1000  # embedding quantization factor
+SHINGLE_DF_CAP = 100  # drop shingles present in > CAP docs (boilerplate)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,8 +53,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-trigram shingles per document (JVM higher-order fns)."""
+def _shingles(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Distinct word-trigram shingles per document (JVM higher-order fns),
+    with a document-frequency cap: shingles present in > df_cap documents
+    (boilerplate headers/footers) are dropped BEFORE any self-join.
+
+    Scale rationale: the candidate self-join is keyed on shingle, so one
+    hot shingle makes a quadratic bucket.  The hot list is tiny by
+    definition (only shingles above the cap), so it broadcasts and the
+    filter is a broadcast anti-join — no extra shuffle beyond the DF
+    aggregation, which reuses the same shingle key.
+    """
     d = _docs(spark, sf_dir)
     words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
     d = d.select("doc_id", words.alias("words"))
@@ -60,10 +72,17 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"
         " ELSE array() END"
     )
-    return (
+    base = (
         d.select("doc_id", F.explode(shingles).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
+    hot = (
+        base.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return base.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,62 +201,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by quantized dot product (cosine ≥ 0.9).
+COS_PLANES = 16  # sign-LSH hyperplanes (first COS_PLANES vectors of the table)
+COS_BANDS = 4  # 4 bands × 4 planes; P(miss | cos ≥ 0.9) ≈ (1 − 0.857⁴)⁴ ≈ 4.6%
 
-    Embeddings are quantized to integers (round(x*1000)) so scores are
-    bit-exact across engines.  Execution is a blocked integer GEMM: the
-    full quantized matrix is broadcast (n×64 int64 — small), each task
-    multiplies its partition's block against it with numpy and emits
-    only above-threshold pairs.  At 100 TB the same shape holds with
-    the broadcast side replaced by LSH/IVF-bucketed blocks; the O(n²)
-    score space never materializes as a Spark join.
-    cosine ≥ 0.9  ⟺  100·dot² ≥ 81·|a|²·|b|²  (dot>0) — integer-exact.
-    """
-    import numpy as np
+_DOT_EXPR = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as long), (acc, v) -> acc + v)"
 
+
+def _qvecs_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.select(
         "vec_id",
-        F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {COSINE_Q}) as long))").alias("qv"),
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {COSINE_Q}) as long))"
+        ).alias("qv"),
     )
-    all_pdf = q.toPandas()  # broadcast side (n×64 ints); blocked at real scale
-    ids = np.asarray(all_pdf["vec_id"], dtype=np.int64)
-    mat = np.array([np.asarray(v, dtype=np.int64) for v in all_pdf["qv"]])
-    norms = (mat * mat).sum(axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    return q.withColumn("qnorm", F.expr(_DOT_EXPR.format(a="qv", b="qv")))
 
-    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np  # noqa: PLC0415
 
-        a_ids, a_mat, a_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            blk_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            blk = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            if len(blk) == 0:
-                continue
-            dots = blk @ a_mat.T  # int64-exact
-            blk_norms = (blk * blk).sum(axis=1)
-            lhs = 100 * dots.astype(object) * dots  # avoid int64 overflow in dot²
-            rhs = 81 * np.outer(blk_norms.astype(object), a_norms)
-            mask = (dots > 0) & (lhs >= rhs) & (blk_ids[:, None] < a_ids[None, :])
-            bi, ai = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": blk_ids[bi],
-                    "vec_b": a_ids[ai],
-                    "qdot": dots[bi, ai],
-                    "qnorm_a": blk_norms[bi],
-                    "qnorm_b": a_norms[ai],
-                }
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by quantized dot product (cosine ≥ 0.9),
+    candidates from banded sign-LSH — fully distributed, NO driver-side
+    materialization of the table (the only broadcast is the 16 plane
+    vectors).
+
+    * Quantization: round(x*1000) per element → all scores integer-exact
+      across engines (cosine ≥ 0.9  ⟺  100·dot² ≥ 81·|a|²·|b|², dot>0).
+    * Candidates: COS_BANDS bands × (COS_PLANES/COS_BANDS) hyperplane
+      sign bits each; a pair is a candidate iff some band's sign-bucket
+      matches (bucket equi-join — the same distributed LSH shape as
+      dedup_minhash_lsh, shuffle keyed on (band, bucket)).  Planes are
+      the first COS_PLANES vectors of the table (deterministic), so the
+      DuckDB oracle reproduces buckets and therefore pairs exactly.
+    * Scoring: candidates join back to the quantized vectors; the
+      64-element dot is a JVM higher-order expression (no Python).
+
+    At 100 TB: the O(n²) score space never materializes — candidate
+    volume is bounded by bucket sizes; skewed buckets fall to AQE.
+    Expected recall at cosine 0.9 is ≈95% (per-plane agreement
+    p = 1 − acos(0.9)/π ≈ 0.857; 1 − (1 − p⁴)⁴).
+    """
+    q = _qvecs_with_norm(spark, sf_dir)
+    rows_per_band = COS_PLANES // COS_BANDS
+    planes = q.where(F.col("vec_id") < COS_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("qv").alias("p_qv")
+    )
+    buckets = (
+        q.select("vec_id", "qv")
+        .crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            (F.col("plane_id") / rows_per_band).cast("int").alias("band"),
+            F.when(
+                F.expr(_DOT_EXPR.format(a="qv", b="p_qv")) > 0,
+                F.expr(f"shiftleft(cast(1 as long), cast(plane_id % {rows_per_band} as int))"),
             )
-
-    return q.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
-        block_pairs,
-        schema="vec_a long, vec_b long, qdot long, qnorm_a long, qnorm_b long",
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bv"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bv").alias("bucket"))
     )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    qa = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qv_a"), F.col("qnorm").alias("qnorm_a"))
+    qb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qv_b"), F.col("qnorm").alias("qnorm_b"))
+    scored = (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("qdot", F.expr(_DOT_EXPR.format(a="qv_a", b="qv_b")))
+    )
+    return scored.where(
+        (F.col("qdot") > 0)
+        & (F.lit(100) * F.col("qdot") * F.col("qdot") >= F.lit(81) * F.col("qnorm_a") * F.col("qnorm_b"))
+    ).select("vec_a", "vec_b", "qdot", "qnorm_a", "qnorm_b")
 
 
 def queries():
@@ -250,8 +292,8 @@ def queries():
     }
 
 
-_SHINGLES_CTE = """
-shingles AS (
+_SHINGLES_CTE = f"""
+shingles0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            concat_ws(' ', words[i], words[i+1], words[i+2]) AS shingle
@@ -262,6 +304,10 @@ shingles AS (
                    THEN range(1, len(words) - 1)
                    ELSE [] END) AS t(i)
   )
+),
+hot AS (SELECT shingle FROM shingles0 GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP}),
+shingles AS (
+  SELECT * FROM shingles0 WHERE shingle NOT IN (SELECT shingle FROM hot)
 )
 """
 
@@ -314,14 +360,30 @@ def oracle_sql():
               SELECT vec_id,
                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_Q}) AS BIGINT)) AS qv
               FROM embeddings
+            ),
+            n AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS qnorm FROM q),
+            planes AS (SELECT vec_id AS plane_id, qv AS p_qv FROM q WHERE vec_id < {COS_PLANES}),
+            bits AS (
+              SELECT q.vec_id, CAST(p.plane_id // {COS_PLANES // COS_BANDS} AS INT) AS band,
+                     CASE WHEN list_dot_product(q.qv, p.p_qv) > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(p.plane_id % {COS_PLANES // COS_BANDS} AS INT))
+                          ELSE CAST(0 AS BIGINT) END AS bv
+              FROM q CROSS JOIN planes p
+            ),
+            buckets AS (SELECT vec_id, band, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id, band),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM buckets a JOIN buckets b USING (band, bucket)
+              WHERE a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, qdot, qnorm_a, qnorm_b FROM (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot,
-                     CAST(list_dot_product(a.qv, a.qv) AS BIGINT) AS qnorm_a,
-                     CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS qnorm_b
-              FROM q a JOIN q b ON a.vec_id < b.vec_id
-            ) WHERE qdot > 0 AND qdot * qdot * 100 >= 81 * qnorm_a * qnorm_b""",
+              SELECT c.vec_a, c.vec_b,
+                     CAST(list_dot_product(na.qv, nb.qv) AS BIGINT) AS qdot,
+                     na.qnorm AS qnorm_a, nb.qnorm AS qnorm_b
+              FROM cand c
+              JOIN n na ON na.vec_id = c.vec_a
+              JOIN n nb ON nb.vec_id = c.vec_b
+            ) WHERE qdot > 0 AND 100 * qdot * qdot >= 81 * qnorm_a * qnorm_b""",
         # bit j of the little-endian uint64 of md5(word)[:8] lives in hex
         # pair (j//8) of the md5 hex string; signed int64 = sig - 2^63 is
         # assembled without overflow by handling bit 63 as the sign part.
