@@ -6,7 +6,7 @@ public spec).
 
 This module is pure Python and runs per-document; in the Spark pipeline it
 executes inside Arrow-batched pandas UDFs (one call per document, amortized
-over Arrow batches — see jsonld_ex_spark.operators.jsonld_stage).
+over Arrow batches — see jsonld_ex_spark.operators.kg_pipeline).
 """
 
 from __future__ import annotations

@@ -70,6 +70,12 @@ def nquads_lines(triples):
     escaped = F.regexp_replace(escaped, "\n", "\\\\n")
     escaped = F.regexp_replace(escaped, "\r", "\\\\r")
     escaped = F.regexp_replace(escaped, "\t", "\\\\t")
+    # remaining control chars + NEL/LS/PS → \uXXXX, exactly like
+    # core/nquads._escape (the repo's own parse_nquads splits on
+    # str.splitlines(), which treats \x0b/\x0c/\x1c-\x1e/\x85/ /
+    #   as line breaks — raw occurrences would mis-split the file)
+    for _cp in [c for c in range(0x00, 0x20) if chr(c) not in "\n\r\t"] + [0x85, 0x2028, 0x2029]:
+        escaped = F.regexp_replace(escaped, f"\\x{{{_cp:X}}}", f"\\\\u{_cp:04X}")
     literal = F.concat(
         F.lit("\""), escaped, F.lit("\""),
         F.when(F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang")))

@@ -4,7 +4,8 @@ The sandbox testdata has no transcript table, so we synthesize one
 deterministically from ``lineitem`` with SQL that is executable verbatim
 by BOTH Spark SQL and DuckDB — the correctness oracle runs the *same*
 text, so the two engines' transcript tables agree exactly by
-construction (verified in tests/test_transcripts.py).
+construction (verified in tests/test_queries_vs_oracles.py and
+tests/test_kg_pipeline.py).
 
 Shape (input_hint): (conv_id string, turn_idx int, role string,
 text string, tool string, ts timestamp).  One conversation per order,

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
 from jsonld_ex_spark.operators.triples import dedup_triples, salted_repartition, with_subject_bucket
 from jsonld_ex_spark.sources.transcripts import transcripts_df
-from jsonld_ex_spark.streaming.lineage import bucket_of, run_with_lineage
+from jsonld_ex_spark.streaming.lineage import bucket_of, run_with_lineage, write_bucketed
 
 from tests.spark_fixtures import spark  # noqa: F401
 
@@ -47,6 +47,36 @@ def test_resume_produces_identical_triples(spark):  # noqa: F811
         # third call: nothing left to do
         m3 = run_with_lineage(t, spark, conversation_triples, out2, led2, "run-b3", n_buckets=8)
         assert m3["resumed"] and m3["buckets_processed"] == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_resume_after_crash_inside_write_ledger_window(spark):  # noqa: F811
+    """Kill between the triple write and the ledger append: bucket 0's
+    partition holds PARTIAL output (half its conversations) and no
+    ledger row exists.  Resume must re-process bucket 0 and REPLACE the
+    partial partition (dynamic partition overwrite), not append to it —
+    final output equals an uninterrupted run exactly."""
+    tmp = tempfile.mkdtemp()
+    out1, led1 = f"{tmp}/full/triples", f"{tmp}/full/ledger"
+    out2, led2 = f"{tmp}/crashed/triples", f"{tmp}/crashed/ledger"
+    try:
+        t = transcripts_df(spark, SF)
+        run_with_lineage(t, spark, conversation_triples, out1, led1, "run-a", n_buckets=8)
+
+        # simulated crash: bucket 0 partially written, ledger never touched
+        partial = t.where((bucket_of("conv_id", 8) == 0) & (F.xxhash64("conv_id", F.lit(99)) % 2 == 0))
+        trip = conversation_triples(partial).withColumn("_bucket", bucket_of("conv_id", 8))
+        write_bucketed(trip, out2, spark)
+        partial_rows = spark.read.parquet(out2).count()
+        assert partial_rows > 0
+
+        m = run_with_lineage(t, spark, conversation_triples, out2, led2, "run-resume", n_buckets=8)
+        assert m["buckets_processed"] == 8  # bucket 0 re-processed too
+
+        a = sorted(map(tuple, spark.read.parquet(out1).drop("_bucket").collect()))
+        b = sorted(map(tuple, spark.read.parquet(out2).drop("_bucket").collect()))
+        assert a == b  # no duplicated triples from the partial write
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -32,6 +32,37 @@ def _row_to_quad(r):
     return (s, p, o, g)
 
 
+def test_jvm_escaping_matches_core_on_control_chars(spark):  # noqa: F811
+    """Control chars (incl. \\x0c, \\x85, \\u2028 — the splitlines()
+    hazards) must escape to \\uXXXX identically in the JVM sink and the
+    core serializer, and the emitted lines must survive splitlines()."""
+    from jsonld_ex_spark.core.nquads import parse_nquads
+
+    nasty = [
+        "form\x0cfeed", "vt\x0bvt", "nel\x85nel", "ls\u2028ls", "ps\u2029ps",
+        "nul\x00nul", "esc\x1b[0m", "fs\x1c gs\x1d rs\x1e",
+        "tab\there\nnewline\rcr", 'quote" back\\slash',
+    ]
+    rows = [
+        ("http://ex.org/s", "http://ex.org/p", t,
+         "http://www.w3.org/2001/XMLSchema#string", None, None, False)
+        for t in nasty
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_dt string, obj_lang string, graph string, obj_is_iri boolean"
+    )
+    jvm_lines = sorted(r["line"] for r in nquads_lines(df).collect())
+    core_text = quads_to_nquads(
+        [(("iri", "http://ex.org/s"), ("iri", "http://ex.org/p"),
+          ("lit", t, "http://www.w3.org/2001/XMLSchema#string", None), None) for t in nasty]
+    )
+    core_lines = sorted(core_text.strip().split("\n"))
+    assert jvm_lines == core_lines
+    # the repo's own parser (splitlines-based) round-trips the JVM output
+    parsed = parse_nquads("\n".join(jvm_lines) + "\n")
+    assert sorted(q[2][1] for q in parsed) == sorted(nasty)
+
+
 def test_jvm_nquads_matches_core_serializer(spark):  # noqa: F811
     triples = kg_triples(spark, SF).cache()
     try:
