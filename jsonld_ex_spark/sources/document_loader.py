@@ -3,11 +3,15 @@ LoadDocumentCallback semantics).
 
 Reference parity: lib/json/ld/document_loader/remote_document.ex:60-261.
 
-Transport-agnostic: the actual HTTP GET is injected as ``fetch(url) ->
-HttpResponse`` so tests (and air-gapped executors) provide stubs.  In
-the Spark pipeline all remote contexts are resolved ONCE on the driver
-through this loader and shipped to executors pre-processed — executors
-never perform I/O (SURVEY.md §2.1#18).
+Transport-pluggable: the actual HTTP GET is injected as ``fetch(url) ->
+HttpResponse``.  ``http_fetch`` (below) is the real urllib transport —
+content-negotiated Accept header with optional JSON-LD profile, no
+auto-redirects (policy lives here, in the loader) — wrapped by
+``cached_fetch`` / ``http_document_loader`` for production use; tests
+and air-gapped executors may still inject stubs.  In the Spark pipeline
+all remote contexts are resolved ONCE on the driver through this loader
+and shipped to executors pre-processed — executors never perform I/O
+(SURVEY.md §2.1#18).
 """
 
 from __future__ import annotations
@@ -161,6 +165,88 @@ def make_document_loader(fetch: Fetch, options=None):
         return load_remote_document(url, fetch, extract_all_scripts=eas)
 
     return loader
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP transport (driver-side).
+#
+# Reference parity: lib/json/ld/document_loader/remote_document.ex:60-145
+# (Accept-profile negotiation, redirect following, Link-header handling).
+# Redirect/Link/alternate POLICY lives in load_remote_document above — the
+# transport therefore must NOT auto-follow redirects; it returns 3xx
+# responses verbatim so the loader applies the spec rules (and the
+# MAX_REDIRECTS bound).  In the Spark pipeline this runs ONCE on the
+# driver per distinct context URL (see cached_fetch); executors receive
+# pre-processed contexts via broadcast and never perform I/O.
+# ---------------------------------------------------------------------------
+
+DEFAULT_ACCEPT = (
+    "application/ld+json, application/json;q=0.9, "
+    "text/html;q=0.8, application/xhtml+xml;q=0.8, */*;q=0.1"
+)
+
+
+def http_fetch(
+    url: str,
+    timeout: float = 30.0,
+    request_profile: str | list[str] | None = None,
+) -> HttpResponse:
+    """urllib transport: one GET, content-negotiated Accept header
+    (with optional JSON-LD profile parameter), no auto-redirects."""
+    import urllib.error
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: N803
+            return None  # surface 3xx to the caller
+
+    accept = DEFAULT_ACCEPT
+    if request_profile:
+        profiles = " ".join(
+            request_profile if isinstance(request_profile, list) else [request_profile]
+        )
+        accept = f'application/ld+json;profile="{profiles}", ' + DEFAULT_ACCEPT
+
+    req = urllib.request.Request(
+        url, headers={"Accept": accept, "User-Agent": "jsonld-ex-spark/0.1"}
+    )
+    opener = urllib.request.build_opener(_NoRedirect())
+    try:
+        resp = opener.open(req, timeout=timeout)
+    except urllib.error.HTTPError as e:
+        resp = e  # HTTPError IS the response object (3xx/4xx/5xx)
+    except Exception as e:  # noqa: BLE001 — DNS/conn/timeout
+        raise JsonLdError(err.LOADING_DOCUMENT_FAILED, f"{url}: {e}") from e
+
+    headers: dict[str, object] = {}
+    for k in set(resp.headers.keys()):
+        vals = resp.headers.get_all(k) or []
+        headers[k] = vals[0] if len(vals) == 1 else list(vals)
+    charset = resp.headers.get_content_charset() or "utf-8"
+    body = resp.read().decode(charset, errors="replace")
+    status = getattr(resp, "status", None) or resp.getcode()
+    return HttpResponse(status=status, headers=headers, body=body, url=resp.geturl())
+
+
+def cached_fetch(fetch: Fetch = http_fetch, max_entries: int = 512) -> Fetch:
+    """Memoize a transport by URL (driver-side context cache).  Contexts
+    like schema.org are referenced by millions of rows; they must be
+    fetched once per driver, never per task."""
+    cache: dict[str, HttpResponse] = {}
+
+    def f(url: str) -> HttpResponse:
+        if url not in cache:
+            if len(cache) >= max_entries:
+                cache.pop(next(iter(cache)))  # FIFO eviction — bounded memory
+            cache[url] = fetch(url)
+        return cache[url]
+
+    return f
+
+
+def http_document_loader(options=None, cache: bool = True):
+    """Production LoadDocumentCallback: real HTTP + per-driver cache."""
+    return make_document_loader(cached_fetch() if cache else http_fetch, options)
 
 
 def file_loader(url: str) -> RemoteDocument:
