@@ -47,11 +47,14 @@ def make_spark(cpus: int):
 
 
 BENCH_QUERIES = [
+    "kg_transcripts",
+    "kg_mentions",
     "kg_triples",
     "kg_entity_links",
     "kg_triple_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_lsh_topk",

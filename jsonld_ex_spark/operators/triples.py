@@ -40,9 +40,53 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     return triples.dropDuplicates(TRIPLE_KEY)
 
 
-def write_triples(triples: DataFrame, path: str, n_buckets: int = 64, mode: str = "append") -> None:
-    """Partitioned parquet sink (Iceberg writeTo(...).append() on a real
-    cluster — the sandbox has no catalog, parquet keeps the same layout)."""
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 — ClassNotFound via py4j
+        return False
+
+
+def write_triples_iceberg(triples: DataFrame, table: str, mode: str = "append") -> None:
+    """Iceberg sink (SURVEY.md §2.2): writeTo(table).append() against a
+    configured catalog, partitioned by the same subj_bucket layout as
+    the parquet sink, so partition evolution / snapshot isolation come
+    from the table format instead of directory layout.  Requires the
+    iceberg-spark-runtime jar + a catalog in the session conf, e.g.::
+
+        spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.local.type = hadoop
+        spark.sql.catalog.local.warehouse = /path/wh
+    """
+    w = with_subject_bucket(salted_repartition(triples))
+    writer = w.writeTo(table)
+    if mode == "create":
+        writer.partitionedBy(F.col("subj_bucket")).createOrReplace()
+    elif mode == "overwrite_partitions":
+        writer.overwritePartitions()
+    else:
+        writer.append()
+
+
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = 64, mode: str = "append"
+) -> None:
+    """Triple-table sink.  ``path`` with slashes → partitioned parquet;
+    a catalog table name → Iceberg writeTo (when the runtime has the
+    jar — see write_triples_iceberg; the sandbox image has no Iceberg
+    jar, so parquet is the tested path and keeps the same layout)."""
+    if "/" not in path:
+        spark = triples.sparkSession
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"{path!r} looks like a catalog table but the Iceberg runtime "
+                "jar is not on the classpath; pass a filesystem path for the "
+                "parquet sink or add iceberg-spark-runtime to spark.jars"
+            )
+        write_triples_iceberg(triples, path, mode="append" if mode == "append" else mode)
+        return
     (
         with_subject_bucket(salted_repartition(triples), n_buckets)
         .write.mode(mode)

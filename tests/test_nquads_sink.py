@@ -77,3 +77,19 @@ def test_jvm_nquads_matches_core_serializer(spark):  # noqa: F811
         # don't leave a cached plan in the shared session (later plan-shape
         # tests would see InMemoryTableScan instead of the real exchanges)
         triples.unpersist()
+
+
+def test_iceberg_sink_gating(spark):  # noqa: F811
+    """Iceberg path: used when the runtime jar is present, clean error
+    otherwise (never a silent parquet write to a bogus 'path')."""
+    from jsonld_ex_spark.operators.triples import iceberg_available, write_triples
+
+    df = spark.createDataFrame(
+        [("http://ex/s", "http://ex/p", "o", None, None, None, False, "c1")],
+        "subj string, pred string, obj string, obj_dt string, obj_lang string, "
+        "graph string, obj_is_iri boolean, conv_id string",
+    )
+    if iceberg_available(spark):
+        pytest.skip("iceberg present: live write covered on cluster images")
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        write_triples(df, "local.db.triples")
