@@ -11,16 +11,29 @@ skolemization, so replays are idempotent at the row level too.
 
 Assumption (documented contract): a conversation's turns land in the
 same micro-batch (upstream delivers conversation-complete files).  For
-turn-at-a-time streams, the stateful variant would use
-``applyInPandasWithState`` with a conversation-timeout — left as the
-documented extension point.
+turn/event-at-a-time streams the module provides the two standard
+stateful shapes:
+
+* ``stream_windowed_event_counts`` — event-time tumbling windows with a
+  watermark: late data within the watermark merges into its window
+  across micro-batches; data later than the watermark is dropped;
+  windows are emitted exactly once (append mode) when the watermark
+  passes their end.  State per key is one window aggregate — O(open
+  windows), bounded by the watermark horizon at any corpus size.
+* ``stream_user_running_totals`` — custom per-key state via
+  ``applyInPandasWithState`` (Arrow-batched): cumulative per-user
+  aggregates that survive across micro-batches through the state store
+  (and through restarts via the checkpoint).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -66,3 +79,122 @@ def stream_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, input_dir: str):
+    # one file per micro-batch → deterministic watermark progression in
+    # tests; at scale the trigger sizing is a deployment dial
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+):
+    """Event-time tumbling-window counts per event_type with a watermark
+    (append mode: each window emitted exactly once, late-beyond-watermark
+    rows dropped).  Money sums as integer cents (engine-portable)."""
+    agg = (
+        _event_stream(spark, input_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as long)")).alias("total_value_c"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value_c",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_user_running_totals(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    output_dir: str | None = None,
+):
+    """Custom stateful operator (applyInPandasWithState): cumulative
+    per-user event count + spend, one output row per user per
+    micro-batch in which the user appears.  State is two longs per user
+    — O(users) in the state store, Arrow-batched on both sides.
+
+    Sink: memory table ``query_name`` by default (inspection/tests);
+    pass ``output_dir`` for a foreachBatch→parquet sink instead — the
+    memory sink CANNOT recover from a checkpoint (Spark refuses to
+    restart it), so any run that must survive a restart needs the
+    parquet path.  The state store itself checkpoints either way."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += int(sum(int(round(x * 100)) for x in pdf["value"]))
+        state.update((n, v))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value_c": [v]})
+
+    out = (
+        _event_stream(spark, input_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value_c long",
+            stateStructType="n long, v long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    if output_dir is not None:
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(output_dir)
+
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
