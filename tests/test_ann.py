@@ -19,3 +19,11 @@ def test_lsh_recall_at_least_090(spark, sf_dir):  # noqa: F811
     assert len(rows) == ann_ops.N_QUERIES
     avg = sum(r["n_hits"] for r in rows) / (len(rows) * ann_ops.TOP_K)
     assert avg >= 0.9, f"recall@{ann_ops.TOP_K} = {avg} at {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_recall_at_least_090(spark, sf_dir):  # noqa: F811
+    brute = {(r["query_id"], r["cand_id"]) for r in ann_ops.ann_topk_bruteforce(spark, sf_dir).collect()}
+    ivf = {(r["query_id"], r["cand_id"]) for r in ann_ops.ann_ivf_topk(spark, sf_dir).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.9, f"IVF recall@{ann_ops.TOP_K} = {recall} at {sf_dir}"
