@@ -34,9 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_stats": kg_queries.kg_triple_stats,
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
-    from jsonld_ex_spark.operators import entity_linking
+    from jsonld_ex_spark.operators import entity_linking, jsonld_ops
 
     q.update(entity_linking.queries())
+    q.update(jsonld_ops.queries())
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 
@@ -64,6 +65,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_scores": oracles.kg_link_scores_oracle(),
         "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),
     }
+    from jsonld_ex_spark.operators import jsonld_ops
+
+    o.update(jsonld_ops.oracle_sql())
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 

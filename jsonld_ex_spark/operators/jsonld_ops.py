@@ -1,0 +1,229 @@
+"""Generic JSON-LD operators over DataFrame columns — the distributed
+form of the reference's public API surface (JSON.LD.expand/compact/
+flatten/to_rdf over arbitrary documents, reference lib/json_ld.ex),
+for corpora of JSON-LD documents rather than the fixed transcript
+pipeline in operators/kg_pipeline.py.
+
+Shape (the 100 TB rules all apply):
+* each operator is ONE fused Arrow-batched ``mapInPandas`` stage — no
+  shuffle is introduced; partitioning of the input is preserved;
+* per-executor processed-context cache keyed by the context's JSON —
+  shared ``@context`` values (the common case: one vocabulary across
+  billions of docs) are processed once per executor, not per document;
+* per-document quarantine: a document that raises a spec error yields
+  an error column (or marker triple) instead of killing the job — the
+  reference raises JSON.LD.Error and aborts, which is correct for one
+  document and wrong for a corpus.
+
+Remote contexts: resolve them driver-side with
+``sources.document_loader.http_document_loader`` and inline/pre-process
+before distributing; executors never perform I/O.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from jsonld_ex_spark.core.api import compact as _compact
+from jsonld_ex_spark.core.api import expand as _expand
+from jsonld_ex_spark.core.api import flatten as _flatten
+from jsonld_ex_spark.core.context import Context, Options, process_context
+from jsonld_ex_spark.core.errors import JsonLdError
+from jsonld_ex_spark.core.expansion import expand as expand_algo
+from jsonld_ex_spark.core.flattening import BlankNodeGenerator, node_map
+from jsonld_ex_spark.core.to_rdf import to_rdf_from_node_map
+
+QUARANTINE_PRED = "https://sparkld.dev/system#processingError"
+
+_CTX_CACHE: dict[str, Context] = {}
+
+
+def _processed_context(ctx_json: str) -> Context:
+    """Per-executor processed-context memo (keyed by the raw JSON)."""
+    got = _CTX_CACHE.get(ctx_json)
+    if got is None:
+        got = process_context(Context(), json.loads(ctx_json), Options())
+        _CTX_CACHE[ctx_json] = got
+    return got
+
+
+def _doc_op_column(df: DataFrame, json_col: str, out_col: str, fn) -> DataFrame:
+    """Run ``fn(doc) -> json-able`` per document; emit (passthrough cols,
+    out_col json string, jsonld_error)."""
+    passthrough = [c for c in df.columns if c != json_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in df.columns]
+        + [f"{out_col} string", "jsonld_error string"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, errs = [], []
+            for raw in pdf[json_col]:
+                try:
+                    outs.append(json.dumps(fn(json.loads(raw))))
+                    errs.append(None)
+                except JsonLdError as e:
+                    outs.append(None)
+                    errs.append(e.code)
+                except ValueError as e:  # bad JSON text
+                    outs.append(None)
+                    errs.append(f"invalid JSON: {e}")
+            out = pdf[passthrough + [json_col]].copy()
+            out[out_col] = outs
+            out["jsonld_error"] = errs
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def expand_column(df: DataFrame, json_col: str = "doc", out_col: str = "expanded") -> DataFrame:
+    """Distributed JSON.LD.expand over a JSON string column."""
+    return _doc_op_column(df, json_col, out_col, lambda d: _expand(d, Options()))
+
+
+def flatten_column(
+    df: DataFrame, json_col: str = "doc", out_col: str = "flattened", context: dict | None = None
+) -> DataFrame:
+    """Distributed JSON.LD.flatten (optional compaction context)."""
+    ctx_json = json.dumps(context) if context is not None else None
+
+    def fn(d):
+        ctx = json.loads(ctx_json) if ctx_json is not None else None
+        return _flatten(d, ctx, Options())
+
+    return _doc_op_column(df, json_col, out_col, fn)
+
+
+def compact_column(
+    df: DataFrame, context: dict, json_col: str = "doc", out_col: str = "compacted"
+) -> DataFrame:
+    """Distributed JSON.LD.compact against a shared context."""
+    ctx_json = json.dumps(context)
+    return _doc_op_column(
+        df, json_col, out_col, lambda d: _compact(d, json.loads(ctx_json), Options())
+    )
+
+
+TRIPLE_OUT_SCHEMA = (
+    "doc_id long, subj string, pred string, obj string, "
+    "obj_is_iri boolean, obj_dt string, obj_lang string, graph string"
+)
+
+
+def to_rdf_rows(df: DataFrame, json_col: str = "doc", doc_id_col: str = "doc_id") -> DataFrame:
+    """Distributed JSON.LD.to_rdf: JSON-LD document column → exploded
+    triple rows, deterministic per-document skolem blank-node labels
+    (re-runs and retries produce identical output).  Failed documents
+    quarantine as one marker triple (pred=QUARANTINE_PRED, obj=spec
+    error code)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        options = Options()
+        cols = ["doc_id", "subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, raw in zip(pdf[doc_id_col], pdf[json_col]):
+                doc_id = int(doc_id)
+                try:
+                    doc = json.loads(raw)
+                    ctx = doc.get("@context")
+                    active = (
+                        _processed_context(json.dumps(ctx, sort_keys=True))
+                        if ctx is not None
+                        else Context()
+                    )
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                    expanded = expand_algo(active, None, body, options)
+                    generator = BlankNodeGenerator(skolem_prefix=f"{doc_id}.")
+                    nm = node_map(expanded, generator)
+                    quads = to_rdf_from_node_map(nm, options, generator)
+                    for s, p, o, g in quads:
+                        subj = s[1] if s[0] == "iri" else "_:" + s[1]
+                        if o[0] == "lit":
+                            obj, is_iri, dt, lang = o[1], False, o[2], o[3]
+                        else:
+                            obj = o[1] if o[0] == "iri" else "_:" + o[1]
+                            is_iri, dt, lang = True, None, None
+                        graph = (g[1] if g[0] == "iri" else "_:" + g[1]) if g is not None else None
+                        out.append((doc_id, subj, p[1], obj, is_iri, dt, lang, graph))
+                except (JsonLdError, ValueError) as e:
+                    code = e.code if isinstance(e, JsonLdError) else f"invalid JSON: {e}"
+                    out.append((doc_id, f"urn:doc:{doc_id}", QUARANTINE_PRED, code,
+                                False, None, None, None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=TRIPLE_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate query: documents table → per-doc JSON-LD → triples.
+# The JSON-LD document is synthesized Spark-side (to_json over a struct —
+# only the OUTPUT must be engine-portable); the DuckDB oracle produces
+# the expected triples relationally, which is an independent derivation
+# of expand→toRdf for this document shape.
+# ---------------------------------------------------------------------------
+
+VOCAB = "https://sparkld.dev/vocab#"
+DOC_NS = "https://sparkld.dev/doc/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+_DOC_CTX = {
+    "name": f"{VOCAB}name",
+    "chars": {"@id": f"{VOCAB}chars", "@type": XSD_INT},
+}
+
+
+def jsonld_doc_triples(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx_lit = json.dumps(_DOC_CTX)
+    # assemble {"@context":..., "@id":"<ns><id>", "name":..., "chars":...}
+    # — to_json builds (and escapes) the data part; the shared context is
+    # spliced in as a constant prefix.
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"@context": ' + ctx_lit + ', '),
+            F.regexp_replace(
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("@id"),
+                        F.col("text").alias("name"),
+                        F.col("n_chars").cast("long").alias("chars"),
+                    )
+                ),
+                r"^\{", "",
+            ),
+        ).alias("doc"),
+    )
+    triples = to_rdf_rows(docs, json_col="doc", doc_id_col="doc_id")
+    return triples.select("doc_id", "subj", "pred", "obj", "obj_dt")
+
+
+def queries():
+    return {"jsonld_doc_triples": jsonld_doc_triples}
+
+
+def oracle_sql():
+    return {
+        "jsonld_doc_triples": f"""
+            SELECT doc_id,
+                   '{DOC_NS}' || CAST(doc_id AS VARCHAR) AS subj,
+                   '{VOCAB}name' AS pred,
+                   text AS obj,
+                   'http://www.w3.org/2001/XMLSchema#string' AS obj_dt
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   '{DOC_NS}' || CAST(doc_id AS VARCHAR) AS subj,
+                   '{VOCAB}chars' AS pred,
+                   CAST(n_chars AS VARCHAR) AS obj,
+                   '{XSD_INT}' AS obj_dt
+            FROM documents""",
+    }

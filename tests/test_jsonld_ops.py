@@ -1,0 +1,83 @@
+"""Generic document-column operators: distributed expand/flatten/
+compact/to_rdf over a JSON string column must agree per-row with the
+driver-side core API, and bad documents must quarantine instead of
+failing the job."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jsonld_ex_spark.core.api import compact, expand, flatten
+from jsonld_ex_spark.core.context import Options
+from jsonld_ex_spark.operators.jsonld_ops import (
+    QUARANTINE_PRED,
+    compact_column,
+    expand_column,
+    flatten_column,
+    to_rdf_rows,
+)
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+pytestmark = pytest.mark.spark
+
+CTX = {"name": "http://xmlns.com/foaf/0.1/name", "knows": {"@id": "http://xmlns.com/foaf/0.1/knows", "@type": "@id"}}
+
+DOCS = [
+    {"@context": CTX, "@id": "http://ex.org/a", "name": "Alice", "knows": "http://ex.org/b"},
+    {"@context": CTX, "@id": "http://ex.org/b", "name": ["Bob", "Bobby"]},
+    {"@context": CTX, "name": "anonymous"},  # blank node subject
+    {"@context": CTX, "@id": "http://ex.org/c", "knows": {"name": "nested blank"}},
+]
+
+
+def _df(spark, docs):  # noqa: F811
+    return spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "doc_id long, doc string"
+    )
+
+
+def test_expand_column_matches_core(spark):  # noqa: F811
+    rows = expand_column(_df(spark, DOCS)).orderBy("doc_id").collect()
+    for r, doc in zip(rows, DOCS):
+        assert r["jsonld_error"] is None
+        assert json.loads(r["expanded"]) == expand(doc, Options())
+
+
+def test_flatten_and_compact_columns_match_core(spark):  # noqa: F811
+    df = _df(spark, DOCS)
+    for r, doc in zip(flatten_column(df).orderBy("doc_id").collect(), DOCS):
+        assert json.loads(r["flattened"]) == flatten(doc, None, Options())
+    for r, doc in zip(compact_column(df, CTX).orderBy("doc_id").collect(), DOCS):
+        expected = compact(expand(doc, Options()), CTX, Options())
+        assert json.loads(r["compacted"]) == expected
+
+
+def test_bad_documents_quarantine_not_crash(spark):  # noqa: F811
+    docs = [
+        json.dumps(DOCS[0]),
+        "not json at all {{{",
+        json.dumps({"@context": {"@vocab": 7}, "x": 1}),  # invalid vocab mapping
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, doc string")
+    rows = expand_column(df).orderBy("doc_id").collect()
+    assert rows[0]["jsonld_error"] is None
+    assert rows[1]["expanded"] is None and "invalid JSON" in rows[1]["jsonld_error"]
+    assert rows[2]["expanded"] is None and rows[2]["jsonld_error"] == "invalid vocab mapping"
+
+    trows = to_rdf_rows(df).collect()
+    quarantined = {r["doc_id"]: r["obj"] for r in trows if r["pred"] == QUARANTINE_PRED}
+    assert set(quarantined) == {1, 2}
+    assert quarantined[2] == "invalid vocab mapping"
+
+
+def test_to_rdf_rows_deterministic_skolem(spark):  # noqa: F811
+    df = _df(spark, DOCS)
+    a = sorted(map(tuple, to_rdf_rows(df).collect()))
+    b = sorted(map(tuple, to_rdf_rows(df.repartition(4)).collect()))
+    assert a == b  # identical across partitionings/reruns (skolem per doc)
+    # the nested blank node of doc 3 got a per-doc skolem label
+    blanks = [r for r in a if r[0] == 3 and str(r[3]).startswith("_:")]
+    assert blanks and all("3." in r[3] for r in blanks)
