@@ -72,3 +72,31 @@ def test_text_ops_stay_jvm_side(spark):  # noqa: F811
     for name, fn in text_ops.queries().items():
         plan = _plan(fn(spark, SF))
         assert "Python" not in plan, f"{name} fell off the JVM path"
+
+
+def test_lsh_and_ivf_plans_are_jvm_only_no_cartesian(spark):  # noqa: F811
+    """The similarity operators must stay entirely JVM-side (zero Python
+    stages — the round-1 numpy GEMM is gone) and never degenerate into a
+    CartesianProduct: the plane/centroid side is a broadcast, the
+    candidate join is a bucket/cell equi-join."""
+    from jsonld_ex_spark.functions.ann_ops import ann_ivf_topk, ann_lsh_topk
+    from jsonld_ex_spark.functions.dedup_ops import dedup_embedding_cosine
+
+    for fn in (dedup_embedding_cosine, ann_lsh_topk, ann_ivf_topk):
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "MapInPandas" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, fn.__name__
+
+
+def test_jsonld_doc_triples_is_shuffle_free(spark):  # noqa: F811
+    """The generic doc→triples operator is a pure map: scan → JSON build
+    (JVM) → one MapInPandas.  No shuffle may appear — partitioning of
+    the input corpus is preserved end-to-end."""
+    from jsonld_ex_spark.operators.jsonld_ops import jsonld_doc_triples
+
+    plan = _plan(jsonld_doc_triples(spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
