@@ -282,6 +282,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_a", "vec_b", "qdot", "qnorm_a", "qnorm_b")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    MinHash-LSH candidate-pair graph.  Every document gets
+    cluster_id = min(doc_id) of its component (singletons cluster with
+    themselves); is_canonical marks the representative to KEEP — the
+    actual deliverable of a dedup pipeline (drop rows where
+    NOT is_canonical).
+
+    Execution is iterative min-label propagation — the standard
+    driver-coordinated superstep shape (GraphX/GraphFrames CC does the
+    same): labels start at doc_id; each superstep every node takes the
+    min of its label and its neighbors' labels; converged when no label
+    changes.  Each superstep is one shuffle keyed on doc_id; iteration
+    count is bounded by the component diameter (near-dup clusters are
+    shallow — a handful of supersteps), and the convergence check is a
+    count() action, not a data collect.  Deterministic at any
+    parallelism.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    edges = edges.repartition("dst").cache()
+    labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )
+
+
 def queries():
     return {
         "dedup_exact": dedup_exact,
@@ -289,6 +346,7 @@ def queries():
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_clusters": dedup_clusters,
     }
 
 
@@ -312,8 +370,28 @@ shingles AS (
 """
 
 
-def oracle_sql():
+def _minhash_pairs_cte() -> str:
     rows_per_band = N_MINHASH_SEEDS // N_BANDS
+    return f"""{_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, seed,
+         min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
+  FROM shingles, unnest(range(0, {N_MINHASH_SEEDS})) AS s(seed)
+  GROUP BY doc_id, seed
+),
+buckets AS (
+  SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band,
+         md5(array_to_string(list_sort(list(concat(CAST(seed AS VARCHAR), ':', mh))), '|')) AS bucket
+  FROM mh GROUP BY doc_id, band
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+def oracle_sql():
     return {
         "dedup_exact": """
             WITH f AS (
@@ -340,21 +418,26 @@ def oracle_sql():
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * {1 / JACCARD_THRESHOLD} >= sa.n + sb.n - n_common""",
         "dedup_minhash_lsh": f"""
-            WITH {_SHINGLES_CTE},
-            mh AS (
-              SELECT doc_id, seed,
-                     min(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
-              FROM shingles, unnest(range(0, {N_MINHASH_SEEDS})) AS s(seed)
-              GROUP BY doc_id, seed
+            WITH {_minhash_pairs_cte()}
+            SELECT doc_a, doc_b FROM mh_pairs""",
+        # connected components as a recursive transitive closure: a node's
+        # cluster id is the min doc_id reachable over the symmetric pair
+        # graph (exact mirror of the Spark label-propagation fixpoint)
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_pairs_cte()},
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
             ),
-            buckets AS (
-              SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band,
-                     md5(array_to_string(list_sort(list(concat(CAST(seed AS VARCHAR), ':', mh))), '|')) AS bucket
-              FROM mh GROUP BY doc_id, band
+            reach(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM buckets a JOIN buckets b USING (band, bucket)
-            WHERE a.doc_id < b.doc_id""",
+            SELECT doc_id, min(lbl) AS cluster_id,
+                   (doc_id = min(lbl)) AS is_canonical
+            FROM reach GROUP BY doc_id""",
         "dedup_embedding_cosine": f"""
             WITH q AS (
               SELECT vec_id,

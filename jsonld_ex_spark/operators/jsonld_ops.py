@@ -160,6 +160,45 @@ def to_rdf_rows(df: DataFrame, json_col: str = "doc", doc_id_col: str = "doc_id"
     return df.mapInPandas(run, schema=TRIPLE_OUT_SCHEMA)
 
 
+def from_rdf_rows(triples: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """Distributed JSON.LD.from_rdf: triple rows grouped per document →
+    JSON-LD (expanded form) document column.  The inverse of
+    to_rdf_rows; ONE shuffle keyed on the document id (applyInPandas).
+    Quads are sorted within each group before deserialization so output
+    is identical across partitionings/retries."""
+    from jsonld_ex_spark.core.api import from_rdf as _from_rdf
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "doc": [], "jsonld_error": []})
+        doc_id = int(pdf[doc_id_col].iloc[0])
+
+        def node(v: str):
+            return ("bnode", v[2:]) if v.startswith("_:") else ("iri", v)
+
+        quads = []
+        for r in pdf.itertuples(index=False):
+            o = (
+                node(r.obj)
+                if r.obj_is_iri
+                else ("lit", r.obj, r.obj_dt, r.obj_lang if r.obj_lang is not None else None)
+            )
+            g = node(r.graph) if r.graph is not None else None
+            quads.append((node(r.subj), ("iri", r.pred), o, g))
+        quads.sort(key=repr)
+        try:
+            docs = _from_rdf(quads, Options())
+            return pd.DataFrame(
+                {"doc_id": [doc_id], "doc": [json.dumps(docs)], "jsonld_error": [None]}
+            )
+        except JsonLdError as e:
+            return pd.DataFrame({"doc_id": [doc_id], "doc": [None], "jsonld_error": [e.code]})
+
+    return triples.groupBy(doc_id_col).applyInPandas(
+        rebuild, schema="doc_id long, doc string, jsonld_error string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate query: documents table → per-doc JSON-LD → triples.
 # The JSON-LD document is synthesized Spark-side (to_json over a struct —

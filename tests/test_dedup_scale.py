@@ -100,3 +100,22 @@ def test_shingle_df_cap_filters_hot_shingles(spark, tmp_path):  # noqa: F811
     sf_dir = _write_documents(tmp_path, texts)
     shingles = dedup_ops._shingles(spark, sf_dir)
     assert shingles.where("shingle = 'one two three'").count() == 0
+
+
+def test_dedup_clusters_transitive_components(spark, tmp_path):  # noqa: F811
+    """A chain of successive near-duplicates (B = A + a word, C = B
+    verbatim) must land in ONE cluster with the min doc_id canonical —
+    clusters deliver the transitive closure that pairwise output can't
+    — and an unrelated doc stays a singleton cluster of itself."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                       # 0: A
+        base + " lambdaword",       # 1: B ~ A (superset shingles, J≈0.89)
+        base + " lambdaword",       # 2: C == B (all bands agree)
+        "totally different content about spark plans here now",  # 3: singleton
+    ]
+    sf_dir = _write_documents(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in dedup_ops.dedup_clusters(spark, sf_dir).collect()}
+    assert rows[0]["cluster_id"] == rows[1]["cluster_id"] == rows[2]["cluster_id"] == 0
+    assert rows[3]["cluster_id"] == 3 and rows[3]["is_canonical"]
+    assert rows[0]["is_canonical"] and not rows[1]["is_canonical"] and not rows[2]["is_canonical"]

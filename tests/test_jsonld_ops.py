@@ -81,3 +81,30 @@ def test_to_rdf_rows_deterministic_skolem(spark):  # noqa: F811
     # the nested blank node of doc 3 got a per-doc skolem label
     blanks = [r for r in a if r[0] == 3 and str(r[3]).startswith("_:")]
     assert blanks and all("3." in r[3] for r in blanks)
+
+
+def test_from_rdf_rows_inverts_to_rdf_rows(spark):  # noqa: F811
+    """to_rdf_rows → from_rdf_rows must agree per-document with the
+    driver-side core from_rdf over the same (sorted) quads, at any
+    partitioning."""
+    from jsonld_ex_spark.core.api import from_rdf as from_rdf_core
+    from jsonld_ex_spark.operators.jsonld_ops import from_rdf_rows
+
+    df = _df(spark, DOCS)
+    triples = to_rdf_rows(df)
+    back = {r["doc_id"]: r for r in from_rdf_rows(triples.repartition(5)).collect()}
+    rows = triples.collect()
+    for doc_id in range(len(DOCS)):
+        def node(v):
+            return ("bnode", v[2:]) if v.startswith("_:") else ("iri", v)
+        quads = []
+        for r in rows:
+            if r["doc_id"] != doc_id:
+                continue
+            o = node(r["obj"]) if r["obj_is_iri"] else ("lit", r["obj"], r["obj_dt"], r["obj_lang"])
+            g = node(r["graph"]) if r["graph"] is not None else None
+            quads.append((node(r["subj"]), ("iri", r["pred"]), o, g))
+        quads.sort(key=repr)
+        expected = from_rdf_core(quads, Options())
+        assert back[doc_id]["jsonld_error"] is None
+        assert json.loads(back[doc_id]["doc"]) == expected
