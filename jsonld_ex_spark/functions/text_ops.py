@@ -73,6 +73,28 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[f"hits_{lang}" for lang in _LANG_MARKERS], pred.alias("lang_pred"))
 
 
+# GPT-2-style pre-tokenizer, minus the trailing-space lookahead
+# (`\s+(?!\S)`) — RE2 (DuckDB) has no lookahead, and both Java and RE2
+# use leftmost-first alternation, so this subset tokenizes identically
+# in both engines.  Counting these pre-tokens is the standard cheap
+# proxy for BPE token counts in corpus filtering.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_SPARK = BPE_RE.replace("\\", "\\\\").replace("'", "\\'")
+_BPE_DUCK = BPE_RE.replace("'", "''")
+
+
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2 pre-tokenizer segment count plus
+    contraction and word-segment counts (all JVM regexp)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_SPARK}', 0)")).alias("n_bpe_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '\\'(?:s|t|re|ve|m|ll|d)', 0)")).alias("n_contractions"),
+        F.size(F.expr("regexp_extract_all(text, ' ?\\\\p{L}+', 0)")).alias("n_word_segments"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized lowercase
     text (exact-dup key), plus a 16-hex-char prefix as a short fp."""
@@ -85,6 +107,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries():
     return {
         "text_tokens": text_tokens,
+        "text_tokens_bpe": text_tokens_bpe,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
@@ -106,6 +129,12 @@ def oracle_sql():
             SELECT doc_id,
                    len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS n_tokens,
                    length(text) AS n_chars_actual
+            FROM documents""",
+        "text_tokens_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_DUCK}', 0)) AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)', 0)) AS n_contractions,
+                   len(regexp_extract_all(text, ' ?\\p{{L}}+', 0)) AS n_word_segments
             FROM documents""",
         "text_quality": f"""
             SELECT doc_id,
