@@ -100,3 +100,71 @@ def test_jsonld_doc_triples_is_shuffle_free(spark):  # noqa: F811
     assert plan.count("MapInPandas") == 1
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):  # noqa: F811
+    """Two subj-bucketed tables must join on subj with ZERO Exchange —
+    the co-location contract write_triples_bucketed promises (at 100 TB
+    this is the difference between a full shuffle per join and a local
+    merge per bucket)."""
+    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+    from jsonld_ex_spark.operators.triples import write_triples_bucketed
+
+    triples = conversation_triples(transcripts_df(spark, SF))
+    try:
+        write_triples_bucketed(triples, "t_bucket_a", str(tmp_path / "a"), n_buckets=8)
+        write_triples_bucketed(
+            triples.select("subj", "pred"), "t_bucket_b", str(tmp_path / "b"), n_buckets=8
+        )
+        a = spark.table("t_bucket_a").select("subj", F.col("obj"))
+        b = spark.table("t_bucket_b").groupBy("subj").count()
+        joined = a.join(b, "subj")
+        # disable broadcast to force the join strategy decision on layout
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):  # noqa: F811
+    """Runtime skew handling: a join where one key carries ~90% of the
+    rows must come out of AQE with the skewed partition SPLIT
+    (skew=true on the SortMergeJoin in the final adaptive plan) — the
+    backstop for residual hot keys that salting doesn't cover."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+            .alias("k"),
+            F.concat(F.lit("p"), F.col("id").cast("string"), F.lit("x" * 120)).alias("payload"),
+        )
+        right = spark.createDataFrame(
+            [("HOT", 1)] + [(f"k{i}", i) for i in range(1000)], "k string, v int"
+        )
+        df = left.join(right, "k")
+        # execute THIS DataFrame (count() would plan a different query
+        # and leave df's own adaptive plan un-finalized)
+        assert len(df.collect()) == 200000
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
