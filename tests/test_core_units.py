@@ -144,11 +144,14 @@ def test_quarantine_captures_jsonld_errors(monkeypatch):
     def bad_doc(conv_id, turns):
         return {"@id": f"conv:{conv_id}", "@type": "Conversation", "bad": {"@id": 42}}
 
+    import json
+
     monkeypatch.setattr(kp, "build_conversation_doc", bad_doc)
     pdf = pd.DataFrame({
         "conv_id": ["c1"],
-        "turns": [[{"turn_idx": 0, "role": "user", "text": "t", "tool": None,
-                    "ts_str": "2024-01-01T00:00:00Z", "mentions": []}]],
+        # turns now cross the boundary as ONE JSON string (to_json output)
+        "turns_json": [json.dumps([{"turn_idx": 0, "role": "user", "text": "t",
+                                    "ts_str": "2024-01-01T00:00:00Z", "mentions": []}])],
     })
     out = pd.concat(list(kp._extract_triples(iter([pdf]))))
     assert len(out) == 1
