@@ -35,9 +35,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
     from jsonld_ex_spark.operators import entity_linking, jsonld_ops
+    from jsonld_ex_spark.streaming import stream_pipeline
 
     q.update(entity_linking.queries())
     q.update(jsonld_ops.queries())
+    q.update(stream_pipeline.queries())
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 
@@ -66,8 +68,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),
     }
     from jsonld_ex_spark.operators import jsonld_ops
+    from jsonld_ex_spark.streaming import stream_pipeline
 
     o.update(jsonld_ops.oracle_sql())
+    o.update(stream_pipeline.oracle_sql())
     try:
         from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
 

@@ -140,6 +140,83 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_events_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED streaming query: availableNow windowed aggregation
+    over the events table through the real Structured Streaming engine
+    (watermark, state store, append-mode finalization), returned as the
+    memory-sink table.
+
+    Append-mode semantics make the result exactly predictable: with all
+    files in one batch, the final flush emits precisely the windows
+    whose end ≤ max(ts) − watermark_delay — so the DuckDB oracle can
+    reproduce the STREAMING output (including which windows are still
+    open and therefore absent) with a plain SQL predicate.  This puts
+    the streaming engine itself under the hash-exact correctness gate
+    instead of the usual rows-only check.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"evw_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="evw_ckpt_")
+    # FileStreamSource needs a DIRECTORY; stage the single parquet file
+    in_dir = tempfile.mkdtemp(prefix="evw_in_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
+    agg = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(in_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as long)")).alias("total_value_c"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value_c",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+STREAM_WINDOW_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, n_events, total_value_c
+FROM agg, wm
+WHERE window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+def queries():
+    return {"stream_events_by_window": stream_events_by_window}
+
+
+def oracle_sql():
+    return {"stream_events_by_window": STREAM_WINDOW_ORACLE}
+
+
 def stream_user_running_totals(
     spark: SparkSession,
     input_dir: str,
