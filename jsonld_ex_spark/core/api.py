@@ -156,3 +156,34 @@ def is_jsonld_keyword(value: Any) -> bool:
     from jsonld_ex_spark.core.utils import is_keyword
 
     return is_keyword(value)
+
+
+def read_jsonld_file(path: str, options: Options | None = None) -> list:
+    """Read a JSON-LD file → RDF quads (reference JSON.LD.read_file!
+    via RDF.Serialization — lib/json_ld.ex:10: a JSON-LD document read
+    through the RDF layer yields a dataset)."""
+    import dataclasses
+
+    from jsonld_ex_spark.sources.document_loader import file_loader
+
+    options = options or Options()
+    rd = file_loader(path)
+    if options.base is None:
+        options = dataclasses.replace(options, base=rd.document_url)
+    return to_rdf(rd.document, options)
+
+
+def write_jsonld_file(
+    quads: list, path: str, ctx: Any = None, options: Options | None = None
+) -> None:
+    """Serialize RDF quads to a JSON-LD file, with the reference's
+    implicit ``:context`` compaction (encoder.ex:62-90: passing a
+    context to write_file! compacts the serialized output)."""
+    import json as _json
+
+    options = options or Options()
+    doc = from_rdf(quads, options)
+    if ctx is not None:
+        doc = compact(doc, ctx, options)
+    with open(path, "w", encoding="utf-8") as f:
+        _json.dump(doc, f, ensure_ascii=False, indent=2)

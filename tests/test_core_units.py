@@ -157,3 +157,26 @@ def test_quarantine_captures_jsonld_errors(monkeypatch):
     assert len(out) == 1
     assert out.iloc[0]["pred"] == kp.QUARANTINE_PRED
     assert out.iloc[0]["obj"] == "invalid @id value"
+
+
+def test_read_write_jsonld_file_roundtrip(tmp_path):
+    """read_file!/write_file! mirror incl. implicit :context compaction
+    (reference lib/json_ld.ex:10, encoder.ex:62-90)."""
+    import json
+
+    from jsonld_ex_spark.core.api import read_jsonld_file, write_jsonld_file
+
+    ctx = {"name": "http://xmlns.com/foaf/0.1/name"}
+    doc = {"@context": ctx, "@id": "http://ex.org/a", "name": "Alice"}
+    src = tmp_path / "in.jsonld"
+    src.write_text(json.dumps(doc), encoding="utf-8")
+
+    quads = read_jsonld_file(str(src))
+    assert (("iri", "http://ex.org/a"), ("iri", "http://xmlns.com/foaf/0.1/name"),
+            ("lit", "Alice", "http://www.w3.org/2001/XMLSchema#string", None), None) in quads
+
+    out = tmp_path / "out.jsonld"
+    write_jsonld_file(quads, str(out), ctx={"@context": ctx})
+    written = json.loads(out.read_text(encoding="utf-8"))
+    assert written["name"] == "Alice"  # implicit compaction applied
+    assert read_jsonld_file(str(out)) == quads  # file roundtrip is lossless
