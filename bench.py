@@ -58,7 +58,10 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "jsonld_doc_triples",
     "text_quality",
+    "text_tokens_bpe",
     "text_fingerprint",
     "tpch_q1",
     "join_customer_geo",
