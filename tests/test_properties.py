@@ -116,3 +116,42 @@ def test_compact_expand_roundtrip(doc, ctx):
     compacted = compact(expanded, {"@context": ctx}, Options(**OPTS))
     re_expanded = expand(compacted, Options(**OPTS))
     assert re_expanded == expanded
+
+
+@given(_doc)
+@settings(max_examples=80, deadline=None)
+def test_to_rdf_from_rdf_roundtrip_isomorphic(doc):
+    """to_rdf(from_rdf(to_rdf(doc))) must be dataset-isomorphic to
+    to_rdf(doc): the serializer pair loses nothing for any generated
+    document (the reference proves this only on fixtures)."""
+    from jsonld_ex_spark.core.api import from_rdf
+    from jsonld_ex_spark.core.nquads import isomorphic
+    from jsonld_ex_spark.core.to_rdf import expanded_to_rdf
+
+    options = Options(**OPTS)
+    quads = to_rdf(doc, options)
+    back = from_rdf(quads, Options(**OPTS))
+    quads2 = expanded_to_rdf(expand(back, Options(**OPTS)), Options(**OPTS))
+    assert isomorphic(set(map(tuple, quads)), set(map(tuple, quads2)))
+
+
+@given(_doc, st.randoms())
+@settings(max_examples=80, deadline=None)
+def test_expansion_invariant_under_key_insertion_order(doc, rnd):
+    """Unordered-mode expansion must not depend on dict insertion order
+    (the engine iterates keys sorted — the determinism that makes
+    distributed runs reproducible regardless of upstream JSON parsing)."""
+
+    def shuffle_keys(obj):
+        if isinstance(obj, dict):
+            items = [(k, shuffle_keys(v)) for k, v in obj.items()]
+            rnd.shuffle(items)
+            return dict(items)
+        if isinstance(obj, list):
+            return [shuffle_keys(v) for v in obj]
+        return obj
+
+    options = Options(**OPTS)
+    a = expand(doc, options)
+    b = expand(shuffle_keys(doc), Options(**OPTS))
+    assert a == b
