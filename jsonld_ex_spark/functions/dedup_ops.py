@@ -59,10 +59,12 @@ def _shingles(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) ->
     (boilerplate headers/footers) are dropped BEFORE any self-join.
 
     Scale rationale: the candidate self-join is keyed on shingle, so one
-    hot shingle makes a quadratic bucket.  The hot list is tiny by
-    definition (only shingles above the cap), so it broadcasts and the
-    filter is a broadcast anti-join — no extra shuffle beyond the DF
-    aggregation, which reuses the same shingle key.
+    hot shingle makes a quadratic bucket.  The anti-join against the
+    hot list is left UNHINTED: at test scale Catalyst broadcasts it
+    (few rows), while at web scale the absolute count of >cap shingles
+    can reach GBs and AQE picks a shuffle anti-join on the same shingle
+    key the DF aggregation already uses — forcing broadcast here would
+    be the wrong call at exactly the scale the cap exists for.
     """
     d = _docs(spark, sf_dir)
     words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -82,7 +84,7 @@ def _shingles(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) ->
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    return base.join(F.broadcast(hot), "shingle", "left_anti")
+    return base.join(hot, "shingle", "left_anti")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
