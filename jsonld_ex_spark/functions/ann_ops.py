@@ -106,7 +106,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    qs = q.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"))
+    # broadcast ONLY the query vectors (vec_id < N_QUERIES) — the join
+    # key restricts to them anyway, and at scale a full-table broadcast
+    # is an executor OOM
+    qs = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
     cs = q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"))
     scored = (
         cand.join(F.broadcast(qs), "query_id")
@@ -164,7 +169,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    qs = q.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"))
+    # broadcast ONLY the query vectors (vec_id < N_QUERIES) — the join
+    # key restricts to them anyway, and at scale a full-table broadcast
+    # is an executor OOM
+    qs = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
     cs = q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"))
     scored2 = (
         cand.join(F.broadcast(qs), "query_id")
