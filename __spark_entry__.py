@@ -41,13 +41,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(jsonld_ops.queries())
     q.update(stream_pipeline.queries())
     try:
-        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
+        from jsonld_ex_spark.functions import (
+            ann_ops,
+            corpus_ops,
+            dedup_ops,
+            multimodal_ops,
+            relational_ops,
+            text_ops,
+        )
 
         q.update(text_ops.queries())
         q.update(dedup_ops.queries())
         q.update(ann_ops.queries())
         q.update(relational_ops.queries())
         q.update(multimodal_ops.queries())
+        q.update(corpus_ops.queries())
     except ImportError:
         pass
     return q
@@ -73,13 +81,21 @@ def oracle_sql() -> dict[str, str]:
     o.update(jsonld_ops.oracle_sql())
     o.update(stream_pipeline.oracle_sql())
     try:
-        from jsonld_ex_spark.functions import text_ops, dedup_ops, ann_ops, relational_ops, multimodal_ops
+        from jsonld_ex_spark.functions import (
+            ann_ops,
+            corpus_ops,
+            dedup_ops,
+            multimodal_ops,
+            relational_ops,
+            text_ops,
+        )
 
         o.update(text_ops.oracle_sql())
         o.update(dedup_ops.oracle_sql())
         o.update(ann_ops.oracle_sql())
         o.update(relational_ops.oracle_sql())
         o.update(multimodal_ops.oracle_sql())
+        o.update(corpus_ops.oracle_sql())
     except ImportError:
         pass
     return o

@@ -1,0 +1,127 @@
+"""Corpus-curation composites: the end-of-pipeline keep/drop decisions a
+training-data pipeline actually ships — composed from the gated signal
+operators (text_ops, dedup_ops) so every input is itself oracle-checked.
+
+* corpus_filter — quality gate: per-document keep flag + the FIRST
+  failing rule as the reason (filter decisions must be auditable;
+  a bare boolean is not).
+* sample_stratified — deterministic hash sampling with per-language
+  rates (downsample the dominant language): md5-derived byte ∈ [0,256)
+  compared against the stratum's threshold.  Re-runs, retries, and
+  engines agree row-for-row — no rand() anywhere.
+
+Everything is JVM-side expression work over the existing signal
+queries; the composition itself adds no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MIN_TOKENS = 5
+MAX_CHARS = 20_000
+KEEP_LANG = "en"
+
+# stratum → keep-threshold byte (out of 256): en is downsampled to 50%,
+# everything else kept
+LANG_RATES = {"en": 128, "de": 256, "es": 256, "fr": 256}
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per document with an auditable reason.
+
+    Rules (first failure wins): too_few_tokens (< MIN_TOKENS),
+    too_long (≥ MAX_CHARS), wrong_lang (≠ KEEP_LANG), duplicate
+    (not the canonical doc of its exact-dup group), else ok.
+    """
+    from jsonld_ex_spark.functions.dedup_ops import dedup_exact
+    from jsonld_ex_spark.functions.text_ops import text_langid, text_tokens
+
+    tokens = text_tokens(spark, sf_dir).select("doc_id", "n_tokens", "n_chars_actual")
+    lang = text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    canon = dedup_exact(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical")
+    )
+    joined = tokens.join(lang, "doc_id").join(canon, "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_few_tokens"))
+        .when(F.col("n_chars_actual") >= MAX_CHARS, F.lit("too_long"))
+        .when(F.col("lang_pred") != KEEP_LANG, F.lit("wrong_lang"))
+        .when(~F.col("is_canonical"), F.lit("duplicate"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: keep iff the first md5 byte
+    of the doc_id is below the stratum's threshold."""
+    from jsonld_ex_spark.functions.text_ops import text_langid
+
+    lang = text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    expr = None
+    for lg, t in sorted(LANG_RATES.items()):
+        cond = F.col("lang_pred") == lg
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    thresh = expr.otherwise(F.lit(256))
+    return lang.select(
+        "doc_id",
+        "lang_pred",
+        h.alias("hash_byte"),
+        (h < thresh).alias("sampled"),
+    )
+
+
+def queries():
+    return {
+        "corpus_filter": corpus_filter,
+        "sample_stratified": sample_stratified,
+    }
+
+
+def oracle_sql():
+    from jsonld_ex_spark.functions.dedup_ops import oracle_sql as dedup_oracles
+    from jsonld_ex_spark.functions.text_ops import oracle_sql as text_oracles
+
+    tokens_sql = text_oracles()["text_tokens"]
+    lang_sql = text_oracles()["text_langid"]
+    exact_sql = dedup_oracles()["dedup_exact"]
+    return {
+        "corpus_filter": f"""
+            WITH tok AS ({tokens_sql}),
+            lng AS ({lang_sql}),
+            can AS (SELECT doc_id, doc_id = canonical_doc_id AS is_canonical FROM ({exact_sql})),
+            j AS (
+              SELECT t.doc_id, t.n_tokens, t.n_chars_actual, l.lang_pred, c.is_canonical
+              FROM tok t JOIN lng l ON l.doc_id = t.doc_id JOIN can c ON c.doc_id = t.doc_id
+            ),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_few_tokens'
+                          WHEN n_chars_actual >= {MAX_CHARS} THEN 'too_long'
+                          WHEN lang_pred <> '{KEEP_LANG}' THEN 'wrong_lang'
+                          WHEN NOT is_canonical THEN 'duplicate'
+                          ELSE 'ok' END AS reason
+              FROM j
+            )
+            SELECT doc_id, reason, reason = 'ok' AS keep FROM r""",
+        "sample_stratified": f"""
+            WITH lng AS ({lang_sql}),
+            h AS (
+              SELECT doc_id, lang_pred,
+                     CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS hash_byte
+              FROM lng
+            )
+            SELECT doc_id, lang_pred, hash_byte,
+                   hash_byte < CASE lang_pred
+                     {" ".join(f"WHEN '{lg}' THEN {t}" for lg, t in sorted(LANG_RATES.items()))}
+                     ELSE 256 END AS sampled
+            FROM h""",
+    }
