@@ -209,12 +209,88 @@ WHERE window_start + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED streaming sessionization: ``session_window`` (30-min
+    gap) per user through the real streaming engine — the canonical
+    stateful-merge operator (sessions GROW as events arrive; state is
+    merged, not keyed by a fixed window).
+
+    Emission is exactly predictable like stream_events_by_window:
+    append mode finalizes a session when the watermark passes its end
+    (last event + gap), so the DuckDB oracle is plain gaps-and-islands
+    SQL + the same cutoff predicate.  Session-merge boundary semantics
+    verified against Spark: a gap of EXACTLY 30min starts a NEW session
+    (merge requires next.ts < prev.ts + gap), hence ``>= gap`` breaks.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    in_dir = tempfile.mkdtemp(prefix="sess_in_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
+    agg = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(in_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+STREAM_SESSIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT session_start, session_end, user_id, n_events
+FROM sess, (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events) w
+WHERE session_end <= w.wm
+"""
+
+
 def queries():
-    return {"stream_events_by_window": stream_events_by_window}
+    return {
+        "stream_events_by_window": stream_events_by_window,
+        "stream_user_sessions": stream_user_sessions,
+    }
 
 
 def oracle_sql():
-    return {"stream_events_by_window": STREAM_WINDOW_ORACLE}
+    return {
+        "stream_events_by_window": STREAM_WINDOW_ORACLE,
+        "stream_user_sessions": STREAM_SESSIONS_ORACLE,
+    }
 
 
 def stream_user_running_totals(
