@@ -14,6 +14,7 @@ quantization for cross-engine exactness).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
@@ -101,9 +102,152 @@ def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["events"], _Q_SETOPS)
 
 
+def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN — an operator Spark lacks natively: for each 'error'
+    event, the same user's most recent 'purchase' at-or-before it.
+
+    Implementation is the distributed union+window shape: tag both
+    sides, union, ONE shuffle on (user_id) with an ordered window, and
+    `last(purchase_cols, ignorenulls=True)` carries the running most-
+    recent build row to each probe row.  No join explosion — cost is
+    one sort per user partition, the right shape at any scale (a naive
+    range join would be quadratic per key).
+
+    Ties: a purchase at the EXACT error timestamp counts (at-or-before
+    is inclusive) — the union sort orders build rows before probe rows
+    at equal ts; the build side is pre-deduped to one row per
+    (user_id, ts) (max event_id) so both engines are deterministic.
+    The DuckDB oracle is the engine's NATIVE ASOF JOIN — an independent
+    implementation of the same semantics.
+    """
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", F.col("ts").alias("t"), "purchase_id", F.lit(1).alias("is_build"),
+                F.lit(None).cast("long").alias("probe_id"))
+    )
+    probe = e.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("is_build"),
+        F.col("event_id").alias("probe_id"),
+    )
+    u = build.unionByName(probe)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_build"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "user_id", "t", "is_build", "probe_id",
+        F.last("purchase_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.last(F.when(F.col("is_build") == 1, F.col("t")), ignorenulls=True).over(w).alias("purchase_ts"),
+    )
+    return (
+        carried.where((F.col("is_build") == 0) & F.col("purchase_id").isNotNull())
+        .select(
+            F.col("probe_id").alias("event_id"),
+            "user_id",
+            F.col("t").alias("error_ts"),
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+
+
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes in microseconds
+
+
+def range_join_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN — the other operator Spark lacks natively: unordered
+    pairs of same-user events within 5 minutes of each other.
+
+    A naive |Δt| < W self-join is quadratic per user.  The distributed
+    shape is BUCKETIZATION: assign each event to a W-wide time bucket;
+    any qualifying pair's buckets differ by ≤ 1, so exploding ONE side
+    into (bucket, bucket+1) turns the range predicate into an equi-join
+    on (user_id, bucket) with a cheap exact |Δt| post-filter — candidate
+    volume is O(events per (user, 2W) window), not O(events²).
+    The DuckDB oracle is the naive inequality join (exact at test
+    scale), independently validating the bucketed rewrite.
+    """
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+        # cast is identity under the UTC session timezone
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    a = e.select(
+        "user_id", F.col("event_id").alias("event_a"), F.col("t_us").alias("t_a"),
+        F.floor(F.col("t_us") / RANGE_WINDOW_US).alias("jb"),
+    )
+    b = e.select(
+        "user_id", F.col("event_id").alias("event_b"), F.col("t_us").alias("t_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t_us") / RANGE_WINDOW_US),
+                F.floor(F.col("t_us") / RANGE_WINDOW_US) + 1,
+            )
+        ).alias("jb"),
+    )
+    # a pair with Δbucket = ±1 matches the equi-join in only ONE
+    # orientation — canonicalize (least, greatest) AFTER the join rather
+    # than filtering on the join orientation, or half the cross-bucket
+    # pairs vanish
+    joined = a.join(b, on=["user_id", "jb"]).where(
+        (F.col("event_a") != F.col("event_b"))
+        & (F.abs(F.col("t_b") - F.col("t_a")) < RANGE_WINDOW_US)
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.least("event_a", "event_b").alias("event_a_c"),
+            F.greatest("event_a", "event_b").alias("event_b_c"),
+            F.when(F.col("event_a") < F.col("event_b"), F.col("t_b") - F.col("t_a"))
+            .otherwise(F.col("t_a") - F.col("t_b"))
+            .alias("delta_us"),
+        )
+        .dropDuplicates(["event_a_c", "event_b_c"])
+        .select(
+            "user_id",
+            F.col("event_a_c").alias("event_a"),
+            F.col("event_b_c").alias("event_b"),
+            "delta_us",
+        )
+    )
+
+
+_Q_RANGE_ORACLE = f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) < {RANGE_WINDOW_US}
+"""
+
+
+_Q_ASOF_ORACLE = """
+WITH probe AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+build AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts AS error_ts, b.purchase_id, b.ts AS purchase_ts
+FROM probe p ASOF JOIN build b ON p.user_id = b.user_id AND p.ts >= b.ts
+"""
+
+
 def queries():
     return {
         "tpch_q1": tpch_q1,
+        "asof_purchase_before_error": asof_purchase_before_error,
+        "range_join_copresence": range_join_copresence,
         "join_customer_geo": join_customer_geo,
         "window_running_spend": window_running_spend,
         "topk_customers": topk_customers,
@@ -115,6 +259,8 @@ def queries():
 def oracle_sql():
     return {
         "tpch_q1": _Q1,
+        "asof_purchase_before_error": _Q_ASOF_ORACLE,
+        "range_join_copresence": _Q_RANGE_ORACLE,
         "join_customer_geo": _Q_JOIN,
         "window_running_spend": _Q_WINDOW,
         "topk_customers": _Q_TOPK,
