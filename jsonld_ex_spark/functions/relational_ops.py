@@ -159,6 +159,67 @@ def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style CONTINUOUS-AGGREGATE rollup: hourly aggregates
+    computed FROM the minutely partial aggregates, never from raw rows
+    — the TimescaleDB continuous-aggregate pattern that makes
+    multi-resolution time series O(partials) instead of O(raw) per
+    refresh.  Only COMPOSABLE stats (count/sum/min/max — no distincts)
+    so the two-level result is exactly the direct aggregate; the DuckDB
+    oracle computes hourly DIRECTLY from raw rows, proving the partial
+    composition is lossless.
+    """
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.expr("cast(round(value * 100) as long)")
+    minutely = e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    return (
+        minutely.groupBy(
+            F.date_trunc("hour", "minute_start").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("total_value_c"),
+            F.min("mn").alias("min_value_c"),
+            F.max("mx").alias("max_value_c"),
+        )
+    )
+
+
+_Q_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_c,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_c
+FROM events GROUP BY 1, 2
+"""
+
+# grouping sets: one shared SQL text (beyond the reference, which has no
+# relational layer at all — SURVEY §2.2 'not needed'; provided anyway
+# for full relational-category coverage)
+_Q_CUBE = """
+SELECT event_type,
+       date_trunc('day', ts) AS day_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_c
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+
+def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (grouping sets): per (type, day), per type, and
+    grand total in one pass — identical SQL text runs on both engines."""
+    return _sql(spark, sf_dir, ["events"], _Q_CUBE)
+
+
 RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes in microseconds
 
 
@@ -248,6 +309,8 @@ def queries():
         "tpch_q1": tpch_q1,
         "asof_purchase_before_error": asof_purchase_before_error,
         "range_join_copresence": range_join_copresence,
+        "rollup_hypertable": rollup_hypertable,
+        "events_rollup_sets": events_rollup_sets,
         "join_customer_geo": join_customer_geo,
         "window_running_spend": window_running_spend,
         "topk_customers": topk_customers,
@@ -261,6 +324,8 @@ def oracle_sql():
         "tpch_q1": _Q1,
         "asof_purchase_before_error": _Q_ASOF_ORACLE,
         "range_join_copresence": _Q_RANGE_ORACLE,
+        "rollup_hypertable": _Q_ROLLUP_ORACLE,
+        "events_rollup_sets": _Q_CUBE,
         "join_customer_geo": _Q_JOIN,
         "window_running_spend": _Q_WINDOW,
         "topk_customers": _Q_TOPK,
