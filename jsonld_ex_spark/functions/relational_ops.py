@@ -206,11 +206,11 @@ FROM events GROUP BY 1, 2
 # for full relational-category coverage)
 _Q_CUBE = """
 SELECT event_type,
-       date_trunc('day', ts) AS day_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_c
 FROM events
-GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
 """
 
 
