@@ -168,3 +168,26 @@ def test_aqe_splits_skewed_join_partitions(spark):  # noqa: F811
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_temporal_join_plan_shapes(spark):  # noqa: F811
+    """as-of join: exactly ONE exchange (user_id window), no join
+    operator at all — it's a union+window rewrite.  range join: pure
+    equi-join (SortMergeJoin/ShuffledHashJoin on (user_id, bucket)),
+    never a CartesianProduct or BroadcastNestedLoopJoin."""
+    from jsonld_ex_spark.functions.relational_ops import (
+        asof_purchase_before_error,
+        range_join_copresence,
+    )
+
+    asof_plan = _plan(asof_purchase_before_error(spark, SF))
+    assert "Join" not in asof_plan, asof_plan  # window rewrite, no join op
+    # build-side (user_id, ts) dedup agg + the user_id window = 2 exchanges
+    assert asof_plan.count("Exchange hashpartitioning") <= 2
+
+    range_plan = _plan(range_join_copresence(spark, SF))
+    assert "CartesianProduct" not in range_plan
+    assert "BroadcastNestedLoopJoin" not in range_plan
+    assert ("SortMergeJoin" in range_plan) or ("ShuffledHashJoin" in range_plan) or (
+        "BroadcastHashJoin" in range_plan  # tiny test input may broadcast
+    )
