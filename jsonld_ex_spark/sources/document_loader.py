@@ -249,6 +249,48 @@ def http_document_loader(options=None, cache: bool = True):
     return make_document_loader(cached_fetch() if cache else http_fetch, options)
 
 
+def inline_remote_contexts(doc, loader=None, max_depth: int = 8):
+    """DRIVER-SIDE context inlining: replace every remote ``@context``
+    URL in the document (recursively, including URLs inside fetched
+    contexts) with the fetched context value, so the document can be
+    shipped to executors that never perform I/O — the distribution
+    contract of operators/jsonld_ops.py.
+
+    Relative context refs inside a fetched remote context are resolved
+    against THAT context's URL (spec behavior) before recursing.
+    """
+    loader = loader or http_document_loader()
+
+    def resolve_ctx(ctx, base_url, depth):
+        if depth > max_depth:
+            raise JsonLdError(err.CONTEXT_OVERFLOW, "remote context nesting too deep")
+        if isinstance(ctx, str):
+            url = resolve_iri(base_url, ctx) if base_url else ctx
+            rd = loader(url)
+            fetched = rd.document.get("@context") if isinstance(rd.document, dict) else None
+            if fetched is None:
+                raise JsonLdError(err.INVALID_REMOTE_CONTEXT, url)
+            return resolve_ctx(fetched, rd.document_url, depth + 1)
+        if isinstance(ctx, list):
+            return [resolve_ctx(c, base_url, depth) for c in ctx]
+        return ctx  # dict / None: already inline
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "@context":
+                    out[k] = resolve_ctx(v, None, 0)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(doc)
+
+
 def file_loader(url: str) -> RemoteDocument:
     """Local-filesystem loader (reference: JSON.LD.read_file!/RDF
     serialization-format reading, lib/json_ld.ex:10).  Accepts plain

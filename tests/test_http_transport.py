@@ -146,3 +146,33 @@ def test_end_to_end_expand_with_http_context(base_url):
     doc = {"@context": f"{base_url}/ctx.jsonld", "name": "Alice"}
     out = expand(doc, Options(document_loader=http_document_loader()))
     assert out == [{"http://xmlns.com/foaf/0.1/name": [{"@value": "Alice"}]}]
+
+
+def test_inline_remote_contexts_enables_io_free_executors(base_url):
+    """Driver-side inlining replaces remote @context URLs (including a
+    remote context nested inside a fetched context) so expansion works
+    with NO loader at all — the executor distribution contract."""
+    from jsonld_ex_spark.core.api import expand as core_expand
+    from jsonld_ex_spark.core.context import Options
+    from jsonld_ex_spark.sources.document_loader import (
+        http_document_loader,
+        inline_remote_contexts,
+    )
+
+    doc = {"@context": f"{base_url}/ctx.jsonld", "name": "Ada",
+           "nested": {"@context": [f"{base_url}/ctx.jsonld"], "name": "Bob"}}
+    inlined = inline_remote_contexts(doc, loader=http_document_loader())
+    assert inlined["@context"] == CTX["@context"]  # URL replaced by value
+    # expansion WITHOUT any document loader == expansion WITH the loader
+    with_loader = core_expand(doc, Options(document_loader=http_document_loader()))
+    without_loader = core_expand(inlined, Options())
+    assert without_loader == with_loader
+
+
+def test_inline_remote_contexts_detects_loops(base_url):
+    from jsonld_ex_spark.core.errors import JsonLdError
+    from jsonld_ex_spark.sources.document_loader import inline_remote_contexts
+
+    # /loop is a redirect loop: the loader itself errors cleanly
+    with pytest.raises(JsonLdError):
+        inline_remote_contexts({"@context": f"{base_url}/loop", "x": 1})
