@@ -675,16 +675,24 @@ def compact_document(input_doc: Any, ctx: Any, options: Options) -> Any:
     return compact_expanded(expanded, ctx, options)
 
 
-def compact_expanded(expanded: Any, ctx: Any, options: Options, force_graph: bool = False) -> Any:
+def compact_expanded(
+    expanded: Any, ctx: Any, options: Options, force_graph: bool = False, active: Context | None = None
+) -> Any:
     """Compact an already-expanded document against ctx.
 
     force_graph: flattened output always keeps its nodes under @graph
-    (JSON.LD.flatten contract), even for a single node."""
+    (JSON.LD.flatten contract), even for a single node.
+    active: pass a pre-processed Context to skip per-document context
+    processing AND reuse its memoized inverse context — the shared-
+    vocabulary corpus path (operators/jsonld_ops.py caches one per
+    executor); the ctx argument is still used verbatim for the output
+    ``@context`` entry."""
     context = ctx
     if isinstance(context, dict) and "@context" in context:
         context = context["@context"]
-    active = Context(base_iri=options.base, original_base_url=options.base)
-    active = process_context(active, context, options, base_url=options.base)
+    if active is None:
+        active = Context(base_iri=options.base, original_base_url=options.base)
+        active = process_context(active, context, options, base_url=options.base)
 
     result = compact(active, None, expanded, options, options.compact_arrays, options.ordered)
     if result == []:

@@ -102,11 +102,22 @@ def flatten_column(
 def compact_column(
     df: DataFrame, context: dict, json_col: str = "doc", out_col: str = "compacted"
 ) -> DataFrame:
-    """Distributed JSON.LD.compact against a shared context."""
-    ctx_json = json.dumps(context)
-    return _doc_op_column(
-        df, json_col, out_col, lambda d: _compact(d, json.loads(ctx_json), Options())
-    )
+    """Distributed JSON.LD.compact against a SHARED context: the context
+    is processed once per executor and its inverse-context memo (the
+    expensive term-selection table) is built once and reused across
+    every document in the partition — not rebuilt per document."""
+    from jsonld_ex_spark.core.compaction import compact_expanded
+
+    ctx_json = json.dumps(context, sort_keys=True)
+    ctx_verbatim = json.dumps(context)
+
+    def fn(d):
+        options = Options()
+        active = _processed_context(ctx_json)
+        expanded = _expand(d, options)
+        return compact_expanded(expanded, json.loads(ctx_verbatim), options, active=active)
+
+    return _doc_op_column(df, json_col, out_col, fn)
 
 
 TRIPLE_OUT_SCHEMA = (
