@@ -81,9 +81,35 @@ def _doc_op_column(df: DataFrame, json_col: str, out_col: str, fn) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
-def expand_column(df: DataFrame, json_col: str = "doc", out_col: str = "expanded") -> DataFrame:
-    """Distributed JSON.LD.expand over a JSON string column."""
-    return _doc_op_column(df, json_col, out_col, lambda d: _expand(d, Options()))
+def expand_column(
+    df: DataFrame,
+    json_col: str = "doc",
+    out_col: str = "expanded",
+    context: dict | None = None,
+) -> DataFrame:
+    """Distributed JSON.LD.expand over a JSON string column.
+
+    ``context``: a SHARED context applied to documents that carry no
+    inline ``@context`` (the expandContext option) — processed once per
+    executor via the context cache instead of per document."""
+    if context is None:
+        return _doc_op_column(df, json_col, out_col, lambda d: _expand(d, Options()))
+    from jsonld_ex_spark.core.expansion import expand as expand_algo
+
+    ctx_json = json.dumps(context, sort_keys=True)
+
+    def fn(d):
+        if isinstance(d, dict) and "@context" in d:
+            return _expand(d, Options())
+        active = _processed_context(ctx_json)
+        result = expand_algo(active, None, d, Options())
+        if isinstance(result, dict) and set(result.keys()) == {"@graph"}:
+            result = result["@graph"]
+        if result is None:
+            return []
+        return result if isinstance(result, list) else [result]
+
+    return _doc_op_column(df, json_col, out_col, fn)
 
 
 def flatten_column(

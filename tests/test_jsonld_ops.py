@@ -108,3 +108,19 @@ def test_from_rdf_rows_inverts_to_rdf_rows(spark):  # noqa: F811
         expected = from_rdf_core(quads, Options())
         assert back[doc_id]["jsonld_error"] is None
         assert json.loads(back[doc_id]["doc"]) == expected
+
+
+def test_expand_column_shared_context(spark):  # noqa: F811
+    """expand_column(context=...) applies the shared context to docs
+    without an inline @context (cached per executor) and must equal the
+    core API's expandContext option; docs WITH inline contexts keep
+    their own."""
+    bare = [{"name": "A"}, {"name": ["B", "C"], "knows": "http://ex.org/z"}]
+    with_ctx = {"@context": {"name": "http://other.example/name"}, "name": "D"}
+    docs = bare + [with_ctx]
+    df = _df(spark, docs)
+    rows = expand_column(df, context=CTX).orderBy("doc_id").collect()
+    for r, doc in zip(rows[:2], bare):
+        expected = expand(doc, Options(expand_context=CTX))
+        assert json.loads(r["expanded"]) == expected
+    assert json.loads(rows[2]["expanded"]) == expand(with_ctx, Options())
