@@ -28,7 +28,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from jsonld_ex_spark.core.api import compact as _compact
 from jsonld_ex_spark.core.api import expand as _expand
 from jsonld_ex_spark.core.api import flatten as _flatten
 from jsonld_ex_spark.core.context import Context, Options, process_context
