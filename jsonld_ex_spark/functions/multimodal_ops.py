@@ -133,11 +133,35 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup of the BINARY payload column: md5 over the raw
+    bytes (never decoding), group size + canonical doc per payload —
+    exact image/audio dedup at the storage layer, the cheapest dedup a
+    multimodal corpus gets (bytes stay columnar; only the 16-byte digest
+    shuffles)."""
+    from pyspark.sql.window import Window
+
+    # fingerprint the UPPERCASE-HEX form: DuckDB's md5 takes no BLOB
+    # argument, and hex() is uppercase in both engines (same trick as
+    # the frame fingerprints)
+    m = media_table(spark, sf_dir).select(
+        "doc_id", F.md5(F.hex("payload")).alias("payload_md5")
+    )
+    w = Window.partitionBy("payload_md5")
+    return m.select(
+        "doc_id",
+        "payload_md5",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+    )
+
+
 def queries():
     return {
         "media_metadata": media_metadata,
         "media_features": media_features,
         "media_frame_stats": media_frame_stats,
+        "media_dedup_payloads": media_dedup_payloads,
     }
 
 
@@ -176,6 +200,14 @@ def oracle_sql():
                    unnest(range(1, octet_length(encode(text)) * 2 + 1, {FRAME_SIZE * 2})) AS t(i)
               WHERE doc_id % 3 = 2
             ) GROUP BY doc_id""",
+        # payload is encode(text) by construction; fingerprint the
+        # uppercase-hex form (DuckDB md5 takes no BLOB)
+        "media_dedup_payloads": """
+            WITH f AS (SELECT doc_id, md5(hex(encode(text))) AS payload_md5 FROM documents)
+            SELECT doc_id, payload_md5,
+                   count(*) OVER (PARTITION BY payload_md5) AS group_size,
+                   min(doc_id) OVER (PARTITION BY payload_md5) AS canonical_doc_id
+            FROM f""",
         # byte % 8 == (low hex nibble) % 8, so the histogram is computable
         # from hex pairs without blob indexing (DuckDB lacks blob substring)
         "media_features": f"""

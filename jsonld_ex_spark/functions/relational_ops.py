@@ -220,6 +220,35 @@ def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["events"], _Q_CUBE)
 
 
+# gaps-and-islands sessionization — ONE SQL text for both engines, and
+# the BATCH twin of streaming/stream_pipeline.stream_user_sessions: the
+# same session definition computed three independent ways (streaming
+# engine state store, Spark SQL window functions, DuckDB) — see
+# tests/test_streaming.py for the streaming↔batch cross-validation
+_Q_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via gaps-and-islands windows."""
+    return _sql(spark, sf_dir, ["events"], _Q_SESSIONS)
+
+
 RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes in microseconds
 
 
@@ -310,6 +339,7 @@ def queries():
         "asof_purchase_before_error": asof_purchase_before_error,
         "range_join_copresence": range_join_copresence,
         "rollup_hypertable": rollup_hypertable,
+        "user_sessions_batch": user_sessions_batch,
         "events_rollup_sets": events_rollup_sets,
         "join_customer_geo": join_customer_geo,
         "window_running_spend": window_running_spend,
@@ -325,6 +355,7 @@ def oracle_sql():
         "asof_purchase_before_error": _Q_ASOF_ORACLE,
         "range_join_copresence": _Q_RANGE_ORACLE,
         "rollup_hypertable": _Q_ROLLUP_ORACLE,
+        "user_sessions_batch": _Q_SESSIONS,
         "events_rollup_sets": _Q_CUBE,
         "join_customer_geo": _Q_JOIN,
         "window_running_spend": _Q_WINDOW,

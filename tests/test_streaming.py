@@ -139,6 +139,30 @@ def test_stateful_state_survives_stream_restart(spark):  # noqa: F811
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_sessions_equal_batch_sessions(spark):  # noqa: F811
+    """The streaming engine's finalized sessions must equal the batch
+    gaps-and-islands sessions restricted to the watermark cutoff — the
+    same session definition computed by two independent engines (the
+    state store vs SQL window functions)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.functions.relational_ops import user_sessions_batch
+    from jsonld_ex_spark.streaming.stream_pipeline import stream_user_sessions
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream_user_sessions(spark, SF).collect()
+    }
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    wm = events.agg(F.max("ts")).first()[0] - __import__("datetime").timedelta(minutes=30)
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in user_sessions_batch(spark, SF).collect()
+        if r["session_end"] <= wm
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_stream_equals_batch(spark):  # noqa: F811
     tmp = tempfile.mkdtemp()
     try:
