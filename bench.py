@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "join_customer_geo",
     "window_running_spend",
     "events_by_type",
+    "asof_purchase_before_error",
+    "range_join_copresence",
+    "rollup_hypertable",
+    "user_sessions_batch",
+    "corpus_filter",
 ]
 
 
