@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jsonld_ex_spark.functions.vector_buckets import (
+    cells_sorted_expr,
+    centroids_row,
+    sign_buckets,
+)
+
 Q = 1000
 TOP_K = 5
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
@@ -71,25 +77,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sign_buckets(q: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) — per-band sign-bit bucket signature.
     Planes are the first N_PLANES vectors (deterministic, reproducible
-    in the oracle); the plane side is a broadcast (N_PLANES rows)."""
-    planes = q.where(F.col("vec_id") < N_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("qv").alias("p_qv")
-    )
-    return (
-        q.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            (F.col("plane_id") / PLANES_PER_BAND).cast("int").alias("band"),
-            F.when(
-                F.expr(_DOT.format(a="qv", b="p_qv")) > 0,
-                F.expr(f"shiftleft(cast(1 as long), cast(plane_id % {PLANES_PER_BAND} as int))"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bv"),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bv").alias("bucket"))
-    )
+    in the oracle), broadcast as ONE collect_list(struct) row; all band
+    buckets are computed per-vector in a single higher-order projection
+    (zero shuffle on the vector side — see vector_buckets.py)."""
+    return sign_buckets(q, N_PLANES, PLANES_PER_BAND)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,28 +131,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured on the fixtures: recall@5 = 0.94/0.92 scanning ~25% of the
     corpus.  At 100 TB: centroid count scales with corpus (cells ≈
-    √n), the cell assignment is one broadcast-join pass, and the probe
-    join is an equi-join on cell id — same distributed shape as LSH but
-    with data-adaptive partitioning of the vector space.
+    √n), the cell assignment is a zero-shuffle per-vector projection
+    against ONE broadcast centroid-array row (see vector_buckets.py —
+    no 16×n window shuffle), and the probe join is an equi-join on cell
+    id — same distributed shape as LSH but with data-adaptive
+    partitioning of the vector space.
     """
     q = _qvecs(spark, sf_dir)
-    cents = q.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("c_qv"),
-        F.expr(_DOT.format(a="qv", b="qv")).alias("cnorm"),
+    cents = centroids_row(q, N_CENTROIDS)
+    # per-vector sorted cells (l2s asc, cent_id asc) in ONE projection —
+    # exact same ordering the former row_number window produced
+    assigned = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", F.expr(cells_sorted_expr()).alias("cells_sorted")
     )
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (F.col("cnorm") - 2 * F.expr(_DOT.format(a="qv", b="c_qv"))).alias("l2s"),
+    cells = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.expr("cells_sorted[0].cent_id").alias("cell"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("l2s"), F.asc("cent_id"))
-    ranked = scored.withColumn("r", F.row_number().over(w))
-    cells = ranked.where(F.col("r") == 1).select(
-        F.col("vec_id").alias("cand_id"), F.col("cent_id").alias("cell")
-    )
-    probes = ranked.where((F.col("r") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell")
+    probes = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.expr(f"transform(slice(cells_sorted, 1, {N_PROBE}), c -> c.cent_id)")
+        ).alias("cell"),
     )
     cand = (
         probes.join(cells, on="cell")

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jsonld_ex_spark.functions.vector_buckets import sign_buckets
+
 N_MINHASH_SEEDS = 12
 N_BANDS = 4  # 3 rows per band
 JACCARD_THRESHOLD = 0.5
@@ -244,25 +246,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     q = _qvecs_with_norm(spark, sf_dir)
     rows_per_band = COS_PLANES // COS_BANDS
-    planes = q.where(F.col("vec_id") < COS_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("qv").alias("p_qv")
-    )
-    buckets = (
-        q.select("vec_id", "qv")
-        .crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            (F.col("plane_id") / rows_per_band).cast("int").alias("band"),
-            F.when(
-                F.expr(_DOT_EXPR.format(a="qv", b="p_qv")) > 0,
-                F.expr(f"shiftleft(cast(1 as long), cast(plane_id % {rows_per_band} as int))"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bv"),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bv").alias("bucket"))
-    )
+    # planes broadcast as ONE collect_list(struct) row; all band buckets
+    # computed per-vector in a single higher-order projection — zero
+    # shuffle on the vector side (see vector_buckets.py)
+    buckets = sign_buckets(q.select("vec_id", "qv"), COS_PLANES, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
