@@ -279,38 +279,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Dat
     actual deliverable of a dedup pipeline (drop rows where
     NOT is_canonical).
 
-    Execution is iterative min-label propagation — the standard
-    driver-coordinated superstep shape (GraphX/GraphFrames CC does the
-    same): labels start at doc_id; each superstep every node takes the
-    min of its label and its neighbors' labels; converged when no label
-    changes.  Each superstep is one shuffle keyed on doc_id; iteration
-    count is bounded by the component diameter (near-dup clusters are
-    shallow — a handful of supersteps), and the convergence check is a
-    count() action, not a data collect.  Deterministic at any
-    parallelism.
+    Execution is iterative min-label propagation WITH pointer-doubling
+    shortcutting — the standard driver-coordinated superstep shape
+    (GraphX/GraphFrames CC), hardened for long chains: each superstep a
+    node takes min(own label, neighbors' labels, label-of-its-label).
+    The extra label(label) hop is pointer jumping over the min-parent
+    forest, so convergence is O(log diameter) supersteps instead of
+    O(diameter) — a planted 1,000-node chain converges in ≤12 supersteps
+    (tests/test_dedup_scale.py).  Each superstep is two shuffles keyed
+    on doc_id; the convergence check is a count() action, not a data
+    collect; raises RuntimeError if max_iters passes without a fixpoint
+    (partially-propagated labels would silently corrupt is_canonical,
+    which jobs/curate_corpus.py uses to DROP documents).  Deterministic
+    at any parallelism — the fixpoint is the unique per-component min.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    result, _ = _connected_components(labels, edges, max_iters=max_iters)
+    return result
+
+
+def _connected_components(
+    labels: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> tuple[DataFrame, int]:
+    """Min-label propagation + pointer-doubling over a symmetric edge
+    list.  ``labels``: (doc_id, cluster_id=doc_id); ``edges``:
+    (src, dst) with both directions present.  Returns (labels with
+    is_canonical, supersteps used); raises on non-convergence.
+
+    Lineage is truncated per superstep with localCheckpoint: the
+    pointer-doubling self-join references the superstep plan TWICE, so
+    without truncation the logical plan doubles every iteration and
+    Catalyst itself OOMs long before the data does.  (For
+    fault-tolerant production runs swap in reliable checkpointing via
+    sparkContext.setCheckpointDir — same plan shape.)"""
     edges = edges.repartition("dst").cache()
-    labels = _docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    labels.count()
-    for _ in range(max_iters):
+    labels = labels.localCheckpoint(eager=True)
+    changed = -1
+    used = 0
+    for it in range(max_iters):
+        used = it + 1
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        cand = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        # pointer doubling: follow the label chain one extra hop
+        # (label(label) ≤ label since labels only decrease) — this is
+        # what makes long chains converge in O(log diameter)
+        parent = cand.select(
+            F.col("doc_id").alias("p_doc"), F.col("cluster_id").alias("p_lbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            cand.join(parent, cand["cluster_id"] == parent["p_doc"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                F.least(F.col("cluster_id"), F.coalesce("p_lbl", F.col("cluster_id"))).alias(
                     "cluster_id"
                 ),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -318,13 +357,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Dat
             .where(F.col("n.cluster_id") < F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} supersteps "
+            f"({changed} labels still changing) — raise max_iters"
+        )
+    return (
+        labels.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        ),
+        used,
     )
 
 

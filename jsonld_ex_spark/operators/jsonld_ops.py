@@ -88,18 +88,20 @@ def expand_column(
 ) -> DataFrame:
     """Distributed JSON.LD.expand over a JSON string column.
 
-    ``context``: a SHARED context applied to documents that carry no
-    inline ``@context`` (the expandContext option) — processed once per
-    executor via the context cache instead of per document."""
+    ``context``: a SHARED context (the expandContext option) applied to
+    EVERY document as the base active context — documents with an inline
+    ``@context`` layer it on top inside the expansion algorithm, exactly
+    like the reference's expand_context handling (lib/json_ld.ex);
+    processed once per executor via the context cache, not per document."""
     if context is None:
         return _doc_op_column(df, json_col, out_col, lambda d: _expand(d, Options()))
-    from jsonld_ex_spark.core.expansion import expand as expand_algo
 
+    # mirror api._initial_context: an {"@context": ...} wrapper is unwrapped
+    if isinstance(context, dict) and "@context" in context:
+        context = context["@context"]
     ctx_json = json.dumps(context, sort_keys=True)
 
     def fn(d):
-        if isinstance(d, dict) and "@context" in d:
-            return _expand(d, Options())
         active = _processed_context(ctx_json)
         result = expand_algo(active, None, d, Options())
         if isinstance(result, dict) and set(result.keys()) == {"@graph"}:
@@ -167,14 +169,26 @@ def to_rdf_rows(df: DataFrame, json_col: str = "doc", doc_id_col: str = "doc_id"
                 doc_id = int(doc_id)
                 try:
                     doc = json.loads(raw)
-                    ctx = doc.get("@context")
-                    active = (
-                        _processed_context(json.dumps(ctx, sort_keys=True))
-                        if ctx is not None
-                        else Context()
-                    )
-                    body = {k: v for k, v in doc.items() if k != "@context"}
+                    if isinstance(doc, dict):
+                        ctx = doc.get("@context")
+                        active = (
+                            _processed_context(json.dumps(ctx, sort_keys=True))
+                            if ctx is not None
+                            else Context()
+                        )
+                        body = {k: v for k, v in doc.items() if k != "@context"}
+                    else:
+                        # valid top-level JSON-LD may be an array (expand
+                        # each item; inline contexts handled inside the
+                        # algorithm) or a scalar/null (expands to nothing)
+                        active, body = Context(), doc
                     expanded = expand_algo(active, None, body, options)
+                    if isinstance(expanded, dict) and set(expanded.keys()) == {"@graph"}:
+                        expanded = expanded["@graph"]
+                    if expanded is None:
+                        expanded = []
+                    elif not isinstance(expanded, list):
+                        expanded = [expanded]
                     generator = BlankNodeGenerator(skolem_prefix=f"{doc_id}.")
                     nm = node_map(expanded, generator)
                     quads = to_rdf_from_node_map(nm, options, generator)
@@ -187,8 +201,17 @@ def to_rdf_rows(df: DataFrame, json_col: str = "doc", doc_id_col: str = "doc_id"
                             is_iri, dt, lang = True, None, None
                         graph = (g[1] if g[0] == "iri" else "_:" + g[1]) if g is not None else None
                         out.append((doc_id, subj, p[1], obj, is_iri, dt, lang, graph))
-                except (JsonLdError, ValueError) as e:
-                    code = e.code if isinstance(e, JsonLdError) else f"invalid JSON: {e}"
+                except (JsonLdError, ValueError, AttributeError, TypeError) as e:
+                    # AttributeError/TypeError: malformed-but-parseable JSON
+                    # shapes the spec algorithms reject structurally — the
+                    # per-document quarantine contract still holds (one
+                    # marker triple, never a job kill)
+                    if isinstance(e, JsonLdError):
+                        code = e.code
+                    elif isinstance(e, ValueError):
+                        code = f"invalid JSON: {e}"
+                    else:
+                        code = f"invalid document: {e}"
                     out.append((doc_id, f"urn:doc:{doc_id}", QUARANTINE_PRED, code,
                                 False, None, None, None))
             yield pd.DataFrame(out, columns=cols)

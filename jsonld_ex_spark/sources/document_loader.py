@@ -231,15 +231,22 @@ def http_fetch(
 def cached_fetch(fetch: Fetch = http_fetch, max_entries: int = 512) -> Fetch:
     """Memoize a transport by URL (driver-side context cache).  Contexts
     like schema.org are referenced by millions of rows; they must be
-    fetched once per driver, never per task."""
+    fetched once per driver, never per task.
+
+    Only successful responses (status < 400) are memoized: a transient
+    4xx/5xx fetching a shared remote context must NOT be pinned for the
+    driver's lifetime — the next document referencing it retries."""
     cache: dict[str, HttpResponse] = {}
 
     def f(url: str) -> HttpResponse:
-        if url not in cache:
-            if len(cache) >= max_entries:
-                cache.pop(next(iter(cache)))  # FIFO eviction — bounded memory
-            cache[url] = fetch(url)
-        return cache[url]
+        got = cache.get(url)
+        if got is None:
+            got = fetch(url)
+            if got.status < 400:
+                if len(cache) >= max_entries:
+                    cache.pop(next(iter(cache)))  # FIFO eviction — bounded memory
+                cache[url] = got
+        return got
 
     return f
 

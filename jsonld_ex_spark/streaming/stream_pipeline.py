@@ -140,11 +140,52 @@ def stream_windowed_event_counts(
     )
 
 
+def _run_gated_stream(spark: SparkSession, sf_dir: str, build_agg, prefix: str) -> DataFrame:
+    """Run an availableNow append-mode streaming aggregation through a
+    PRODUCTION-SHAPED sink: foreachBatch → parquet, then read the output
+    table back.  No memory sink (the round-2 gated queries collected
+    results to the driver through one — fine for 3k rows, the wrong
+    pattern to let leak into real jobs), queries are stopped, and the
+    staged input + checkpoint are removed immediately after termination
+    (the output dir lives until interpreter exit because the returned
+    DataFrame scans it lazily)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    in_dir, ckpt, out_dir = f"{root}/in", f"{root}/ckpt", f"{root}/out"
+    # FileStreamSource needs a DIRECTORY; stage the single parquet file
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
+    agg = build_agg(spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
 def stream_events_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-GATED streaming query: availableNow windowed aggregation
     over the events table through the real Structured Streaming engine
-    (watermark, state store, append-mode finalization), returned as the
-    memory-sink table.
+    (watermark, state store, append-mode finalization), sunk via
+    foreachBatch → parquet (the production shape) and read back.
 
     Append-mode semantics make the result exactly predictable: with all
     files in one batch, the final flush emits precisely the windows
@@ -154,42 +195,25 @@ def stream_events_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming engine itself under the hash-exact correctness gate
     instead of the usual rows-only check.
     """
-    import shutil
-    import tempfile
-    import uuid
 
-    name = f"evw_{uuid.uuid4().hex[:10]}"
-    ckpt = tempfile.mkdtemp(prefix="evw_ckpt_")
-    # FileStreamSource needs a DIRECTORY; stage the single parquet file
-    in_dir = tempfile.mkdtemp(prefix="evw_in_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
-    agg = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .parquet(in_dir)
-        .withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.expr("cast(round(value * 100) as long)")).alias("total_value_c"),
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("cast(round(value * 100) as long)")).alias("total_value_c"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value_c",
+            )
         )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "total_value_c",
-        )
-    )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    return spark.sql(f"SELECT * FROM {name}")
+
+    return _run_gated_stream(spark, sf_dir, build, "evw_")
 
 
 STREAM_WINDOW_ORACLE = """
@@ -221,38 +245,23 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL + the same cutoff predicate.  Session-merge boundary semantics
     verified against Spark: a gap of EXACTLY 30min starts a NEW session
     (merge requires next.ts < prev.ts + gap), hence ``>= gap`` breaks.
+    Sunk via foreachBatch → parquet (production shape) and read back.
     """
-    import shutil
-    import tempfile
-    import uuid
 
-    name = f"sess_{uuid.uuid4().hex[:10]}"
-    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
-    in_dir = tempfile.mkdtemp(prefix="sess_in_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
-    agg = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .parquet(in_dir)
-        .withWatermark("ts", "30 minutes")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "user_id",
-            "n_events",
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
         )
-    )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    return spark.sql(f"SELECT * FROM {name}")
+
+    return _run_gated_stream(spark, sf_dir, build, "sess_")
 
 
 STREAM_SESSIONS_ORACLE = """

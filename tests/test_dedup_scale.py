@@ -119,3 +119,38 @@ def test_dedup_clusters_transitive_components(spark, tmp_path):  # noqa: F811
     assert rows[0]["cluster_id"] == rows[1]["cluster_id"] == rows[2]["cluster_id"] == 0
     assert rows[3]["cluster_id"] == 3 and rows[3]["is_canonical"]
     assert rows[0]["is_canonical"] and not rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):  # noqa: F811
+    """Pointer-doubling hardening: a planted 1,000-node CHAIN (diameter
+    999 — the worst case for plain min-label propagation, which needs
+    one superstep per hop) must converge in <= 12 supersteps."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.functions.dedup_ops import _connected_components
+
+    n = 1000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"), F.col("id").alias("cluster_id"))
+    fwd = spark.range(n - 1).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels, used = _connected_components(nodes, edges, max_iters=12)
+    rows = labels.collect()
+    assert used <= 12
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_connected_components_raises_on_non_convergence(spark):  # noqa: F811
+    """Exhausting max_iters without a fixpoint must raise, never return
+    partially-propagated labels (curate_corpus drops rows by
+    is_canonical — silent corruption is the failure mode)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.functions.dedup_ops import _connected_components
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"), F.col("id").alias("cluster_id"))
+    fwd = spark.range(n - 1).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _connected_components(nodes, edges, max_iters=2)

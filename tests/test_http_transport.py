@@ -13,6 +13,7 @@ import pytest
 
 from jsonld_ex_spark.core.errors import JsonLdError
 from jsonld_ex_spark.sources.document_loader import (
+    HttpResponse,
     cached_fetch,
     http_document_loader,
     http_fetch,
@@ -176,3 +177,21 @@ def test_inline_remote_contexts_detects_loops(base_url):
     # /loop is a redirect loop: the loader itself errors cleanly
     with pytest.raises(JsonLdError):
         inline_remote_contexts({"@context": f"{base_url}/loop", "x": 1})
+
+
+def test_cached_fetch_does_not_cache_errors():
+    """A transient 4xx/5xx fetching a shared remote context must NOT be
+    pinned for the driver's lifetime — the next reference retries; only
+    successful responses are memoized."""
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        status = 500 if len(calls) == 1 else 200
+        return HttpResponse(status=status, headers={}, body="{}", url=url)
+
+    f = cached_fetch(flaky)
+    assert f("http://x/ctx").status == 500  # first call surfaces the error
+    assert f("http://x/ctx").status == 200  # error was NOT cached — retried
+    assert f("http://x/ctx").status == 200  # the success IS cached
+    assert len(calls) == 2

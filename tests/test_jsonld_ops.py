@@ -111,16 +111,47 @@ def test_from_rdf_rows_inverts_to_rdf_rows(spark):  # noqa: F811
 
 
 def test_expand_column_shared_context(spark):  # noqa: F811
-    """expand_column(context=...) applies the shared context to docs
-    without an inline @context (cached per executor) and must equal the
-    core API's expandContext option; docs WITH inline contexts keep
-    their own."""
+    """expand_column(context=...) applies the shared context to EVERY
+    document as the base active context (cached per executor), with any
+    inline @context layered on top — reference expand_context semantics
+    (lib/json_ld.ex): a doc whose inline context does not override a
+    shared term still resolves that term through the shared vocabulary."""
     bare = [{"name": "A"}, {"name": ["B", "C"], "knows": "http://ex.org/z"}]
-    with_ctx = {"@context": {"name": "http://other.example/name"}, "name": "D"}
-    docs = bare + [with_ctx]
+    override = {"@context": {"name": "http://other.example/name"}, "name": "D"}
+    # inline context ADDS a term; the shared "name" mapping must survive
+    layered = {"@context": {"nick": "http://ex.org/nick"}, "name": "E", "nick": "e"}
+    docs = bare + [override, layered]
     df = _df(spark, docs)
     rows = expand_column(df, context=CTX).orderBy("doc_id").collect()
-    for r, doc in zip(rows[:2], bare):
+    for r, doc in zip(rows, docs):
         expected = expand(doc, Options(expand_context=CTX))
         assert json.loads(r["expanded"]) == expected
-    assert json.loads(rows[2]["expanded"]) == expand(with_ctx, Options())
+    # the layered doc really used BOTH vocabularies
+    layered_out = json.loads(rows[3]["expanded"])[0]
+    assert "http://xmlns.com/foaf/0.1/name" in layered_out
+    assert "http://ex.org/nick" in layered_out
+
+
+def test_to_rdf_rows_non_dict_documents(spark):  # noqa: F811
+    """Valid top-level JSON-LD arrays expand item-by-item; null/scalar
+    docs expand to nothing; a non-JSON-LD-shaped-but-parseable doc
+    quarantines (marker triple) instead of killing the job."""
+    array_doc = [
+        {"@context": CTX, "@id": "http://ex.org/a", "name": "Alice"},
+        {"@context": CTX, "@id": "http://ex.org/b", "name": "Bob"},
+    ]
+    docs = [json.dumps(array_doc), "null", json.dumps("just a string")]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, doc string"
+    )
+    rows = to_rdf_rows(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # array doc: two name triples, no quarantine
+    a = by_doc[0]
+    assert all(r["pred"] != QUARANTINE_PRED for r in a)
+    assert sorted(r["obj"] for r in a) == ["Alice", "Bob"]
+    # null / bare scalar: no triples at all (expand → []), no crash
+    assert 1 not in by_doc
+    assert 2 not in by_doc
