@@ -4,6 +4,15 @@ Reference parity: lib/json/ld/expansion.ex:20-856 in /root/reference
 (behavior matched via the W3C expand test suite; code written from the
 public spec).
 
+Frame expansion (options.frame_expansion) follows the reference's
+branches (expansion.ex:22-25 @default reset, :252 only-@id retention,
+:356-413 @value/@language/@direction patterns, :493-499 framing
+keywords) and additionally accepts the @id/@type frame patterns the
+framing spec requires ({} wildcards, @id string arrays, value-pattern
+arrays) — the reference raises on those, leaving its frame expansion
+unusable for actual framing; divergences are marked "beyond reference"
+inline.
+
 This module is pure Python and runs per-document; in the Spark pipeline it
 executes inside Arrow-batched pandas UDFs (one call per document, amortized
 over Arrow batches — see jsonld_ex_spark.operators.kg_pipeline).
@@ -11,6 +20,7 @@ over Arrow batches — see jsonld_ex_spark.operators.kg_pipeline).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 from jsonld_ex_spark.core import errors as err
@@ -48,6 +58,11 @@ def expand(
     """Expansion Algorithm (spec §5.1.2)."""
     if element is None:
         return None
+
+    # 2) inside an @default value the frameExpansion flag resets — default
+    # values are DATA to inject, not patterns (reference expansion.ex:22-25)
+    if active_property == "@default" and options.frame_expansion:
+        options = dataclasses.replace(options, frame_expansion=False)
 
     td = active.term_defs.get(active_property) if active_property else None
     property_scoped_ctx = td.local_context if td is not None and td.local_context is not UNSET else UNSET
@@ -132,12 +147,25 @@ def expand(
         else:
             value = result["@value"]
             if value is None or (isinstance(value, list) and not value):
-                return None
-            if "@language" in keys and not isinstance(value, str):
+                # frame value patterns keep empty arrays (match-none);
+                # data expansion drops them (spec 15.3)
+                if not options.frame_expansion:
+                    return None
+            if (
+                "@language" in keys
+                and not isinstance(value, str)
+                and not options.frame_expansion  # value may be an array pattern
+            ):
                 raise JsonLdError(err.INVALID_LANGUAGE_TAGGED_VALUE, repr(value))
             if "@type" in keys:
                 t = result["@type"]
-                if not (isinstance(t, str) and is_absolute_iri(t)):
+                ok = isinstance(t, str) and is_absolute_iri(t)
+                if not ok and options.frame_expansion:
+                    # frame type patterns: [] / [{}] / array of absolute IRIs
+                    ok = isinstance(t, list) and all(
+                        v == {} or (isinstance(v, str) and is_absolute_iri(v)) for v in t
+                    )
+                if not ok:
                     raise JsonLdError(err.INVALID_TYPED_VALUE, repr(t))
     elif "@type" in result and not isinstance(result["@type"], list):
         result["@type"] = [result["@type"]]
@@ -154,7 +182,9 @@ def expand(
         if active_property is None or active_property == "@graph":
             if not result or "@value" in result or "@list" in result:
                 return None
-            if set(result.keys()) == {"@id"}:
+            # 19) an only-@id map survives under frame expansion — it is a
+            # node PATTERN, not a free-floating node (reference :252)
+            if set(result.keys()) == {"@id"} and not options.frame_expansion:
                 return None
     return result
 
@@ -294,9 +324,23 @@ def _expand_keyword(
         raise JsonLdError(err.COLLIDING_KEYWORDS, expanded_property)
 
     if expanded_property == "@id":
-        if not isinstance(value, str):
+        if isinstance(value, str):
+            result["@id"] = expand_iri(active, value, options, document_relative=True)
+        elif options.frame_expansion and value == {}:
+            # frame pattern: {} = "node has SOME @id" wildcard
+            # (beyond reference, which raises — framing-spec frame validity)
+            result["@id"] = [{}]
+        elif (
+            options.frame_expansion
+            and isinstance(value, list)
+            and all(isinstance(v, str) for v in value)
+        ):
+            # frame pattern: match any of these ids (beyond reference)
+            result["@id"] = [
+                expand_iri(active, v, options, document_relative=True) for v in value
+            ]
+        else:
             raise JsonLdError(err.INVALID_ID_VALUE, repr(value))
-        result["@id"] = expand_iri(active, value, options, document_relative=True)
         return
 
     if expanded_property == "@type":
@@ -306,6 +350,21 @@ def _expand_keyword(
             expanded_t = [
                 expand_iri(type_scoped, v, options, vocab=True, document_relative=True) for v in value
             ]
+        elif options.frame_expansion and value == {}:
+            # frame pattern: {} = "node has SOME @type" (beyond reference)
+            expanded_t = [{}]
+        elif (
+            options.frame_expansion
+            and isinstance(value, dict)
+            and set(value.keys()) == {"@default"}
+        ):
+            # frame default object for @type (beyond reference)
+            expanded_t = {
+                "@default": [
+                    expand_iri(type_scoped, v, options, vocab=True, document_relative=True)
+                    for v in as_list(value["@default"])
+                ]
+            }
         else:
             raise JsonLdError(err.INVALID_TYPE_VALUE, repr(value))
         if "@type" in result:
@@ -336,24 +395,56 @@ def _expand_keyword(
         if input_type == "@json" and not options.is_1_0:
             result["@value"] = value
             return
+        # 13.4.7 frame branches (reference expansion.ex:356-359): a value
+        # array pattern is kept verbatim, {} wildcard becomes [{}]
+        if options.frame_expansion and isinstance(value, list):
+            result["@value"] = value
+            return
+        if options.frame_expansion and value == {}:
+            result["@value"] = [value]
+            return
         if value is not None and not is_scalar(value):
             raise JsonLdError(err.INVALID_VALUE_OBJECT_VALUE, repr(value))
         result["@value"] = value
         return
 
     if expanded_property == "@language":
+        # 13.4.8 frame branches (reference :376-403): list patterns are
+        # normalized per item, {} → [{}], strings wrap in an array
+        if options.frame_expansion and isinstance(value, list):
+            if not all(isinstance(v, str) for v in value):
+                raise JsonLdError(err.INVALID_LANGUAGE_TAGGED_STRING, repr(value))
+            result["@language"] = [
+                v.lower() if options.lowercase_language else v for v in value
+            ]
+            return
+        if options.frame_expansion and value == {}:
+            result["@language"] = [value]
+            return
         if not isinstance(value, str):
             raise JsonLdError(err.INVALID_LANGUAGE_TAGGED_STRING, repr(value))
-        result["@language"] = value.lower() if options.lowercase_language else value
+        normalized = value.lower() if options.lowercase_language else value
+        result["@language"] = [normalized] if options.frame_expansion else normalized
         return
 
     if expanded_property == "@direction":
         if options.is_1_0:
             return
-        if value not in ("ltr", "rtl"):
-            raise JsonLdError(err.INVALID_BASE_DIRECTION, repr(value))
-        result["@direction"] = value
-        return
+        # 13.4.9 frame branches (reference :405-413)
+        if value in ("ltr", "rtl"):
+            result["@direction"] = [value] if options.frame_expansion else value
+            return
+        if (
+            options.frame_expansion
+            and isinstance(value, list)
+            and all(v in ("ltr", "rtl") for v in value)
+        ):
+            result["@direction"] = value
+            return
+        if options.frame_expansion and value == {}:
+            result["@direction"] = [value]
+            return
+        raise JsonLdError(err.INVALID_BASE_DIRECTION, repr(value))
 
     if expanded_property == "@index":
         if not isinstance(value, str):
@@ -396,7 +487,16 @@ def _expand_keyword(
         nests.append(key)
         return
 
-    # framing keywords and anything else: ignored (no framing support)
+    # 13.4.15) framing keywords expand recursively under frame expansion
+    # (reference :493-499); @default's subtree resets the flag (step 2)
+    if options.frame_expansion and expanded_property in (
+        "@default", "@embed", "@explicit", "@omitDefault", "@requireAll"
+    ):
+        expanded_v = expand(active, expanded_property, value, options, base_url=base_url)
+        result[expanded_property] = as_list(expanded_v) if expanded_v is not None else []
+        return
+
+    # other keywords: ignored
     return
 
 
