@@ -135,6 +135,17 @@ def from_rdf(quads: list, options: Options | None = None) -> list:
     return _from_rdf(quads, options)
 
 
+def frame(input_doc: Any, frame_doc: Any, options: Options | None = None) -> Any:
+    """JsonLdProcessor.frame (W3C json-ld11-framing §4.1).
+
+    BEYOND REFERENCE: jsonld-ex has no Framing algorithm (only the
+    frame-expansion option surface); see core/framing.py."""
+    from jsonld_ex_spark.core.framing import frame as _frame_algo
+
+    options = options or Options()
+    return _frame_algo(input_doc, frame_doc, options)
+
+
 def context(ctx: Any, options: Options | None = None) -> Context:
     """Process a context document → active Context (reference
     JSON.LD.context/2, lib/json_ld.ex:330-340)."""

@@ -86,6 +86,16 @@ class Options:
     # HTML script extraction: None = operation default (expand/compact
     # extract the first script; flatten/toRdf extract all)
     extract_all_scripts: bool | None = None
+    # Framing options (W3C json-ld11-framing §1.4 JsonLdOptions) — used
+    # by core.framing; beyond the reference, which has no framing
+    embed: str = "@once"
+    explicit: bool = False
+    require_all: bool = False
+    omit_default: bool = False
+    frame_default: bool = False  # frame the @default graph, not @merged
+    # None = processing-mode default (true for json-ld-1.1)
+    omit_graph: bool | None = None
+    prune_blank_node_identifiers: bool | None = None
 
     @property
     def is_1_0(self) -> bool:

@@ -31,6 +31,8 @@ INVALID_CONTAINER_MAPPING = "invalid container mapping"
 INVALID_CONTEXT_ENTRY = "invalid context entry"
 INVALID_CONTEXT_NULLIFICATION = "invalid context nullification"
 INVALID_DEFAULT_LANGUAGE = "invalid default language"
+INVALID_EMBED_VALUE = "invalid @embed value"  # framing spec §1.4
+INVALID_FRAME = "invalid frame"  # framing spec §1.4
 INVALID_ID_VALUE = "invalid @id value"
 INVALID_IMPORT_VALUE = "invalid @import value"
 INVALID_INCLUDED_VALUE = "invalid @included value"

@@ -147,6 +147,24 @@ def compact_column(
     return _doc_op_column(df, json_col, out_col, fn)
 
 
+def frame_column(
+    df: DataFrame, frame_doc: dict, json_col: str = "doc", out_col: str = "framed"
+) -> DataFrame:
+    """Distributed JSON.LD.frame against a SHARED frame document: every
+    document in the column is framed with the same pattern (the
+    "give me conversations matching this shape" query).  One fused
+    mapInPandas, per-document quarantine — same 100 TB shape as the
+    other column operators.  BEYOND REFERENCE (no framing there)."""
+    from jsonld_ex_spark.core.framing import frame as _frame_algo
+
+    frame_json = json.dumps(frame_doc)
+
+    def fn(d):
+        return _frame_algo(d, json.loads(frame_json), Options())
+
+    return _doc_op_column(df, json_col, out_col, fn)
+
+
 TRIPLE_OUT_SCHEMA = (
     "doc_id long, subj string, pred string, obj string, "
     "obj_is_iri boolean, obj_dt string, obj_lang string, graph string"
@@ -304,8 +322,93 @@ def jsonld_doc_triples(spark, sf_dir: str) -> DataFrame:
     return triples.select("doc_id", "subj", "pred", "obj", "obj_dt")
 
 
+AUTH_NS = "https://sparkld.dev/author/"
+FRAME_CHARS_THRESHOLD = 300
+
+# frame: select Long documents, explicit projection, embedded author
+_SELECT_FRAME = {
+    "@context": {"@vocab": VOCAB},
+    "@type": "Long",
+    "@explicit": True,
+    "chars": {},
+    "author": {"@explicit": True, "name": {}},
+}
+
+
+def jsonld_frame_select(spark, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED framing query: per-document JSON-LD (typed Long/Short
+    by n_chars, nested author node) framed with a shared pattern — type
+    match selects Long docs, @explicit projects {chars, author.name},
+    and the author node is RE-EMBEDDED from the node map (the framing
+    deliverable: tree reassembly).  Output rows are scalars extracted
+    from the framed tree; the DuckDB oracle derives the same rows
+    relationally (an independent derivation of match+embed semantics
+    for this document shape)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.core.framing import frame as _frame_algo
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx_lit = json.dumps({"@vocab": VOCAB})
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"@context": ' + ctx_lit + ', '),
+            F.regexp_replace(
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("@id"),
+                        F.when(F.col("n_chars") > FRAME_CHARS_THRESHOLD, F.lit("Long"))
+                        .otherwise(F.lit("Short"))
+                        .alias("@type"),
+                        F.col("text").alias("name"),
+                        F.col("n_chars").cast("long").alias("chars"),
+                        F.struct(
+                            F.concat(
+                                F.lit(AUTH_NS), (F.col("doc_id") % 10).cast("string")
+                            ).alias("@id"),
+                            F.concat(
+                                F.lit("author "), (F.col("doc_id") % 10).cast("string")
+                            ).alias("name"),
+                        ).alias("author"),
+                    )
+                ),
+                r"^\{", "",
+            ),
+        ).alias("doc"),
+    )
+    frame_json = json.dumps(_SELECT_FRAME)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame_doc = json.loads(frame_json)
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["doc"]):
+                framed = _frame_algo(json.loads(raw), frame_doc, Options())
+                if "chars" not in framed:
+                    continue  # frame did not match (Short doc)
+                out.append(
+                    (
+                        int(doc_id),
+                        framed["@id"],
+                        int(framed["chars"]),
+                        framed["author"]["name"],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "subj", "chars", "author_name"]
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, subj string, chars long, author_name string"
+    )
+
+
 def queries():
-    return {"jsonld_doc_triples": jsonld_doc_triples}
+    return {
+        "jsonld_doc_triples": jsonld_doc_triples,
+        "jsonld_frame_select": jsonld_frame_select,
+    }
 
 
 def oracle_sql():
@@ -324,4 +427,11 @@ def oracle_sql():
                    CAST(n_chars AS VARCHAR) AS obj,
                    '{XSD_INT}' AS obj_dt
             FROM documents""",
+        "jsonld_frame_select": f"""
+            SELECT doc_id,
+                   '{DOC_NS}' || CAST(doc_id AS VARCHAR) AS subj,
+                   CAST(n_chars AS BIGINT) AS chars,
+                   'author ' || CAST(doc_id % 10 AS VARCHAR) AS author_name
+            FROM documents
+            WHERE n_chars > {FRAME_CHARS_THRESHOLD}""",
     }

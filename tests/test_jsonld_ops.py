@@ -155,3 +155,29 @@ def test_to_rdf_rows_non_dict_documents(spark):  # noqa: F811
     # null / bare scalar: no triples at all (expand → []), no crash
     assert 1 not in by_doc
     assert 2 not in by_doc
+
+
+def test_frame_column_matches_core(spark):  # noqa: F811
+    """Distributed framing must agree per-document with core frame()."""
+    from jsonld_ex_spark.core.api import frame as frame_core
+    from jsonld_ex_spark.operators.jsonld_ops import frame_column
+
+    frame_doc = {
+        "@context": {"@vocab": "http://ex.org/v#"},
+        "@type": "T",
+        "@explicit": True,
+        "name": {},
+    }
+    docs = [
+        {"@context": {"@vocab": "http://ex.org/v#"}, "@id": "http://ex.org/1",
+         "@type": "T", "name": "match", "extra": 1},
+        {"@context": {"@vocab": "http://ex.org/v#"}, "@id": "http://ex.org/2",
+         "@type": "U", "name": "no match"},
+    ]
+    df = _df(spark, docs)
+    rows = frame_column(df, frame_doc).orderBy("doc_id").collect()
+    for r, doc in zip(rows, docs):
+        assert r["jsonld_error"] is None
+        assert json.loads(r["framed"]) == frame_core(doc, frame_doc)
+    framed0 = json.loads(rows[0]["framed"])
+    assert framed0["name"] == "match" and "extra" not in framed0
