@@ -46,6 +46,21 @@ def make_spark(cpus: int):
     )
 
 
+# Headline subset rule (BENCH/BASELINE.md): the 25 queries below are the
+# round-2 baseline list, kept IDENTICAL across rounds so totals compare.
+# Excluded from the headline total, by rationale:
+#   * stream_* — wall-clock is dominated by Structured Streaming micro-
+#     batch scheduling + checkpoint I/O on a tmpfs, not query compute;
+#     measured in tests, not raced against batch queries.
+#   * media_* — the decode kernel is an honest stub (no codecs in the
+#     image); timing byte-histogram stubs would flatter the number.
+#   * small gate-only queries (events_rollup_sets, topk_customers,
+#     purchasers_without_errors, sample_stratified, text_tokens/langid,
+#     kg_turn_order/link_scores/cooccurrence/roundtrip, ann_recall,
+#     dedup_ngram_jaccard, dedup_clusters, jsonld_frame_select) — each
+#     is either a near-duplicate of a listed query's plan shape or
+#     sub-second at sf0.1; the gate covers their correctness.
+# Additional non-headline timings are reported under "persisted".
 BENCH_QUERIES = [
     "kg_transcripts",
     "kg_mentions",
@@ -170,11 +185,31 @@ def main() -> None:
     res = run_bench(spark, sf_dir)
     total = round(sum(res["timings"].values()), 3)
     kg_secs = res["timings"]["kg_triples"]
+
+    # production-form stats over a PERSISTED triple table (write is the
+    # one-time setup, untimed): reports the query-only cost that the
+    # self-contained gate form hides by recomputing the pipeline
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.kg_queries import kg_triple_stats_from_table
+    from jsonld_ex_spark.operators.triples import write_triples
+
+    tdir = tempfile.mkdtemp(prefix="bench_triples_")
+    persisted: dict[str, float] = {}
+    try:
+        write_triples(entrymod.queries()["kg_triples"](spark, sf_dir), tdir, mode="overwrite")
+        secs, _ = run_query(spark, lambda s, _sf: kg_triple_stats_from_table(s, tdir), sf_dir)
+        persisted["kg_triple_stats_from_table"] = round(secs, 3)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
     print(json.dumps({
         "metric": "kg-pipeline+trainingdata-ops elapsed",
         "value": total,
         "unit": "sec",
         "queries": res["timings"],
+        "persisted": persisted,
         "sf": float(sf),
         "turns": turns,
         "turns_per_sec_kg_triples": round(turns / kg_secs, 1),

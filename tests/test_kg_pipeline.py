@@ -58,3 +58,25 @@ def test_skolem_ids_stable_across_runs(spark):  # noqa: F811
     a = sorted(map(tuple, kg_triples(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, kg_triples(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
+
+
+def test_triple_stats_persisted_equals_recomputed(spark, tmp_path):  # noqa: F811
+    """Production form: write_triples → kg_triple_stats_from_table must
+    equal the self-contained gate form exactly (the persisted table is
+    the real downstream input; the gate recomputes only because gated
+    queries must be self-contained)."""
+    from jsonld_ex_spark.operators.triples import write_triples
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "triples")
+    write_triples(kg_triples(spark, sf), path, mode="overwrite")
+    persisted = sorted(
+        map(tuple, kg_queries.kg_triple_stats_from_table(spark, path).collect())
+    )
+    recomputed = sorted(map(tuple, kg_queries.kg_triple_stats(spark, sf).collect()))
+    assert persisted == recomputed
+    # and the persisted plan is scan→agg: no Python stage, column-pruned
+    plan = kg_queries.kg_triple_stats_from_table(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "obj" not in read_schema  # only (pred, subj) read
