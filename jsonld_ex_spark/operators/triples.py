@@ -59,6 +59,16 @@ def write_triples_iceberg(triples: DataFrame, table: str, mode: str = "append") 
         spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
         spark.sql.catalog.local.type = hadoop
         spark.sql.catalog.local.warehouse = /path/wh
+
+    SANDBOX BLOCKER (rounds 2-3): this path has never executed here —
+    the image ships no Iceberg jar, has no network (maven.org DNS fails)
+    and no ~/.ivy2 / ~/.m2 cache, so there is no way to obtain
+    ``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` (the
+    coordinate matching pyspark 4.1's Spark 4.x / Scala 2.13).  The
+    end-to-end test (tests/test_lineage_resume.py::
+    test_iceberg_sink_roundtrip) is skip-gated on iceberg_available()
+    and will drive create/append/read-back the moment a jar is present
+    via ``spark.jars``/``spark.jars.packages``.
     """
     w = with_subject_bucket(salted_repartition(triples))
     writer = w.writeTo(table)
