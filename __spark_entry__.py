@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": kg_queries.kg_entity_links,
         "kg_triples": kg_triples,
         "kg_triple_stats": kg_queries.kg_triple_stats,
+        "kg_nquads_roundtrip_stats": kg_queries.kg_nquads_roundtrip_stats,
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
     from jsonld_ex_spark.operators import entity_linking, jsonld_ops
@@ -71,6 +72,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_links": oracles.kg_entity_links_oracle(),
         "kg_triples": oracles.kg_triples_oracle(),
         "kg_triple_stats": oracles.kg_triple_stats_oracle(),
+        # the N-Quads write→read round trip must reproduce the exact
+        # same per-predicate stats as the in-memory triples
+        "kg_nquads_roundtrip_stats": oracles.kg_triple_stats_oracle(),
         "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),
         "kg_link_scores": oracles.kg_link_scores_oracle(),
         "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),

@@ -76,6 +76,26 @@ def kg_triple_stats_from_table(spark: SparkSession, table_path: str) -> DataFram
     )
 
 
+def kg_nquads_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED N-Quads round trip: the full triple table is written
+    through the JVM-side N-Quads serializer (operators/triples.py::
+    write_nquads) and read back through the distributed parser
+    (read_nquads), then aggregated — the same oracle as kg_triple_stats
+    proves the text round trip is LOSSLESS for every subject/predicate
+    (control-char escaping, bnode labels, datatypes, graphs included).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.triples import read_nquads, write_nquads
+
+    tdir = tempfile.mkdtemp(prefix="nq_rt_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    write_nquads(kg_triples(spark, sf_dir), tdir)
+    return _triple_stats(read_nquads(spark, tdir))
+
+
 def kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant surface: stable (conv_id, turn_idx) ordering.
 

@@ -180,3 +180,46 @@ def nquads_lines(triples):
 def write_nquads(triples, path):
     """N-Quads text sink for the triple table."""
     nquads_lines(triples).write.mode("overwrite").text(path)
+
+
+NQUADS_READ_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_iri boolean, "
+    "obj_dt string, obj_lang string, graph string"
+)
+
+
+def read_nquads(spark, path) -> DataFrame:
+    """N-Quads text SOURCE → triple table (the inverse of write_nquads —
+    reference parity: the rdf-elixir ecosystem reads N-Quads through
+    RDF.NQuads; this is the distributed form).
+
+    ``spark.read.text`` is line-splittable, so parsing parallelizes by
+    file split with NO shuffle; the parse kernel is the same
+    grammar-complete pure-Python parser the W3C-suite oracles use
+    (core/nquads.py — full \\uXXXX/\\UXXXXXXXX unescaping, comments,
+    blank/malformed-line skipping), Arrow-batched via mapInPandas.
+    Literal datatypes follow N-Quads semantics: plain literals carry
+    xsd:string, language-tagged ones rdf:langString."""
+    import pandas as pd
+
+    lines = spark.read.text(path)
+    cols = ["subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"]
+
+    def parse(batches):
+        from jsonld_ex_spark.core.nquads import parse_nquads
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for line in pdf["value"]:
+                for s, p, o, g in parse_nquads(line):
+                    subj = s[1] if s[0] == "iri" else "_:" + s[1]
+                    if o[0] == "lit":
+                        obj, is_iri, dt, lang = o[1], False, o[2], o[3]
+                    else:
+                        obj = o[1] if o[0] == "iri" else "_:" + o[1]
+                        is_iri, dt, lang = True, None, None
+                    graph = (g[1] if g[0] == "iri" else "_:" + g[1]) if g is not None else None
+                    rows.append((subj, p[1], obj, is_iri, dt, lang, graph))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return lines.mapInPandas(parse, schema=NQUADS_READ_SCHEMA)

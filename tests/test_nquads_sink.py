@@ -93,3 +93,31 @@ def test_iceberg_sink_gating(spark):  # noqa: F811
         pytest.skip("iceberg present: live write covered on cluster images")
     with pytest.raises(RuntimeError, match="[Ii]ceberg"):
         write_triples(df, "local.db.triples")
+
+
+def test_read_nquads_inverts_write_nquads(spark, tmp_path):  # noqa: F811
+    """Writer → distributed reader must reproduce every row exactly,
+    including control-char escapes, unicode line separators, language
+    tags, datatypes, blank nodes and named graphs."""
+    from jsonld_ex_spark.operators.triples import read_nquads, write_nquads
+
+    rows = [
+        ("http://ex.org/s", "http://ex.org/p", "plain \"quoted\"\nline\ttab",
+         False, "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ("http://ex.org/s", "http://ex.org/p", "ctrl\x0c\x1d\x85 end",
+         False, "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ("_:b0", "http://ex.org/p", "42", False,
+         "http://www.w3.org/2001/XMLSchema#integer", None, None),
+        ("http://ex.org/s", "http://ex.org/lang", "bonjour", False,
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr", None),
+        ("http://ex.org/s", "http://ex.org/ref", "_:b1", True, None, None,
+         "http://ex.org/g"),
+        ("_:b1", "http://ex.org/ref", "http://ex.org/o", True, None, None, "_:g2"),
+    ]
+    schema = ("subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_dt string, obj_lang string, graph string")
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nq")
+    write_nquads(df, path)
+    back = sorted(map(tuple, read_nquads(spark, path).collect()))
+    assert back == sorted(rows)
