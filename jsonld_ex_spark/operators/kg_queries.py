@@ -96,6 +96,78 @@ def kg_nquads_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triple_stats(read_nquads(spark, tdir))
 
 
+def kg_frame_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED framing over the REAL conversation pipeline — the
+    'give me conversations matching this pattern' query framing exists
+    for: each conversation's JSON-LD document is framed with a pattern
+    that keeps ONLY tool-using turns (@requireAll turn pattern inside
+    the @list container, @explicit projection), and the emitted rows
+    are read from the FRAMED trees.  The DuckDB oracle derives the same
+    rows relationally from the transcript synthesis — an independent
+    derivation of match+project+list-filter semantics on pipeline data.
+    """
+    import json
+
+    import pandas as pd
+
+    from jsonld_ex_spark.operators.kg_pipeline import (
+        CONV_CONTEXT,
+        assemble_conversations,
+        build_conversation_doc,
+    )
+
+    tool_frame = {
+        "@context": CONV_CONTEXT,
+        "@type": "Conversation",
+        "turns": {
+            "@explicit": True,
+            "@requireAll": True,
+            "turn_idx": {},
+            "role": {},
+            "tool": {},
+        },
+    }
+    frame_json = json.dumps(tool_frame)
+    assembled = assemble_conversations(transcripts_df(spark, sf_dir)).select(
+        "conv_id", F.to_json("turns").alias("turns_json")
+    )
+
+    def run(batches):
+        from jsonld_ex_spark.core.context import Options
+        from jsonld_ex_spark.core.framing import frame as frame_algo
+
+        frame_doc = json.loads(frame_json)
+        options = Options()
+        for pdf in batches:
+            conv_ids, idxs, roles, tools = [], [], [], []
+            for conv_id, turns_json in zip(pdf["conv_id"], pdf["turns_json"]):
+                turns = json.loads(turns_json)
+                # to_json omits null struct fields → .get for nullables
+                td = [
+                    {"turn_idx": t["turn_idx"], "role": t["role"], "text": t["text"],
+                     "tool": t.get("tool"), "ts": t["ts_str"],
+                     "mentions": t.get("mentions") or []}
+                    for t in turns
+                ]
+                doc = {"@context": CONV_CONTEXT, **build_conversation_doc(conv_id, td)}
+                framed = frame_algo(doc, frame_doc, options)
+                turns_out = framed.get("turns") or []
+                if isinstance(turns_out, dict):
+                    turns_out = [turns_out]
+                for t in turns_out:
+                    conv_ids.append(conv_id)
+                    idxs.append(int(t["turn_idx"]))
+                    roles.append(t["role"])
+                    tools.append(t["tool"])
+            yield pd.DataFrame(
+                {"conv_id": conv_ids, "turn_idx": idxs, "role": roles, "tool": tools}
+            )
+
+    return assembled.mapInPandas(
+        run, schema="conv_id string, turn_idx int, role string, tool string"
+    )
+
+
 def kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant surface: stable (conv_id, turn_idx) ordering.
 

@@ -163,3 +163,13 @@ WHERE a.surface_norm < b.surface_norm
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+
+def kg_frame_tool_turns_oracle() -> str:
+    """Framed tool-turn selection, derived relationally: the frame's
+    @requireAll turn pattern (turn_idx+role+tool all present) is exactly
+    'tool IS NOT NULL' on the synthesized transcripts."""
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t})
+SELECT conv_id, turn_idx, role, tool FROM t WHERE tool IS NOT NULL"""
