@@ -384,6 +384,25 @@ def frame(input_doc: Any, frame_doc: Any, options: Options | None = None) -> Any
     expanded = _expand(input_doc, _replace(options, ordered=False, frame_expansion=False))
     ctx = frame_doc.get("@context") if isinstance(frame_doc, dict) else None
     expanded_frame = _expand(frame_doc, _replace(options, frame_expansion=True, ordered=False))
+    return frame_expanded(expanded, expanded_frame, ctx, options)
+
+
+def frame_expanded(
+    expanded: Any,
+    expanded_frame: list,
+    ctx: Any,
+    options: Options | None = None,
+    compact_active: Any = None,
+) -> Any:
+    """Framing over ALREADY-expanded input + frame — the distributed hot
+    path: a Spark task expands the shared frame ONCE and processes the
+    compaction context ONCE (pass it as ``compact_active``), then frames
+    millions of documents without re-processing either per document
+    (same per-executor-cache pattern as operators/kg_pipeline.py).
+
+    ``expanded`` is CONSUMED — node-map generation mutates it; deepcopy
+    first if you need the expanded form afterwards."""
+    options = options or Options()
     frame0 = expanded_frame[0] if expanded_frame else {}
     if len(expanded_frame) > 1:
         raise JsonLdError(err.INVALID_FRAME, "frame must expand to a single node object")
@@ -408,7 +427,7 @@ def frame(input_doc: Any, frame_doc: Any, options: Options | None = None) -> Any
             _prune_bnode_ids(results, once)
 
     cleaned = _cleanup_preserve(results)
-    compacted = compact_expanded(cleaned, ctx, options, force_graph=True)
+    compacted = compact_expanded(cleaned, ctx, options, force_graph=True, active=compact_active)
 
     omit_graph = options.omit_graph
     if omit_graph is None:

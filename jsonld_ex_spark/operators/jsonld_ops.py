@@ -155,14 +155,37 @@ def frame_column(
     "give me conversations matching this shape" query).  One fused
     mapInPandas, per-document quarantine — same 100 TB shape as the
     other column operators.  BEYOND REFERENCE (no framing there)."""
-    from jsonld_ex_spark.core.framing import frame as _frame_algo
+    from jsonld_ex_spark.core.framing import frame_expanded
 
     frame_json = json.dumps(frame_doc)
+    ctx_json = json.dumps(frame_doc.get("@context")) if isinstance(frame_doc, dict) else "null"
 
     def fn(d):
-        return _frame_algo(d, json.loads(frame_json), Options())
+        # frame expanded once per executor (module memo); document
+        # expansion still honors any per-document inline @context
+        ef = _expanded_frame(frame_json)
+        expanded = _expand(d, Options())
+        return frame_expanded(expanded, ef, json.loads(ctx_json), Options())
 
     return _doc_op_column(df, json_col, out_col, fn)
+
+
+_FRAME_CACHE: dict[str, list] = {}
+
+
+def _expanded_frame(frame_json: str) -> list:
+    """Per-executor expanded-frame memo (keyed by the frame's JSON)."""
+    got = _FRAME_CACHE.get(frame_json)
+    if got is None:
+        got = _expand_frame_doc(json.loads(frame_json))
+        _FRAME_CACHE[frame_json] = got
+    return got
+
+
+def _expand_frame_doc(frame_doc: dict) -> list:
+    import dataclasses
+
+    return _expand(frame_doc, dataclasses.replace(Options(), frame_expansion=True))
 
 
 TRIPLE_OUT_SCHEMA = (
@@ -346,8 +369,6 @@ def jsonld_frame_select(spark, sf_dir: str) -> DataFrame:
     for this document shape)."""
     from pyspark.sql import functions as F
 
-    from jsonld_ex_spark.core.framing import frame as _frame_algo
-
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ctx_lit = json.dumps({"@vocab": VOCAB})
     docs = d.select(
@@ -380,11 +401,21 @@ def jsonld_frame_select(spark, sf_dir: str) -> DataFrame:
     frame_json = json.dumps(_SELECT_FRAME)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frame_doc = json.loads(frame_json)
+        from jsonld_ex_spark.core.framing import frame_expanded
+
+        # one-time per task: expanded frame + processed compaction
+        # context (per-executor memos) — no per-document reprocessing
+        ef = _expanded_frame(frame_json)
+        fctx = json.loads(frame_json)["@context"]
+        compact_active = _processed_context(json.dumps(fctx, sort_keys=True))
+        options = Options()
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, raw in zip(pdf["doc_id"], pdf["doc"]):
-                framed = _frame_algo(json.loads(raw), frame_doc, Options())
+                framed = frame_expanded(
+                    _expand(json.loads(raw), options), ef, fctx, options,
+                    compact_active=compact_active,
+                )
                 if "chars" not in framed:
                     continue  # frame did not match (Short doc)
                 out.append(

@@ -133,11 +133,24 @@ def kg_frame_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches):
+        from jsonld_ex_spark.core.api import expand as expand_api
         from jsonld_ex_spark.core.context import Options
-        from jsonld_ex_spark.core.framing import frame as frame_algo
+        from jsonld_ex_spark.core.expansion import expand as expand_algo
+        from jsonld_ex_spark.core.framing import frame_expanded
+        from jsonld_ex_spark.operators.kg_pipeline import _pipeline_context
 
+        # per-task one-time work: expand the shared frame, reuse the
+        # per-executor processed pipeline context for both the document
+        # expansion and the output compaction — NO per-document context
+        # processing or frame expansion (the distributed framing hot path)
         frame_doc = json.loads(frame_json)
         options = Options()
+        import dataclasses
+
+        expanded_frame = expand_api(
+            frame_doc, dataclasses.replace(options, frame_expansion=True)
+        )
+        active = _pipeline_context()
         for pdf in batches:
             conv_ids, idxs, roles, tools = [], [], [], []
             for conv_id, turns_json in zip(pdf["conv_id"], pdf["turns_json"]):
@@ -149,8 +162,16 @@ def kg_frame_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "mentions": t.get("mentions") or []}
                     for t in turns
                 ]
-                doc = {"@context": CONV_CONTEXT, **build_conversation_doc(conv_id, td)}
-                framed = frame_algo(doc, frame_doc, options)
+                doc = build_conversation_doc(conv_id, td)
+                expanded = expand_algo(active, None, doc, options)
+                if expanded is None:
+                    expanded = []
+                elif not isinstance(expanded, list):
+                    expanded = [expanded]
+                framed = frame_expanded(
+                    expanded, expanded_frame, CONV_CONTEXT, options,
+                    compact_active=active,
+                )
                 turns_out = framed.get("turns") or []
                 if isinstance(turns_out, dict):
                     turns_out = [turns_out]
