@@ -257,3 +257,89 @@ def test_options_object_embed_default():
     f2 = {"@context": CTX, "@type": "Library", "contains": {"@embed": "@never"}}
     out2 = frame(LIBRARY, f2)
     assert out2["contains"] == {"@id": "http://example.org/library/the-republic"}
+
+
+def test_embed_link_shares_one_object():
+    doc = {
+        "@context": CTX,
+        "@graph": [
+            {
+                "@id": "http://example.org/root",
+                "@type": "Root",
+                "a": {"@id": "http://example.org/shared"},
+                "b": {"@id": "http://example.org/shared"},
+            },
+            {"@id": "http://example.org/shared", "@type": "Leaf", "name": "S"},
+        ],
+    }
+    out = frame(doc, {"@context": CTX, "@type": "Root", "@embed": "@link"})
+    # both references resolve to the embedded content (same node value)
+    assert out["a"] == out["b"]
+    assert out["a"]["name"] == "S"
+
+
+def test_invalid_embed_value_raises():
+    from jsonld_ex_spark.core.errors import JsonLdError
+
+    with pytest.raises(JsonLdError, match="invalid @embed value"):
+        frame(LIBRARY, {"@context": CTX, "@embed": "@bogus"})
+
+
+def test_list_values_are_framed():
+    doc = {
+        "@context": dict(CTX, items={"@container": "@list"}),
+        "@id": "http://example.org/holder",
+        "@type": "Holder",
+        "items": [
+            {"@id": "http://example.org/i1", "@type": "Item", "name": "one"},
+            {"@id": "http://example.org/i2", "@type": "Item", "name": "two"},
+        ],
+    }
+    f = {
+        "@context": dict(CTX, items={"@container": "@list"}),
+        "@type": "Holder",
+        "items": {"@type": "Item"},
+    }
+    out = frame(doc, f)
+    names = [i["name"] for i in out["items"]]
+    assert names == ["one", "two"]  # list ORDER preserved, items embedded
+
+
+def test_named_graph_recursion():
+    doc = {
+        "@context": CTX,
+        "@graph": [
+            {
+                "@id": "http://example.org/g1",
+                "@type": "GraphDoc",
+                "@graph": [
+                    {"@id": "http://example.org/inner", "@type": "Inner", "name": "in-graph"}
+                ],
+            }
+        ],
+    }
+    f = {"@context": CTX, "@type": "GraphDoc", "@graph": {"@type": "Inner"}}
+    out = frame(doc, f, Options(frame_default=True))
+    inner = out["@graph"]
+    if isinstance(inner, list):
+        inner = inner[0]
+    assert inner["name"] == "in-graph"
+
+
+def test_frame_default_graph_only():
+    doc = {
+        "@context": CTX,
+        "@graph": [
+            {"@id": "http://example.org/d", "@type": "T", "name": "default-graph"},
+            {
+                "@id": "http://example.org/ng",
+                "@graph": [{"@id": "http://example.org/n", "@type": "T", "name": "named"}],
+            },
+        ],
+    }
+    merged = frame(doc, {"@context": CTX, "@type": "T"})
+    got_merged = {n["name"] for n in merged["@graph"]} if "@graph" in merged else {merged["name"]}
+    assert "named" in got_merged  # @merged sees both
+    dflt = frame(doc, {"@context": CTX, "@type": "T"}, Options(frame_default=True))
+    got_dflt = {n["name"] for n in dflt["@graph"]} if "@graph" in dflt else {dflt["name"]}
+    assert got_dflt == {"default-graph"}  # frameDefault: named graph invisible

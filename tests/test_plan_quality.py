@@ -118,6 +118,19 @@ def test_bucket_construction_is_zero_shuffle(spark):  # noqa: F811
     assert "Window" not in cells_plan
 
 
+def test_frame_tool_turns_plan_shape(spark):  # noqa: F811
+    """Framing over the pipeline keeps the flagship's plan: exactly one
+    conv_id Exchange into ONE MapInPandas stage, no row-at-a-time
+    Python — framing work rides the existing assembly shuffle."""
+    plan = _plan(kg_queries.kg_frame_tool_turns(spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    conv_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "conv_id" in l
+    ]
+    assert len(conv_exchanges) == 1, plan
+
+
 def test_jsonld_doc_triples_is_shuffle_free(spark):  # noqa: F811
     """The generic doc→triples operator is a pure map: scan → JSON build
     (JVM) → one MapInPandas.  No shuffle may appear — partitioning of
