@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_stats": kg_queries.kg_triple_stats,
         "kg_nquads_roundtrip_stats": kg_queries.kg_nquads_roundtrip_stats,
         "kg_frame_tool_turns": kg_queries.kg_frame_tool_turns,
+        "kg_graph_dedup": kg_queries.kg_graph_dedup,
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
     }
     from jsonld_ex_spark.operators import entity_linking, jsonld_ops
@@ -77,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         # same per-predicate stats as the in-memory triples
         "kg_nquads_roundtrip_stats": oracles.kg_triple_stats_oracle(),
         "kg_frame_tool_turns": oracles.kg_frame_tool_turns_oracle(),
+        "kg_graph_dedup": oracles.kg_graph_dedup_oracle(),
         "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),
         "kg_link_scores": oracles.kg_link_scores_oracle(),
         "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),

@@ -62,6 +62,10 @@ def sign_buckets(
     )
     return (
         q.crossJoin(F.broadcast(planes_row(q, n_planes, vec_col, qv_col)))
+        # guard: with NO plane vectors at all, the round-2 shape (and the
+        # oracle) produced zero buckets; without this filter the
+        # projection would emit all-zero buckets and pair everything up
+        .where(F.expr("size(planes) > 0"))
         .select(vec_col, F.explode(F.expr(bucket_expr)).alias("bb"))
         .select(vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )

@@ -189,6 +189,54 @@ def kg_frame_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-level exact dedup: fingerprint each conversation's RDF
+    graph in conv-abstracted canonical form and group identical graphs
+    — dedup at the KNOWLEDGE-GRAPH level (two conversations are dups
+    iff their emitted triple sets are identical up to the conversation
+    identifier), complementing the text/media dedup family.
+
+    Canonicalization is a plain SORT here — no URDNA-style color
+    refinement needed — because the pipeline's blank-node labels are
+    already deterministic functions of (conv_id, ordinal); abstracting
+    conv_id ('X') makes the labels content-canonical.  All JVM-side
+    after the pipeline (replace/concat_ws/sort_array/md5); the DuckDB
+    oracle reproduces every fingerprint bit-exactly from its own
+    relational triple derivation.  (Line sort is byte-order on ASCII
+    content — the synthesized transcripts are ASCII by construction.)
+    """
+    return graph_fingerprints(kg_triples(spark, sf_dir))
+
+
+def graph_fingerprints(t: DataFrame) -> DataFrame:
+    """Conv-abstracted canonical graph fingerprint + dedup grouping over
+    any triple table with (conv_id, subj, pred, obj, obj_is_iri,
+    obj_dt, obj_lang) — see kg_graph_dedup for semantics."""
+    from pyspark.sql.window import Window
+
+    lines = t.select(
+        "conv_id",
+        F.concat_ws(
+            "\x1f",
+            F.expr("replace(subj, conv_id, 'X')"),
+            F.col("pred"),
+            F.expr("CASE WHEN obj_is_iri THEN replace(obj, conv_id, 'X') ELSE obj END"),
+            F.coalesce("obj_dt", F.lit("")),
+            F.coalesce("obj_lang", F.lit("")),
+        ).alias("line"),
+    )
+    fp = lines.groupBy("conv_id").agg(
+        F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("line")))).alias("graph_md5")
+    )
+    w = Window.partitionBy("graph_md5")
+    return fp.select(
+        "conv_id",
+        "graph_md5",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("conv_id").over(w).alias("canonical_conv_id"),
+    )
+
+
 def kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant surface: stable (conv_id, turn_idx) ordering.
 

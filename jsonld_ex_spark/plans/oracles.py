@@ -173,3 +173,29 @@ def kg_frame_tool_turns_oracle() -> str:
     return f"""
 WITH t AS ({t})
 SELECT conv_id, turn_idx, role, tool FROM t WHERE tool IS NOT NULL"""
+
+
+def kg_graph_dedup_oracle() -> str:
+    """Graph-level dedup fingerprints, re-derived from the relational
+    triple oracle: same conv-abstraction, same chr(31)-joined field
+    lines, same newline-joined sorted canonical text, same md5."""
+    return f"""
+WITH trip AS ({kg_triples_oracle()}),
+lines AS (
+  SELECT conv_id,
+         concat_ws(chr(31),
+            replace(subj, conv_id, 'X'),
+            pred,
+            CASE WHEN obj_is_iri THEN replace(obj, conv_id, 'X') ELSE obj END,
+            COALESCE(obj_dt, ''),
+            COALESCE(obj_lang, '')) AS line
+  FROM trip
+),
+fp AS (
+  SELECT conv_id, md5(string_agg(line, chr(10) ORDER BY line)) AS graph_md5
+  FROM lines GROUP BY conv_id
+)
+SELECT conv_id, graph_md5,
+       count(*) OVER (PARTITION BY graph_md5) AS group_size,
+       min(conv_id) OVER (PARTITION BY graph_md5) AS canonical_conv_id
+FROM fp"""

@@ -80,3 +80,29 @@ def test_triple_stats_persisted_equals_recomputed(spark, tmp_path):  # noqa: F81
     assert "MapInPandas" not in plan and "Python" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "obj" not in read_schema  # only (pred, subj) read
+
+
+def test_graph_fingerprints_detect_duplicate_conversations(spark):  # noqa: F811
+    """Two conversations with IDENTICAL turn content but different
+    conv_ids must fingerprint identically (graph-level dedup catches
+    them); changing one character must change the fingerprint."""
+    from datetime import datetime
+
+    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+    from jsonld_ex_spark.operators.kg_queries import graph_fingerprints
+
+    def turns(conv_id, text1):
+        return [
+            (conv_id, 0, "user", text1, None, datetime(2024, 1, 1, 0, 0, 0)),
+            (conv_id, 1, "assistant", "reply with ENT_0042", "search", datetime(2024, 1, 1, 0, 1, 0)),
+        ]
+
+    rows = turns("convA", "hello world") + turns("convB", "hello world") + turns("convC", "hello mars")
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    fp = {r["conv_id"]: r for r in graph_fingerprints(conversation_triples(df)).collect()}
+    assert fp["convA"]["graph_md5"] == fp["convB"]["graph_md5"]
+    assert fp["convC"]["graph_md5"] != fp["convA"]["graph_md5"]
+    assert fp["convA"]["group_size"] == 2 and fp["convC"]["group_size"] == 1
+    assert fp["convB"]["canonical_conv_id"] == "convA"
