@@ -288,17 +288,57 @@ WHERE session_end <= w.wm
 """
 
 
+def stream_kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED end-to-end STREAMING KG pipeline: the transcripts
+    are staged as conversation-complete parquet files (repartitioned by
+    conv_id — the module's documented streaming contract), streamed
+    through the production ``stream_triples`` path (readStream →
+    foreachBatch(conversation_triples) → parquet, checkpointed,
+    maxFilesPerTrigger=8 so multiple micro-batches really execute), and
+    the resulting triple table is aggregated under the SAME DuckDB
+    oracle as the batch pipeline (kg_triple_stats).  Deterministic
+    skolemization makes streamed triples EQUAL batch triples, so the
+    full streaming engine (source offsets, micro-batch scheduling,
+    exactly-once sink) sits under the hash-exact gate."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.kg_queries import _triple_stats
+    from jsonld_ex_spark.sources.transcripts import transcripts_df
+
+    root = tempfile.mkdtemp(prefix="skg_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    # conversation-complete files: each conv_id lands in exactly one file
+    transcripts_df(spark, sf_dir).repartition(8, "conv_id").write.parquet(in_dir)
+    q = stream_triples(spark, in_dir, out_dir, ckpt, available_now=True)
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _triple_stats(spark.read.parquet(out_dir).select("pred", "subj"))
+
+
 def queries():
     return {
         "stream_events_by_window": stream_events_by_window,
         "stream_user_sessions": stream_user_sessions,
+        "stream_kg_triple_stats": stream_kg_triple_stats,
     }
 
 
 def oracle_sql():
+    from jsonld_ex_spark.plans.oracles import kg_triple_stats_oracle
+
     return {
         "stream_events_by_window": STREAM_WINDOW_ORACLE,
         "stream_user_sessions": STREAM_SESSIONS_ORACLE,
+        # streamed triples must equal batch triples (deterministic
+        # skolems) → the BATCH stats oracle gates the streaming pipeline
+        "stream_kg_triple_stats": kg_triple_stats_oracle(),
     }
 
 
