@@ -155,3 +155,51 @@ def test_expansion_invariant_under_key_insertion_order(doc, rnd):
     a = expand(doc, options)
     b = expand(shuffle_keys(doc), Options(**OPTS))
     assert a == b
+
+
+@given(doc=_doc)
+@settings(max_examples=60, deadline=None)
+def test_frame_wildcard_never_crashes_and_keeps_ids(doc):
+    """Framing with the empty (wildcard) frame is total over arbitrary
+    documents, and every IRI-identified node in the expanded input
+    appears somewhere in the framed output (wildcard matches all)."""
+    from jsonld_ex_spark.core.api import frame
+
+    expanded = expand(doc, Options(**OPTS))
+    out = frame(doc, {"@context": doc.get("@context", {})}, Options(**OPTS))
+
+    def node_iris(e, acc):
+        if isinstance(e, list):
+            for v in e:
+                node_iris(v, acc)
+        elif isinstance(e, dict):
+            i = e.get("@id")
+            if isinstance(i, str) and not i.startswith("_:") and "@value" not in e:
+                acc.add(i)
+            for k, v in e.items():
+                if k != "@id":
+                    node_iris(v, acc)
+        return acc
+
+    expected = node_iris(expanded, set())
+    # the framed output is COMPACTED (base-relative @ids): resolve each
+    # collected id against the base before comparing.  (Re-expanding the
+    # output instead would drop nodes framing reduced to only-@id.)
+    got = {resolve_iri(OPTS["base"], i) for i in node_iris(out, set())}
+    assert expected <= got
+
+
+@given(doc=_doc)
+@settings(max_examples=60, deadline=None)
+def test_frame_embed_never_yields_only_references(doc):
+    """@embed @never at the top level must produce only {@id: ...}
+    references (or an empty result) — never embedded content."""
+    from jsonld_ex_spark.core.api import frame
+
+    out = frame(
+        doc, {"@context": doc.get("@context", {}), "@embed": "@never"}, Options(**OPTS)
+    )
+    body = {k: v for k, v in out.items() if k != "@context"} if isinstance(out, dict) else out
+    nodes = body.get("@graph", [body] if body else []) if isinstance(body, dict) else body
+    for n in nodes:
+        assert set(n.keys()) <= {"@id"}, n
