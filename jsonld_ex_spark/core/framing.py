@@ -302,7 +302,12 @@ def _frame(state: _State, subjects: list, frame: dict, parent: Any, active_prope
 
 
 def _merge_graphs(graph_map: dict) -> dict:
-    """@merged node map: node properties unioned across all graphs."""
+    """@merged node map: node properties unioned across all graphs.
+    Single-graph documents (the overwhelmingly common pipeline case)
+    alias the @default graph directly — framing never mutates graph-map
+    nodes (outputs are deepcopied), so the O(doc) merge copy is skipped."""
+    if set(graph_map.keys()) == {"@default"}:
+        return graph_map["@default"]
     merged: dict[str, dict] = {}
     for graph in sorted(graph_map.keys()):
         for sid in sorted(graph_map[graph].keys()):
@@ -409,8 +414,9 @@ def frame_expanded(
 
     nm = node_map(expanded, BlankNodeGenerator())
     nm.setdefault("@default", {})
-    nm["@merged"] = _merge_graphs(nm)
     graph = "@default" if options.frame_default else "@merged"
+    if graph == "@merged":
+        nm["@merged"] = _merge_graphs(nm)
 
     state = _State(options, nm, graph)
     results: list = []
