@@ -60,7 +60,9 @@ def make_spark(cpus: int):
 #     dedup_ngram_jaccard, dedup_clusters, jsonld_frame_select) — each
 #     is either a near-duplicate of a listed query's plan shape or
 #     sub-second at sf0.1; the gate covers their correctness.
-# Additional non-headline timings are reported under "persisted".
+# Additional non-headline timings are reported under "persisted" and
+# "extra" (round-3 additions — kept out of the headline total so it
+# stays comparable with the round-2 baseline).
 BENCH_QUERIES = [
     "kg_transcripts",
     "kg_mentions",
@@ -87,6 +89,14 @@ BENCH_QUERIES = [
     "rollup_hypertable",
     "user_sessions_batch",
     "corpus_filter",
+]
+
+# round-3 queries, timed but outside the comparable headline total
+EXTRA_QUERIES = [
+    "jsonld_frame_select",
+    "kg_frame_tool_turns",
+    "kg_graph_dedup",
+    "kg_nquads_roundtrip_stats",
 ]
 
 
@@ -204,12 +214,19 @@ def main() -> None:
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
+    qmap = entrymod.queries()
+    extra = {}
+    for name in EXTRA_QUERIES:
+        secs, _ = run_query(spark, qmap[name], sf_dir)
+        extra[name] = round(secs, 3)
+
     print(json.dumps({
         "metric": "kg-pipeline+trainingdata-ops elapsed",
         "value": total,
         "unit": "sec",
         "queries": res["timings"],
         "persisted": persisted,
+        "extra": extra,
         "sf": float(sf),
         "turns": turns,
         "turns_per_sec_kg_triples": round(turns / kg_secs, 1),

@@ -195,3 +195,22 @@ def test_cached_fetch_does_not_cache_errors():
     assert f("http://x/ctx").status == 200  # error was NOT cached — retried
     assert f("http://x/ctx").status == 200  # the success IS cached
     assert len(calls) == 2
+
+
+def test_framing_with_remote_context(base_url):
+    """Framing a document whose frame references a REMOTE @context: the
+    frame's context is fetched over HTTP (driver-side, cached) during
+    frame expansion AND used for the output compaction."""
+    from jsonld_ex_spark.core.api import frame
+    from jsonld_ex_spark.core.context import Options
+
+    doc = {
+        "@context": f"{base_url}/ctx.jsonld",
+        "@id": "http://ex.org/p1",
+        "name": "Remote Rose",
+    }
+    f = {"@context": f"{base_url}/ctx.jsonld", "name": {}}
+    out = frame(doc, f, Options(document_loader=http_document_loader()))
+    assert out["@id"] == "http://ex.org/p1"
+    assert out["name"] == "Remote Rose"
+    assert out["@context"] == f"{base_url}/ctx.jsonld"  # frame ctx verbatim
