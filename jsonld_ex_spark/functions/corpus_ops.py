@@ -78,10 +78,55 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 4  # n-gram size for contamination detection
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 → held-out eval set
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set DECONTAMINATION: flag every training document that
+    shares any word n-gram (DECON_N=4) with the held-out eval set
+    (doc_id % EVAL_MOD == 0 — a deterministic stand-in for a benchmark
+    table).  The standard pre-training hygiene step: contaminated docs
+    are dropped so eval results aren't memorization.
+
+    Shuffle shape: the candidate join is keyed on the shingle — the same
+    distributed shape as dedup_ngram_jaccard; the eval-shingle side is
+    |eval| ≪ |train| and Catalyst broadcasts it at test scale, while at
+    web scale AQE picks a shuffle join on the same key (deliberately
+    unhinted, same rationale as the dedup DF-cap anti-join).
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    shingles = F.expr(
+        f"CASE WHEN size(words) >= {DECON_N} THEN transform(sequence(1, size(words) - {DECON_N - 1}),"
+        f" i -> concat_ws(' ', {', '.join(f'words[i-1+{k}]' for k in range(DECON_N))}))"
+        " ELSE array() END"
+    )
+    sh = (
+        d.select("doc_id", words.alias("words"))
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+    ev = sh.where(F.col("doc_id") % EVAL_MOD == 0).select("s").distinct()
+    train_sh = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        train_sh.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train = d.where(F.col("doc_id") % EVAL_MOD != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def queries():
     return {
         "corpus_filter": corpus_filter,
         "sample_stratified": sample_stratified,
+        "corpus_decontaminate": corpus_decontaminate,
     }
 
 
@@ -124,4 +169,26 @@ def oracle_sql():
                      {" ".join(f"WHEN '{lg}' THEN {t}" for lg, t in sorted(LANG_RATES.items()))}
                      ELSE 256 END AS sampled
             FROM h""",
+        "corpus_decontaminate": f"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     concat_ws(' ', {", ".join(f"words[i+{k}]" for k in range(DECON_N))}) AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS words
+                    FROM documents),
+                   unnest(CASE WHEN len(words) >= {DECON_N}
+                               THEN range(1, len(words) - {DECON_N - 2})
+                               ELSE [] END) AS t(i)
+            ),
+            ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_shared
+              FROM sh JOIN ev USING (s)
+              WHERE sh.doc_id % {EVAL_MOD} <> 0
+              GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   COALESCE(h.n_shared, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id % {EVAL_MOD} <> 0""",
     }

@@ -104,6 +104,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("fp16"))
 
 
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and (toy) phone numbers replaced by
+    [EMAIL]/[PHONE] markers, with per-document match counts — the
+    standard pre-training scrub, all JVM regexp codegen.
+
+    The synthetic documents carry no PII, so one deterministic email +
+    phone is PLANTED per document (same construction in the oracle):
+    redaction then rewrites a different position in every row, proving
+    the regexes, replacement and counters behave identically per row
+    across engines — not just on empty input."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return with_pii.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{PHONE_RE}', 0)")).alias("n_phones"),
+    )
+
+
 def queries():
     return {
         "text_tokens": text_tokens,
@@ -111,6 +145,7 @@ def queries():
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_redact": text_redact,
     }
 
 
@@ -153,4 +188,18 @@ def oracle_sql():
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
                    substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp16
             FROM documents""",
+        "text_redact": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                                  '{PHONE_RE}', '[PHONE]', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS INT) AS n_phones
+            FROM p""",
     }
