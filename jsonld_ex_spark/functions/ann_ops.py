@@ -180,6 +180,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+N_KMEANS_ITERS = 2
+
+
+def _kmeans_refined_cents(q: DataFrame, k: int = N_CENTROIDS, iters: int = N_KMEANS_ITERS) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer —
+    INTEGER-exact so the DuckDB oracle reproduces every centroid bit
+    for bit: assignment is the same argmin(|c|² − 2·v·c) projection the
+    IVF path uses (zero-shuffle per vector), updates are per-dimension
+    floor-means computed with portable floor division
+    ((s − ((s % n) + n) % n) div n — Spark's `div` truncates and the
+    engines' `%` both follow the dividend sign, so the dividend is made
+    an exact multiple first).  The per-cell sums are EMB_DIM codegen sum
+    columns (the minhash single-pass trick) — one groupBy(cell) shuffle
+    per iteration, no 64×n posexplode.  Clusters that lose every member
+    drop out (both engines agree).  Deterministic init: the first k
+    vectors — the same init ann_ivf_topk documents as its quantizer."""
+    cents = q.where(F.col("vec_id") < k).select(F.col("vec_id").alias("cent_id"), "qv")
+    from jsonld_ex_spark.functions.vector_buckets import cells_sorted_expr, centroids_row
+
+    mean_exprs = [
+        F.expr(f"(s{i} - ((s{i} % cnt) + cnt) % cnt) div cnt").cast("long").alias(f"m{i}")
+        for i in range(EMB_DIM)
+    ]
+    for _ in range(iters):
+        cents_row = centroids_row(
+            cents.select(F.col("cent_id").alias("vec_id"), "qv"), k
+        )
+        assigned = q.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "qv", F.expr(cells_sorted_expr() + "[0].cent_id").alias("cell")
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.expr(f"qv[{i}]")).alias(f"s{i}") for i in range(EMB_DIM)],
+        )
+        cents = sums.select(
+            F.col("cell").alias("cent_id"),
+            F.array(*mean_exprs).alias("qv"),
+        )
+    return cents
+
+
+def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED k-means refinement (the 'drop-in' the IVF docstring
+    promises, delivered): N_KMEANS_ITERS Lloyd iterations over the
+    quantized vectors, centroids exploded to scalar rows so every
+    coordinate sits under the hash-exact oracle."""
+    cents = _kmeans_refined_cents(_qvecs(spark, sf_dir))
+    return cents.select(
+        "cent_id", F.posexplode("qv").alias("dim_idx", "value")
+    )
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@TOP_K of the LSH path vs the bruteforce baseline, per
     query: n_hits = |lsh_topk ∩ brute_topk|, recall_pct integer."""
@@ -204,8 +257,39 @@ def queries():
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_kmeans_centroids": ann_kmeans_centroids,
         "ann_recall": ann_recall,
     }
+
+
+def _kmeans_oracle_ctes() -> str:
+    parts = [
+        f"c0 AS (SELECT vec_id AS cent_id, qv AS c_qv FROM q WHERE vec_id < {N_CENTROIDS})"
+    ]
+    for it in range(1, N_KMEANS_ITERS + 1):
+        prev, cur = f"c{it - 1}", f"c{it}"
+        parts.append(f"""
+a{it} AS (
+  SELECT vec_id, qv, cent_id AS cell FROM (
+    SELECT q.vec_id, q.qv, {prev}.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_dot_product({prev}.c_qv, {prev}.c_qv) AS BIGINT)
+                      - 2 * CAST(list_dot_product(q.qv, {prev}.c_qv) AS BIGINT) ASC,
+                      {prev}.cent_id ASC) AS r
+    FROM q CROSS JOIN {prev}
+  ) WHERE r = 1
+),
+s{it} AS (
+  SELECT cell, i, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS cnt
+  FROM a{it}, unnest(range(1, {EMB_DIM} + 1)) AS t(i)
+  GROUP BY cell, i
+),
+{cur} AS (
+  SELECT cell AS cent_id,
+         list((s - ((s % cnt) + cnt) % cnt) // cnt ORDER BY i) AS c_qv
+  FROM s{it} GROUP BY cell
+)""")
+    return ",\n".join(parts)
 
 
 _QVECS_CTE = f"""
@@ -310,6 +394,12 @@ def oracle_sql():
         "ann_ivf_topk": f"""
             WITH {_QVECS_CTE}, {_IVF_CTE}
             SELECT query_id, cand_id, qdot, rank FROM ivf_topk""",
+        "ann_kmeans_centroids": f"""
+            WITH {_QVECS_CTE}, {_kmeans_oracle_ctes()}
+            SELECT cent_id,
+                   CAST(i - 1 AS INT) AS dim_idx,
+                   CAST(c_qv[i] AS BIGINT) AS value
+            FROM c{N_KMEANS_ITERS}, unnest(range(1, {EMB_DIM} + 1)) AS t(i)""",
         "ann_lsh_topk": f"""
             WITH {_QVECS_CTE}, {_LSH_CTE}
             SELECT query_id, cand_id, qdot, rank FROM lsh_topk""",

@@ -27,3 +27,38 @@ def test_ivf_recall_at_least_090(spark, sf_dir):  # noqa: F811
     ivf = {(r["query_id"], r["cand_id"]) for r in ann_ops.ann_ivf_topk(spark, sf_dir).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.9, f"IVF recall@{ann_ops.TOP_K} = {recall} at {sf_dir}"
+
+
+def test_kmeans_refinement_moves_centroids_and_lowers_objective(spark):  # noqa: F811
+    """The Lloyd refinement must actually refine: centroids move away
+    from the raw first-k init, and the k-means objective (sum of
+    assigned L2 scores) does not increase after refinement."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.functions.ann_ops import (
+        N_CENTROIDS,
+        _kmeans_refined_cents,
+        _qvecs,
+    )
+    from jsonld_ex_spark.functions.vector_buckets import cells_sorted_expr, centroids_row
+
+    q = _qvecs(spark, "/root/testdata/sf0.001")
+
+    def objective(cents):
+        row = centroids_row(cents.select(F.col("cent_id").alias("vec_id"), "qv"), N_CENTROIDS)
+        scored = q.crossJoin(F.broadcast(row)).select(
+            F.expr(cells_sorted_expr() + "[0].l2s").alias("l2s")
+        )
+        return scored.agg(F.sum("l2s")).collect()[0][0]
+
+    init = q.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), "qv"
+    )
+    refined = _kmeans_refined_cents(q)
+    init_rows = {r["cent_id"]: r["qv"] for r in init.collect()}
+    ref_rows = {r["cent_id"]: r["qv"] for r in refined.collect()}
+    assert any(ref_rows[c] != init_rows[c] for c in ref_rows)  # they moved
+    assert objective(refined) <= objective(init)  # Lloyd's invariant
+    # deterministic across reruns
+    again = {r["cent_id"]: r["qv"] for r in _kmeans_refined_cents(q).collect()}
+    assert again == ref_rows
