@@ -188,18 +188,39 @@ NQUADS_READ_SCHEMA = (
 )
 
 
-def read_nquads(spark, path) -> DataFrame:
+# one-token-per-group N-Quads line shape (escape-free fast path):
+# subj_tok, pred_iri, obj_tok, optional graph_tok
+_NQ_LINE_RE = (
+    r'^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+'
+    r'(<[^>]*>|_:\S+|"[^"]*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
+    r'(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$'
+)
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def read_nquads(spark, path, jvm_fast_path: bool = True) -> DataFrame:
     """N-Quads text SOURCE → triple table (the inverse of write_nquads —
     reference parity: the rdf-elixir ecosystem reads N-Quads through
     RDF.NQuads; this is the distributed form).
 
     ``spark.read.text`` is line-splittable, so parsing parallelizes by
-    file split with NO shuffle; the parse kernel is the same
-    grammar-complete pure-Python parser the W3C-suite oracles use
-    (core/nquads.py — full \\uXXXX/\\UXXXXXXXX unescaping, comments,
-    blank/malformed-line skipping), Arrow-batched via mapInPandas.
-    Literal datatypes follow N-Quads semantics: plain literals carry
-    xsd:string, language-tagged ones rdf:langString."""
+    file split with NO shuffle.  Two tiers:
+
+    * FAST PATH (JVM codegen): lines with no backslash that match the
+      one-token-per-term grammar are parsed entirely with regexp
+      expressions — escape-free literals cannot contain a quote, so
+      ``"[^"]*"`` is exact.  This is the overwhelming majority of real
+      triple data (the 100-TB ingest path; ~26s → JVM for the 5.5M-line
+      round-trip bench).
+    * FALLBACK (Arrow-batched Python): any line containing a backslash
+      OR not matching the fast grammar goes through the same
+      grammar-complete parser the W3C-suite oracles use (core/nquads.py
+      — full \\uXXXX/\\UXXXXXXXX unescaping, comments, blank/malformed
+      lines).  Routing non-matching lines to the fallback (instead of
+      dropping) makes the fast path a pure optimization: byte-identical
+      output to jvm_fast_path=False (tested).
+    """
     import pandas as pd
 
     lines = spark.read.text(path)
@@ -222,4 +243,39 @@ def read_nquads(spark, path) -> DataFrame:
                     rows.append((subj, p[1], obj, is_iri, dt, lang, graph))
             yield pd.DataFrame(rows, columns=cols)
 
-    return lines.mapInPandas(parse, schema=NQUADS_READ_SCHEMA)
+    if not jvm_fast_path:
+        return lines.mapInPandas(parse, schema=NQUADS_READ_SCHEMA)
+
+    is_fast = (~F.col("value").contains("\\")) & F.col("value").rlike(_NQ_LINE_RE)
+    slow = lines.where(~is_fast).mapInPandas(parse, schema=NQUADS_READ_SCHEMA)
+
+    def tok(i):
+        return F.regexp_extract("value", _NQ_LINE_RE, i)
+
+    subj_tok, pred, obj_tok, graph_tok = tok(1), tok(2), tok(3), tok(4)
+    # '<iri>' → iri (strip the angle brackets); '_:label' stays verbatim
+    unwrap = lambda c: c.substr(F.lit(2), F.length(c) - 2)  # noqa: E731
+    obj_is_node = obj_tok.startswith("<") | obj_tok.startswith("_:")
+    lex = F.regexp_extract(obj_tok, r'^"([^"]*)"', 1)
+    dt = F.regexp_extract(obj_tok, r"\^\^<([^>]*)>$", 1)
+    lang = F.regexp_extract(obj_tok, r'@([A-Za-z0-9-]+)$', 1)
+    fast = lines.where(is_fast).select(
+        F.when(subj_tok.startswith("<"), unwrap(subj_tok)).otherwise(subj_tok).alias("subj"),
+        pred.alias("pred"),
+        F.when(obj_tok.startswith("<"), unwrap(obj_tok))
+        .when(obj_tok.startswith("_:"), obj_tok)
+        .otherwise(lex)
+        .alias("obj"),
+        obj_is_node.alias("obj_is_iri"),
+        F.when(obj_is_node, F.lit(None).cast("string"))
+        .when(lang != "", F.lit(_RDF_LANGSTRING))
+        .when(dt != "", dt)
+        .otherwise(F.lit(_XSD_STRING))
+        .alias("obj_dt"),
+        F.when(~obj_is_node & (lang != ""), lang).otherwise(F.lit(None).cast("string")).alias("obj_lang"),
+        F.when(graph_tok == "", F.lit(None).cast("string"))
+        .when(graph_tok.startswith("<"), unwrap(graph_tok))
+        .otherwise(graph_tok)
+        .alias("graph"),
+    )
+    return fast.unionByName(slow)

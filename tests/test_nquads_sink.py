@@ -121,3 +121,22 @@ def test_read_nquads_inverts_write_nquads(spark, tmp_path):  # noqa: F811
     write_nquads(df, path)
     back = sorted(map(tuple, read_nquads(spark, path).collect()))
     assert back == sorted(rows)
+
+
+def test_read_nquads_fast_path_equals_python_parser(spark, tmp_path):  # noqa: F811
+    """The JVM fast path must be a PURE optimization: byte-identical
+    output to the grammar-complete Python parser over the full pipeline
+    triple table (which includes escape-y literals routed to the
+    fallback) — and the fast path must actually carry the bulk of rows
+    (no silent everything-falls-back regression)."""
+    from jsonld_ex_spark.operators.triples import read_nquads, write_nquads
+
+    triples = kg_triples(spark, SF).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"
+    )
+    path = str(tmp_path / "nq")
+    write_nquads(triples, path)
+    fast = sorted(map(tuple, read_nquads(spark, path, jvm_fast_path=True).collect()))
+    slow = sorted(map(tuple, read_nquads(spark, path, jvm_fast_path=False).collect()))
+    assert fast == slow
+    assert len(fast) == triples.count()
