@@ -140,3 +140,58 @@ def test_read_nquads_fast_path_equals_python_parser(spark, tmp_path):  # noqa: F
     slow = sorted(map(tuple, read_nquads(spark, path, jvm_fast_path=False).collect()))
     assert fast == slow
     assert len(fast) == triples.count()
+
+
+def test_read_nquads_paths_agree_on_nasty_corpus(spark, tmp_path):  # noqa: F811
+    """Seeded nasty corpus (control chars, unicode, quotes, backslashes,
+    @-signs and ^^ inside literals, empty literals, languages,
+    datatypes, bnodes, graphs): the JVM fast path and the Python parser
+    must agree exactly, and both must invert the core serializer."""
+    import random
+
+    from jsonld_ex_spark.core.nquads import quads_to_nquads
+    from jsonld_ex_spark.core.rdf import RDF_LANGSTRING, XSD_STRING
+    from jsonld_ex_spark.operators.triples import read_nquads
+
+    rng = random.Random(42)
+    alphabet = 'ab cd"\\\n\t\r\x0c\x1d\x85é漢@^^<>._:-'
+    quads = []
+    for i in range(250):
+        subj = ("iri", f"http://ex.org/s{i}") if i % 3 else ("bnode", f"b{i}")
+        pred = ("iri", f"http://ex.org/p{i % 7}")
+        kind = i % 4
+        if kind == 0:
+            obj = ("iri", f"http://ex.org/o{i}")
+        elif kind == 1:
+            obj = ("bnode", f"ob{i}")
+        else:
+            text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 20)))
+            if kind == 2 and i % 2:
+                obj = ("lit", text, RDF_LANGSTRING, "en-GB")
+            elif kind == 2:
+                obj = ("lit", text, "http://ex.org/dt", None)
+            else:
+                obj = ("lit", text, XSD_STRING, None)
+        graph = ("iri", f"http://ex.org/g{i % 3}") if i % 5 == 0 else (
+            ("bnode", f"g{i}") if i % 11 == 0 else None
+        )
+        quads.append((subj, pred, obj, graph))
+    text = quads_to_nquads(quads)
+    d = tmp_path / "nq"
+    d.mkdir()
+    (d / "part.nq").write_text(text, encoding="utf-8")
+    fast = sorted(map(tuple, read_nquads(spark, str(d), jvm_fast_path=True).collect()))
+    slow = sorted(map(tuple, read_nquads(spark, str(d), jvm_fast_path=False).collect()))
+    assert fast == slow
+    assert len(fast) == len(quads)
+    # spot-check full inversion against the original quads
+    def row(q):
+        s, p, o, g = q
+        subj = s[1] if s[0] == "iri" else "_:" + s[1]
+        if o[0] == "lit":
+            obj, is_iri, dt, lang = o[1], False, o[2], o[3]
+        else:
+            obj, is_iri, dt, lang = (o[1] if o[0] == "iri" else "_:" + o[1]), True, None, None
+        graph = (g[1] if g[0] == "iri" else "_:" + g[1]) if g is not None else None
+        return (subj, p[1], obj, is_iri, dt, lang, graph)
+    assert fast == sorted(row(q) for q in quads)
