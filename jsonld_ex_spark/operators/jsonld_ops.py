@@ -435,10 +435,84 @@ def jsonld_frame_select(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonld_canonical_hashes(spark, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED RDF canonicalization: per-document JSON-LD with an
+    ANONYMOUS author node (a real blank node, not a skolem IRI) →
+    expand → toRdf → RDFC canonical labels (core/canonicalization.py)
+    → canonical N-Quads md5.  Label invariance is itself gated: the
+    kernel skolemizes each document TWICE with different prefixes and
+    reports whether both canonicalize to the same hash
+    (labels_invariant — the oracle says it must always be true; the
+    hash value itself is reproduced relationally since _:c14n0 is the
+    unique canonical label for this shape).  One mapInPandas, zero
+    shuffle."""
+    import copy as _copy
+
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.core.canonicalization import canonical_nquads
+    from jsonld_ex_spark.core.to_rdf import to_rdf_from_node_map
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx_lit = json.dumps({"@vocab": VOCAB})
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"@context": ' + ctx_lit + ', '),
+            F.regexp_replace(
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("@id"),
+                        F.md5("text").alias("name"),
+                        F.struct(
+                            F.concat(
+                                F.lit("author "), (F.col("doc_id") % 10).cast("string")
+                            ).alias("name"),
+                        ).alias("author"),
+                    )
+                ),
+                r"^\{", "",
+            ),
+        ).alias("doc"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        options = Options()
+        active = _processed_context(json.dumps({"@vocab": VOCAB}, sort_keys=True))
+        for pdf in batches:
+            ids, hashes, counts, invariant = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["doc"]):
+                doc = json.loads(raw)
+                body = {k: v for k, v in doc.items() if k != "@context"}
+                expanded = expand_algo(active, None, body, options)
+                canons = []
+                for prefix in ("A.", "B."):
+                    generator = BlankNodeGenerator(skolem_prefix=prefix)
+                    nm = node_map(_copy.deepcopy(expanded), generator)
+                    quads = to_rdf_from_node_map(nm, options, generator)
+                    canons.append(canonical_nquads(quads))
+                ids.append(int(doc_id))
+                hashes.append(hashlib.md5(canons[0].encode()).hexdigest())
+                counts.append(canons[0].count("\n"))
+                invariant.append(canons[0] == canons[1])
+            yield pd.DataFrame(
+                {"doc_id": ids, "canon_md5": hashes, "n_quads": counts,
+                 "labels_invariant": invariant}
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, canon_md5 string, n_quads long, labels_invariant boolean",
+    )
+
+
 def queries():
     return {
         "jsonld_doc_triples": jsonld_doc_triples,
         "jsonld_frame_select": jsonld_frame_select,
+        "jsonld_canonical_hashes": jsonld_canonical_hashes,
     }
 
 
@@ -465,4 +539,23 @@ def oracle_sql():
                    'author ' || CAST(doc_id % 10 AS VARCHAR) AS author_name
             FROM documents
             WHERE n_chars > {FRAME_CHARS_THRESHOLD}""",
+        # the document's single anonymous node canonicalizes to _:c14n0,
+        # so the full canonical N-Quads text is relationally derivable:
+        # sorted lines + trailing newline, md5'd (name literal is the
+        # md5 hex of text — no N-Quads escaping needed in SQL)
+        "jsonld_canonical_hashes": f"""
+            WITH lines AS (
+              SELECT doc_id, line FROM (
+                SELECT doc_id,
+                       '<{DOC_NS}' || CAST(doc_id AS VARCHAR) || '> <{VOCAB}author> _:c14n0 .' AS l1,
+                       '<{DOC_NS}' || CAST(doc_id AS VARCHAR) || '> <{VOCAB}name> "' || md5(text) || '" .' AS l2,
+                       '_:c14n0 <{VOCAB}name> "author ' || CAST(doc_id % 10 AS VARCHAR) || '" .' AS l3
+                FROM documents
+              ), unnest([l1, l2, l3]) AS t(line)
+            )
+            SELECT doc_id,
+                   md5(string_agg(line, chr(10) ORDER BY line) || chr(10)) AS canon_md5,
+                   CAST(count(*) AS BIGINT) AS n_quads,
+                   TRUE AS labels_invariant
+            FROM lines GROUP BY doc_id""",
     }
