@@ -104,6 +104,75 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("fp16"))
 
 
+RARE_DF_MAX = 2  # a token is corpus-rare if it appears in ≤ this many docs
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: total tokens,
+    distinct tokens, the most-repeated token's count, and the duplicate
+    -token percentage (all integers — bit-exact across engines).  The
+    explode → per-(doc, token) count → per-doc aggregate shape is the
+    scalable one (map-side combine on both aggregates); high
+    dup_token_pct is the classic low-quality-document signal."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_tf"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.coalesce("max_tf", F.lit(0)).alias("max_tf"),
+        F.when(
+            F.col("n_tokens").isNull() | (F.col("n_tokens") == 0), F.lit(0)
+        )
+        .otherwise(F.expr("(100 * (n_tokens - n_distinct)) div n_tokens"))
+        .cast("long")
+        .alias("dup_token_pct"),
+    )
+
+
+def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rarity signal per document: how many of the document's
+    distinct tokens appear in ≤ RARE_DF_MAX documents corpus-wide
+    (misspellings/garbage markers — the integer-exact stand-in for
+    perplexity-style rarity scoring).  Two hash aggregates + one join
+    keyed on the token — linear, map-side combinable."""
+    d = _docs(spark, sf_dir)
+    dt = d.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")).alias("tok"),
+    ).dropDuplicates(["doc_id", "tok"])
+    df_counts = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        dt.join(df_counts, "tok")
+        .where(F.col("df") <= RARE_DF_MAX)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    distinct = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_distinct"))
+    return (
+        d.select("doc_id")
+        .join(distinct, "doc_id", "left")
+        .join(rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        )
+    )
+
+
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_RE = "555-[0-9]{4}"
 
@@ -146,6 +215,8 @@ def queries():
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "text_redact": text_redact,
+        "text_repetition": text_repetition,
+        "text_rare_tokens": text_rare_tokens,
     }
 
 
@@ -188,6 +259,50 @@ def oracle_sql():
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
                    substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp16
             FROM documents""",
+        "text_repetition": f"""
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+                FROM documents
+              ) GROUP BY doc_id, tok
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS max_tf
+              FROM tf GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   COALESCE(a.max_tf, 0) AS max_tf,
+                   CAST(CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+                        ELSE (100 * (a.n_tokens - a.n_distinct)) // a.n_tokens
+                   END AS BIGINT) AS dup_token_pct
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+        "text_rare_tokens": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+                FROM documents
+              )
+            ),
+            dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+            rare AS (
+              SELECT dt.doc_id, count(*) AS n_rare
+              FROM dt JOIN dfc USING (tok) WHERE dfc.df <= {RARE_DF_MAX}
+              GROUP BY dt.doc_id
+            ),
+            dist AS (SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(di.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare
+            FROM documents d
+            LEFT JOIN dist di ON di.doc_id = d.doc_id
+            LEFT JOIN rare r ON r.doc_id = d.doc_id""",
         "text_redact": f"""
             WITH p AS (
               SELECT doc_id,
