@@ -146,6 +146,22 @@ def frame(input_doc: Any, frame_doc: Any, options: Options | None = None) -> Any
     return _frame_algo(input_doc, frame_doc, options)
 
 
+def canonicalize(quads: list, _options: Options | None = None) -> list:
+    """RDF dataset canonicalization (RDFC-1.0 shape): quads with
+    deterministic, isomorphism-invariant _:c14nN blank-node labels.
+    BEYOND REFERENCE — see core/canonicalization.py."""
+    from jsonld_ex_spark.core.canonicalization import canonicalize as _canon
+
+    return _canon(quads)
+
+
+def canonical_nquads(quads: list, _options: Options | None = None) -> str:
+    """Canonical N-Quads document (equal strings ⟺ isomorphic data)."""
+    from jsonld_ex_spark.core.canonicalization import canonical_nquads as _cnq
+
+    return _cnq(quads)
+
+
 def context(ctx: Any, options: Options | None = None) -> Context:
     """Process a context document → active Context (reference
     JSON.LD.context/2, lib/json_ld.ex:330-340)."""
