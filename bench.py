@@ -55,11 +55,13 @@ def make_spark(cpus: int):
 #   * media_* — the decode kernel is an honest stub (no codecs in the
 #     image); timing byte-histogram stubs would flatter the number.
 #   * small gate-only queries (events_rollup_sets, topk_customers,
-#     purchasers_without_errors, sample_stratified, text_tokens/langid,
-#     kg_turn_order/link_scores/cooccurrence/roundtrip, ann_recall,
-#     dedup_ngram_jaccard, dedup_clusters, jsonld_frame_select) — each
-#     is either a near-duplicate of a listed query's plan shape or
-#     sub-second at sf0.1; the gate covers their correctness.
+#     purchasers_without_errors, sample_stratified, text_tokens/langid/
+#     redact/repetition/rare_tokens, kg_turn_order/link_scores/
+#     cooccurrence/roundtrip, ann_recall/kmeans/ivf_kmeans,
+#     dedup_ngram_jaccard, dedup_clusters, corpus_decontaminate,
+#     jsonld_canonical_hashes, stream_kg_triple_stats) — each is either
+#     a near-duplicate of a listed query's plan shape or small at
+#     sf0.1; the gate covers their correctness at three scales.
 # Additional non-headline timings are reported under "persisted" and
 # "extra" (round-3 additions — kept out of the headline total so it
 # stays comparable with the round-2 baseline).
