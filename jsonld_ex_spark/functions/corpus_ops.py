@@ -122,11 +122,70 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64  # tokens per training chunk
+PACK_BUDGET = 256  # tokens per packed sequence
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document CHUNKING for training prep: split each document's token
+    stream into fixed-size chunks (CHUNK_TOKENS), emitting per-chunk
+    token counts and a content fingerprint — the step between curation
+    and sequence packing.  Pure JVM: tokenization, sequence/slice
+    higher-order functions, md5; one row per chunk, no Python."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil(size(words) / {CHUNK_TOKENS}.0) as int) - 1, 0)),"
+        f" i -> named_struct("
+        f"'chunk_idx', i,"
+        f"'toks', slice(words, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+    )
+    return (
+        d.select("doc_id", words.alias("words"))
+        .where(F.expr("size(words) > 0"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.expr("size(c.toks)").alias("n_tokens"),
+            F.md5(F.expr("concat_ws(' ', c.toks)")).alias("chunk_md5"),
+        )
+    )
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SEQUENCE PACKING: chunks (from text_chunks) are
+    laid out in (doc_id, chunk_idx) order and assigned to fixed-budget
+    packs by their starting offset in the concatenated token stream —
+    pack_id = start_offset div PACK_BUDGET.  One running-sum window
+    over the global order; deterministic at any parallelism and
+    reproduced exactly by the oracle's cumulative sum.  (At 10^12
+    tokens the single global window would become a per-partition
+    pack-id + offset recombination — same arithmetic, documented
+    trade; the gate form keeps the simple spec.)"""
+    from pyspark.sql.window import Window
+
+    chunks = text_chunks(spark, sf_dir)
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    withsum = chunks.withColumn("cum", F.sum("n_tokens").over(w))
+    return withsum.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").cast("long").alias("pack_id"),
+        F.expr(f"(cum - n_tokens) % {PACK_BUDGET}").cast("long").alias("offset_in_pack"),
+    )
+
+
 def queries():
     return {
         "corpus_filter": corpus_filter,
         "sample_stratified": sample_stratified,
         "corpus_decontaminate": corpus_decontaminate,
+        "text_chunks": text_chunks,
+        "corpus_pack": corpus_pack,
     }
 
 
@@ -191,4 +250,36 @@ def oracle_sql():
                    COALESCE(h.n_shared, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
             WHERE d.doc_id % {EVAL_MOD} <> 0""",
+        "text_chunks": f"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(len(words[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS INT) AS n_tokens,
+                   md5(array_to_string(words[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+            FROM w, unnest(range(0, greatest(CAST(ceil(len(words) / {CHUNK_TOKENS}.0) AS INT), 1))) AS t(i)
+            WHERE len(words) > 0""",
+        "corpus_pack": f"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                     CAST(len(words[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens
+              FROM w, unnest(range(0, greatest(CAST(ceil(len(words) / {CHUNK_TOKENS}.0) AS INT), 1))) AS t(i)
+              WHERE len(words) > 0
+            ),
+            c AS (
+              SELECT doc_id, chunk_idx, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM ch
+            )
+            SELECT doc_id, chunk_idx, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+                   CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS offset_in_pack
+            FROM c""",
     }
