@@ -29,6 +29,12 @@ from jsonld_ex_spark.core.nquads import quads_to_nquads, term_to_nquads
 Term = tuple
 Quad = tuple
 
+# permutation-search group-size cap: the N-degree hash explores k! orders
+# of same-hash related nodes — highly symmetric "poison" graphs are the
+# known RDFC denial-of-service shape (the spec recommends bounding work).
+# 7! = 5040 paths per group is plenty for real data; larger groups raise.
+MAX_PERMUTATION_GROUP = 7
+
 
 class _Issuer:
     """Identifier issuer (spec §4.5): stable prefix + issue order."""
@@ -130,6 +136,12 @@ def canonicalize(quads: list[Quad]) -> list[Quad]:
                     hn.setdefault(hash_related(t[1], quad, issuer, pos), []).append(t[1])
         data = ""
         for related_hash in sorted(hn):
+            if len(hn[related_hash]) > MAX_PERMUTATION_GROUP:
+                raise ValueError(
+                    f"canonicalization aborted: {len(hn[related_hash])} blank nodes "
+                    f"share a related-hash group (> {MAX_PERMUTATION_GROUP}) — "
+                    "pathologically symmetric ('poison') graph"
+                )
             data += related_hash
             chosen_path = ""
             chosen_issuer: _Issuer | None = None

@@ -128,3 +128,19 @@ def test_deterministic_across_runs_and_orderings():
     ]
     shuffled = [quads[2], quads[0], quads[1]]
     assert canonical_nquads(quads) == canonical_nquads(shuffled)
+
+
+def test_poison_graph_raises_instead_of_hanging():
+    """A fully-connected clique of indistinguishable bnodes drives the
+    N-degree permutation search factorial — the known RDFC 'poison'
+    shape must raise a clear error instead of hanging."""
+    import pytest
+
+    n = 10
+    quads = []
+    for a in range(n):
+        for c in range(n):
+            if a != c:
+                quads.append(_q(b(f"n{a}"), "p", b(f"n{c}")))
+    with pytest.raises(ValueError, match="poison"):
+        canonical_nquads(quads)
