@@ -36,6 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_frame_tool_turns": kg_queries.kg_frame_tool_turns,
         "kg_graph_dedup": kg_queries.kg_graph_dedup,
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
+        # Graph-pattern queries over the constructed KG (operators/bgp.py)
+        "kg_bgp_tool_mentions": kg_queries.kg_bgp_tool_mentions,
+        "kg_bgp_bridge_entities": kg_queries.kg_bgp_bridge_entities,
+        # Incremental maintenance: snapshot-to-snapshot triple delta
+        "kg_triples_delta": kg_queries.kg_triples_delta,
     }
     from jsonld_ex_spark.operators import entity_linking, jsonld_ops
     from jsonld_ex_spark.streaming import stream_pipeline
@@ -82,6 +87,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),
         "kg_link_scores": oracles.kg_link_scores_oracle(),
         "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),
+        "kg_bgp_tool_mentions": oracles.kg_bgp_tool_mentions_oracle(),
+        "kg_bgp_bridge_entities": oracles.kg_bgp_bridge_entities_oracle(),
+        "kg_triples_delta": oracles.kg_triples_delta_oracle(),
     }
     from jsonld_ex_spark.operators import jsonld_ops
     from jsonld_ex_spark.streaming import stream_pipeline

@@ -95,6 +95,9 @@ BENCH_QUERIES = [
 
 # round-3 queries, timed but outside the comparable headline total
 EXTRA_QUERIES = [
+    "kg_bgp_tool_mentions",
+    "kg_bgp_bridge_entities",
+    "kg_triples_delta",
     "jsonld_frame_select",
     "kg_frame_tool_turns",
     "kg_graph_dedup",

@@ -1,0 +1,209 @@
+"""Basic-graph-pattern (BGP) queries over the RDF triple table.
+
+The reference (rdf-elixir/jsonld-ex) materializes JSON-LD as RDF; the
+natural next question a KG user asks is a *pattern* query ("which turns
+with role X mention entity ?e").  This module compiles a SPARQL-style
+BGP — a conjunction of (subject, predicate, object) patterns with
+shared variables — into a Spark DataFrame plan of hash equi-joins over
+the triple relation, plus the equivalent ANSI-SQL text so the same
+pattern is independently checkable by DuckDB.
+
+Term syntax (one string per position):
+
+- ``?name``      — variable; binds the lexical value of that position.
+- ``<iri>``      — IRI constant.  In the object position it only
+                   matches IRI objects (``obj_is_iri = true``).
+- ``"literal"``  — plain-literal constant (object position only;
+                   matches ``obj_is_iri = false`` regardless of
+                   datatype — the gate's triple model stores the
+                   lexical form in ``obj``).
+
+Planning (the 100-TB shape):
+
+- Each pattern becomes a filtered projection of the triple scan —
+  constants are pushed down as scan predicates (PushedFilters on a
+  persisted parquet/Iceberg triple table), variables become columns
+  named after themselves.
+- Patterns are joined left-deep in greedy order: most-constant
+  (most selective) pattern first, then any pattern sharing a variable
+  with the bound set, preferring more constants.  A pattern that
+  shares no variable with the accumulated plan is a cross product and
+  is rejected (``allow_cartesian=True`` to override) — on a 10^12-
+  triple table an accidental cartesian is the difference between a
+  query and an outage.
+- Join *strategy* is deliberately left to AQE: pattern selectivity is
+  data-dependent (``role = "tool"`` may be 20% of turns, a specific
+  subject IRI may be 5 rows), so hard-coding broadcast here would be
+  wrong at scale; AQE converts small sides to broadcast at runtime
+  from observed sizes and handles skewed join keys (hot entities).
+
+Self-joins re-scan the input once per pattern.  Over a *persisted*
+triple table that is N column-pruned parquet scans with pushed
+filters — exactly what you want.  The self-contained gate queries
+instead run the construction pipeline once and ``localCheckpoint`` the
+triples so the pattern joins read the materialized result instead of
+re-running the Python stage per pattern (same trick as
+dedup_ops._connected_components; cache() would not truncate lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_VAR, _IRI, _LIT = "var", "iri", "lit"
+
+
+def _parse_term(term: str) -> tuple[str, str]:
+    if term.startswith("?") and len(term) > 1:
+        return (_VAR, term[1:])
+    if term.startswith("<") and term.endswith(">") and len(term) > 2:
+        return (_IRI, term[1:-1])
+    if term.startswith('"') and term.endswith('"') and len(term) > 1:
+        return (_LIT, term[1:-1])
+    raise ValueError(f"bad BGP term {term!r}: expected ?var, <iri> or \"literal\"")
+
+
+def _parse_pattern(pattern: tuple[str, str, str]) -> list[tuple[str, str]]:
+    s, p, o = (_parse_term(t) for t in pattern)
+    if s[0] == _LIT:
+        raise ValueError("literal subjects are not valid RDF")
+    if p[0] == _LIT:
+        raise ValueError("literal predicates are not valid RDF")
+    if all(kind != _VAR for kind, _ in (s, p, o)):
+        raise ValueError("pattern with no variables is not supported")
+    return [s, p, o]
+
+
+def _pattern_vars(parsed: list[tuple[str, str]]) -> set[str]:
+    return {val for kind, val in parsed if kind == _VAR}
+
+
+def _n_constants(parsed: list[tuple[str, str]]) -> int:
+    return sum(1 for kind, _ in parsed if kind != _VAR)
+
+
+def _join_order(parsed: list[list[tuple[str, str]]], allow_cartesian: bool) -> list[int]:
+    """Greedy left-deep order: most constants first, then connected
+    patterns by constant count; stable tie-break on original index so
+    plans (and oracle SQL) are deterministic."""
+    remaining = list(range(len(parsed)))
+    remaining.sort(key=lambda i: (-_n_constants(parsed[i]), i))
+    order = [remaining.pop(0)]
+    bound = set(_pattern_vars(parsed[order[0]]))
+    while remaining:
+        connected = [i for i in remaining if _pattern_vars(parsed[i]) & bound]
+        if not connected:
+            if not allow_cartesian:
+                raise ValueError(
+                    "BGP is disconnected (cross product); pass allow_cartesian=True"
+                )
+            connected = remaining
+        nxt = min(connected, key=lambda i: (-_n_constants(parsed[i]), i))
+        remaining.remove(nxt)
+        order.append(nxt)
+        bound |= _pattern_vars(parsed[nxt])
+    return order
+
+
+_POS_COLS = ("subj", "pred", "obj")
+
+
+def _pattern_df(triples: DataFrame, parsed: list[tuple[str, str]]) -> DataFrame:
+    conds = []
+    cols: dict[str, str] = {}  # var name -> source column
+    for pos, (kind, val) in zip(_POS_COLS, parsed):
+        if kind == _VAR:
+            if val in cols:  # repeated variable inside one pattern
+                conds.append(F.col(cols[val]) == F.col(pos))
+            else:
+                cols[val] = pos
+        else:
+            conds.append(F.col(pos) == F.lit(val))
+            if pos == "obj":
+                conds.append(F.col("obj_is_iri") == F.lit(kind == _IRI))
+    df = triples
+    for c in conds:
+        df = df.filter(c)
+    return df.select(*[F.col(src).alias(var) for var, src in cols.items()])
+
+
+def bgp_select(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    project: list[str] | None = None,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Compile a BGP into a DataFrame of variable bindings (bag
+    semantics, like SPARQL BGP matching).  Column names are the
+    variable names; ``project`` selects/orders output variables."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    parsed = [_parse_pattern(p) for p in patterns]
+    order = _join_order(parsed, allow_cartesian)
+    acc = _pattern_df(triples, parsed[order[0]])
+    bound = set(acc.columns)
+    for i in order[1:]:
+        pdf = _pattern_df(triples, parsed[i])
+        shared = sorted(bound & set(pdf.columns))
+        acc = acc.join(pdf, on=shared, how="inner") if shared else acc.crossJoin(pdf)
+        bound |= set(pdf.columns)
+    if project is not None:
+        missing = [v for v in project if v not in bound]
+        if missing:
+            raise ValueError(f"projected variables not bound: {missing}")
+        acc = acc.select(*project)
+    return acc
+
+
+def _sql_quote(val: str) -> str:
+    return "'" + val.replace("'", "''") + "'"
+
+
+def _pattern_sql(parsed: list[tuple[str, str]], rel: str = "triples") -> str:
+    conds = []
+    cols: dict[str, str] = {}
+    for pos, (kind, val) in zip(_POS_COLS, parsed):
+        if kind == _VAR:
+            if val in cols:
+                conds.append(f"{cols[val]} = {pos}")
+            else:
+                cols[val] = pos
+        else:
+            conds.append(f"{pos} = {_sql_quote(val)}")
+            if pos == "obj":
+                conds.append(f"obj_is_iri = {'true' if kind == _IRI else 'false'}")
+    proj = ", ".join(f"{src} AS {var}" for var, src in cols.items())
+    where = " AND ".join(conds) if conds else "true"
+    return f"SELECT {proj} FROM {rel} WHERE {where}"
+
+
+def bgp_oracle_sql(
+    triples_sql: str,
+    patterns: list[tuple[str, str, str]],
+    project: list[str] | None = None,
+    allow_cartesian: bool = False,
+) -> str:
+    """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
+    (same greedy join order, USING-joins on shared variables), runnable
+    by DuckDB over the relationally-derived triples CTE — the oracle
+    never touches the Spark plan."""
+    parsed = [_parse_pattern(p) for p in patterns]
+    order = _join_order(parsed, allow_cartesian)
+    ctes = ",\n".join(
+        f"p{i} AS ({_pattern_sql(parsed[i])})" for i in order
+    )
+    joins = [f"p{order[0]}"]
+    bound = _pattern_vars(parsed[order[0]])
+    for i in order[1:]:
+        shared = sorted(bound & _pattern_vars(parsed[i]))
+        if shared:
+            joins.append(f"JOIN p{i} USING ({', '.join(shared)})")
+        else:
+            joins.append(f"CROSS JOIN p{i}")
+        bound |= _pattern_vars(parsed[i])
+    proj = ", ".join(project) if project is not None else ", ".join(sorted(bound))
+    return (
+        f"WITH triples AS ({triples_sql}),\n{ctes}\n"
+        f"SELECT {proj} FROM {' '.join(joins)}"
+    )

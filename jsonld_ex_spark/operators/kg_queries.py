@@ -304,3 +304,135 @@ def kg_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversations(transcripts_df(spark, sf_dir)).mapInPandas(
         check, schema="conv_id string, ok boolean"
     )
+
+
+# --- BGP pattern queries over the constructed graph ------------------------
+
+def _checkpointed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained gate form: run the construction pipeline once and
+    localCheckpoint the triples so each BGP pattern scan reads the
+    materialized result instead of re-running the Python stage
+    (cache() would not truncate lineage — CLAUDE.md).  Production BGP
+    queries read the PERSISTED triple table (write_triples → scan),
+    where each pattern is a column-pruned parquet scan with pushed
+    subject/predicate filters."""
+    return kg_triples(spark, sf_dir).localCheckpoint(eager=False)
+
+
+def kg_bgp_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-pattern star BGP: ?turn role "tool" . ?turn mentions ?entity —
+    compiled by operators/bgp.py into an equi-join of two filtered
+    pattern scans; the oracle compiles the SAME pattern list to SQL
+    over the relationally-derived triples (plans/oracles.py)."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
+
+    return bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        BGP_TOOL_MENTIONS_PATTERNS,
+        project=["turn", "entity"],
+    )
+
+
+def kg_bgp_bridge_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entities mentioned by BOTH an assistant turn and a tool turn,
+    with per-role distinct turn counts.
+
+    This is the count-distinct aggregate of the 4-pattern BGP
+    { ?t1 role "assistant" . ?t1 mentions ?e .
+      ?t2 role "tool"      . ?t2 mentions ?e }
+    FACTORIZED through the shared variable: the naive bag join
+    materializes Σ|A_e|·|T_e| rows (12.4M at sf0.01, ~1.2B at sf0.1 —
+    hot entities make it quadratic), while the factorized form
+    aggregates each 2-pattern arm first and joins per-entity counts —
+    identical output, linear cost.  The oracle derives the same counts
+    independently from the transcript CTE (no BGP compiler, no triple
+    oracle)."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    triples = _checkpointed_triples(spark, sf_dir)
+
+    def arm(role: str, out: str) -> DataFrame:
+        b = bgp_select(
+            triples,
+            [
+                ("?t", f"<{VOCAB}role>", f'"{role}"'),
+                ("?t", f"<{VOCAB}mentions>", "?entity"),
+            ],
+            project=["entity", "t"],
+        )
+        return b.groupBy("entity").agg(F.countDistinct("t").alias(out))
+
+    return arm("assistant", "n_assistant_turns").join(
+        arm("tool", "n_tool_turns"), on="entity", how="inner"
+    )
+
+
+# --- Incremental maintenance: snapshot delta -------------------------------
+
+_DELTA_PARTICIPATE = "substr(md5(conv_id), 1, 1) IN ('0','1','2','3')"
+_DELTA_GROWING = "substr(md5(conv_id), 1, 1) IN ('0','1')"
+
+
+def _delta_key(df: DataFrame) -> DataFrame:
+    """Null-safe full-width triple identity key (chr(30) null marker,
+    chr(31) field separator — same bytes as the DuckDB oracle)."""
+    rs = F.lit("\x1e")
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("subj"),
+            F.col("pred"),
+            F.col("obj"),
+            F.col("obj_is_iri").cast("string"),
+            F.coalesce(F.col("obj_dt"), rs),
+            F.coalesce(F.col("obj_lang"), rs),
+            F.coalesce(F.col("graph"), rs),
+        )
+    )
+    return df.select("pred", key.alias("k"))
+
+
+def kg_triples_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: per-predicate added/removed triple
+    counts between yesterday's snapshot (convs md5-prefixed 0/1 are
+    missing their final turn) and today's.  At 100 TB you never
+    recompute the full graph — you diff snapshots: both triple tables
+    bucketed by subject make the two anti-joins co-partitioned
+    (zero-shuffle); here both sides are pipeline runs over a
+    deterministic 25% conv subset, localCheckpointed so each side's
+    Python stage executes exactly once across the two anti-joins.
+
+    Dropping a conversation's last turn removes the old rdf:rest→nil
+    cell triple and adds the whole new turn (type/role/text/ts/
+    turn_idx/mentions + list cell), so BOTH delta directions are
+    non-empty — no vacuous pass."""
+    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+    from jsonld_ex_spark.sources.transcripts import transcripts_df
+    from pyspark.sql import Window
+
+    t = transcripts_df(spark, sf_dir).filter(F.expr(_DELTA_PARTICIPATE))
+    mx = F.max("turn_idx").over(Window.partitionBy("conv_id"))
+    old_t = (
+        t.withColumn("_mx", mx)
+        .filter(~(F.expr(_DELTA_GROWING) & (F.col("turn_idx") == F.col("_mx"))))
+        .drop("_mx")
+    )
+    newk = _delta_key(conversation_triples(t)).localCheckpoint(eager=False)
+    oldk = _delta_key(conversation_triples(old_t)).localCheckpoint(eager=False)
+    added = (
+        newk.join(oldk.select("k"), on="k", how="left_anti")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+    )
+    removed = (
+        oldk.join(newk.select("k"), on="k", how="left_anti")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return added.join(removed, on="pred", how="full").select(
+        "pred",
+        F.coalesce("n_added", F.lit(0).cast("long")).alias("n_added"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+    )

@@ -25,8 +25,8 @@ def transcripts_oracle() -> str:
     return transcripts_oracle_cte("lineitem")
 
 
-def kg_triples_oracle() -> str:
-    t = transcripts_oracle_cte("lineitem")
+def kg_triples_oracle(turns_sql: str | None = None) -> str:
+    t = turns_sql or transcripts_oracle_cte("lineitem")
     return f"""
 WITH t AS ({t}),
 mx AS (SELECT conv_id, max(turn_idx) AS max_idx FROM t GROUP BY conv_id),
@@ -199,3 +199,83 @@ SELECT conv_id, graph_md5,
        count(*) OVER (PARTITION BY graph_md5) AS group_size,
        min(conv_id) OVER (PARTITION BY graph_md5) AS canonical_conv_id
 FROM fp"""
+
+
+# --- BGP pattern queries (operators/bgp.py) --------------------------------
+
+# Shared with operators/kg_queries.py so the Spark plan and the oracle
+# compile the IDENTICAL pattern list.
+BGP_TOOL_MENTIONS_PATTERNS: list[tuple[str, str, str]] = [
+    ("?turn", f"<{VOCAB}role>", '"tool"'),
+    ("?turn", f"<{VOCAB}mentions>", "?entity"),
+]
+
+
+def kg_bgp_tool_mentions_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(), BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"]
+    )
+
+
+def kg_bgp_bridge_entities_oracle() -> str:
+    """Derived straight from the transcript CTE (independent of both the
+    triple oracle and the BGP compiler): per-entity distinct assistant/
+    tool turn counts, inner-joined on entity.  This is the factorized
+    form of the 4-pattern BGP's count-distinct aggregate — the naive
+    bag join is Σ|A_e|·|T_e| ≈ 12.4M rows at sf0.01 (~1.2B at sf0.1)."""
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t}),
+m AS (
+  SELECT DISTINCT role, concat('urn:turn:', conv_id, ':', turn_idx) AS turn,
+         concat('{ENTITY_NS}E', substr(mm, 5)) AS entity
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+),
+a AS (SELECT entity, count(DISTINCT turn) AS n_assistant_turns
+      FROM m WHERE role = 'assistant' GROUP BY entity),
+b AS (SELECT entity, count(DISTINCT turn) AS n_tool_turns
+      FROM m WHERE role = 'tool' GROUP BY entity)
+SELECT entity, n_assistant_turns, n_tool_turns FROM a JOIN b USING (entity)"""
+
+
+# --- Incremental maintenance: snapshot delta -------------------------------
+
+def _turns_participating() -> str:
+    """The deterministic conv subset the delta gate query compares over
+    (keeps the gate's two pipeline runs to ~25% of the data)."""
+    t = transcripts_oracle_cte("lineitem")
+    return (
+        f"SELECT * FROM ({t}) pt "
+        "WHERE substr(md5(conv_id), 1, 1) IN ('0','1','2','3')"
+    )
+
+
+def _turns_old_snapshot() -> str:
+    """Yesterday's snapshot: the same convs, but convs whose md5 leads
+    with 0/1 have not yet received their final turn."""
+    return f"""SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT b.*, max(turn_idx) OVER (PARTITION BY conv_id) AS _mx
+  FROM ({_turns_participating()}) b
+) x WHERE NOT (substr(md5(conv_id), 1, 1) IN ('0','1') AND turn_idx = _mx)"""
+
+
+_DELTA_KEY_SQL = (
+    "md5(concat_ws(chr(31), subj, pred, obj, CAST(obj_is_iri AS VARCHAR), "
+    "coalesce(obj_dt, chr(30)), coalesce(obj_lang, chr(30)), "
+    "coalesce(graph, chr(30))))"
+)
+
+
+def kg_triples_delta_oracle() -> str:
+    """Per-predicate added/removed triple counts between two pipeline
+    snapshots, derived via the relational triple oracle on both sides."""
+    return f"""
+WITH nk AS (SELECT pred, {_DELTA_KEY_SQL} AS k FROM ({kg_triples_oracle(_turns_participating())}) n),
+ok AS (SELECT pred, {_DELTA_KEY_SQL} AS k FROM ({kg_triples_oracle(_turns_old_snapshot())}) o),
+a AS (SELECT pred, count(*) AS n_added FROM nk WHERE k NOT IN (SELECT k FROM ok) GROUP BY pred),
+r AS (SELECT pred, count(*) AS n_removed FROM ok WHERE k NOT IN (SELECT k FROM nk) GROUP BY pred)
+SELECT pred, CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM a FULL JOIN r USING (pred)"""

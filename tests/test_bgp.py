@@ -1,0 +1,139 @@
+"""BGP compiler semantics + incremental-delta tests.
+
+The tiny-graph tests pin the compiler's semantics (variable joins,
+IRI/literal object distinction, repeated variables, predicate
+variables, cartesian rejection) independently of the KG pipeline; the
+oracle-equivalence test runs bgp_oracle_sql's generated SQL on DuckDB
+over the SAME tiny graph and compares bindings bag-for-bag.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_ex_spark.operators.bgp import bgp_oracle_sql, bgp_select
+from tests.spark_fixtures import SF_DIR, spark  # noqa: F401
+
+TRIPLES = [
+    # (subj, pred, obj, obj_is_iri)
+    ("urn:t1", "urn:role", "tool", False),
+    ("urn:t2", "urn:role", "tool", False),
+    ("urn:t3", "urn:role", "assistant", False),
+    ("urn:t1", "urn:mentions", "urn:e1", True),
+    ("urn:t1", "urn:mentions", "urn:e2", True),
+    ("urn:t2", "urn:mentions", "urn:e1", True),
+    ("urn:t3", "urn:mentions", "urn:e1", True),
+    # a literal that collides lexically with an IRI object
+    ("urn:t2", "urn:note", "urn:e1", False),
+    # self-loop for the repeated-variable test
+    ("urn:e1", "urn:sameAs", "urn:e1", True),
+    ("urn:e1", "urn:sameAs", "urn:e2", True),
+]
+
+
+@pytest.fixture()
+def tiny(spark):  # noqa: F811
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_star_join_bindings(tiny):
+    out = bgp_select(
+        tiny,
+        [("?t", "<urn:role>", '"tool"'), ("?t", "<urn:mentions>", "?e")],
+        project=["t", "e"],
+    )
+    assert _rows(out) == [
+        ("urn:t1", "urn:e1"),
+        ("urn:t1", "urn:e2"),
+        ("urn:t2", "urn:e1"),
+    ]
+
+
+def test_literal_constant_does_not_match_iri_object(tiny):
+    # "urn:e1" as a literal term must match ONLY the urn:note literal row,
+    # never the urn:mentions IRI rows with the same lexical form.
+    lit = bgp_select(tiny, [("?t", "?p", '"urn:e1"')], project=["t", "p"])
+    assert _rows(lit) == [("urn:t2", "urn:note")]
+    iri = bgp_select(tiny, [("?t", "<urn:mentions>", "<urn:e1>")], project=["t"])
+    assert _rows(iri) == [("urn:t1",), ("urn:t2",), ("urn:t3",)]
+
+
+def test_repeated_variable_within_pattern(tiny):
+    out = bgp_select(tiny, [("?x", "<urn:sameAs>", "?x")], project=["x"])
+    assert _rows(out) == [("urn:e1",)]
+
+
+def test_predicate_variable_binds(tiny):
+    out = bgp_select(tiny, [("<urn:t3>", "?p", "?o")], project=["p", "o"])
+    assert _rows(out) == [("urn:mentions", "urn:e1"), ("urn:role", "assistant")]
+
+
+def test_disconnected_bgp_rejected_unless_allowed(tiny):
+    pats = [("?a", "<urn:role>", '"tool"'), ("?b", "<urn:sameAs>", "?c")]
+    with pytest.raises(ValueError, match="cross product"):
+        bgp_select(tiny, pats)
+    out = bgp_select(tiny, pats, allow_cartesian=True)
+    assert out.count() == 2 * 2  # 2 tool turns x 2 sameAs edges
+
+
+def test_unbound_projection_rejected(tiny):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_select(tiny, [("?t", "<urn:role>", "?r")], project=["nope"])
+    with pytest.raises(ValueError, match="no variables"):
+        bgp_select(tiny, [("<urn:t1>", "<urn:role>", '"tool"')])
+
+
+def test_oracle_sql_matches_spark_bindings(tiny):
+    """The generated SQL, run by DuckDB on the same tiny graph, must
+    produce the identical binding bag as the DataFrame plan."""
+    patterns = [
+        ("?t", "<urn:role>", "?r"),
+        ("?t", "<urn:mentions>", "?e"),
+    ]
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS v(subj, pred, obj, obj_is_iri)"
+    )
+    sql = bgp_oracle_sql(cte, patterns, project=["t", "r", "e"])
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    got = _rows(bgp_select(tiny, patterns, project=["t", "r", "e"]))
+    assert got == duck
+    assert len(got) == 4
+
+
+def test_bgp_plan_has_no_cartesian_or_python(spark):  # noqa: F811
+    from jsonld_ex_spark.operators.kg_queries import kg_bgp_tool_mentions
+
+    plan = kg_bgp_tool_mentions(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triples_delta_non_vacuous_both_directions(spark):  # noqa: F811
+    """Both delta directions must be exercised: dropping a conv's final
+    turn removes its old rdf:rest→nil cell and adds the whole new turn."""
+    from jsonld_ex_spark.operators.kg_queries import kg_triples_delta
+
+    rows = {r["pred"]: r for r in kg_triples_delta(spark, SF_DIR).collect()}
+    assert sum(r["n_added"] for r in rows.values()) > 0
+    removed_preds = {p for p, r in rows.items() if r["n_removed"] > 0}
+    assert removed_preds, "no removed triples — delta is vacuous"
+    # the ONLY removals are rewritten list tails (rest→nil became rest→cell)
+    assert removed_preds == {"http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"}
+    # every truncated multi-turn conv contributes 2 added tails per 1
+    # removed; a single-turn conv vanishes from the old snapshot
+    # entirely (its one added tail has no matching removal)
+    rest = rows["http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"]
+    assert rest["n_added"] >= 2 * rest["n_removed"] > 0
