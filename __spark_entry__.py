@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Graph-pattern queries over the constructed KG (operators/bgp.py)
         "kg_bgp_tool_mentions": kg_queries.kg_bgp_tool_mentions,
         "kg_bgp_bridge_entities": kg_queries.kg_bgp_bridge_entities,
+        "kg_bgp_turn_tools": kg_queries.kg_bgp_turn_tools,
         # Incremental maintenance: snapshot-to-snapshot triple delta
         "kg_triples_delta": kg_queries.kg_triples_delta,
     }
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cooccurrence": oracles.kg_entity_cooccurrence_oracle(),
         "kg_bgp_tool_mentions": oracles.kg_bgp_tool_mentions_oracle(),
         "kg_bgp_bridge_entities": oracles.kg_bgp_bridge_entities_oracle(),
+        "kg_bgp_turn_tools": oracles.kg_bgp_turn_tools_oracle(),
         "kg_triples_delta": oracles.kg_triples_delta_oracle(),
     }
     from jsonld_ex_spark.operators import jsonld_ops

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
 EXTRA_QUERIES = [
     "kg_bgp_tool_mentions",
     "kg_bgp_bridge_entities",
+    "kg_bgp_turn_tools",
     "kg_triples_delta",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

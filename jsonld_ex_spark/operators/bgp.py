@@ -128,19 +128,7 @@ def _pattern_df(triples: DataFrame, parsed: list[tuple[str, str]]) -> DataFrame:
     return df.select(*[F.col(src).alias(var) for var, src in cols.items()])
 
 
-def bgp_select(
-    triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
-    project: list[str] | None = None,
-    allow_cartesian: bool = False,
-) -> DataFrame:
-    """Compile a BGP into a DataFrame of variable bindings (bag
-    semantics, like SPARQL BGP matching).  Column names are the
-    variable names; ``project`` selects/orders output variables."""
-    if not patterns:
-        raise ValueError("empty BGP")
-    parsed = [_parse_pattern(p) for p in patterns]
-    order = _join_order(parsed, allow_cartesian)
+def _bgp_join(triples: DataFrame, parsed, order) -> DataFrame:
     acc = _pattern_df(triples, parsed[order[0]])
     bound = set(acc.columns)
     for i in order[1:]:
@@ -148,12 +136,84 @@ def bgp_select(
         shared = sorted(bound & set(pdf.columns))
         acc = acc.join(pdf, on=shared, how="inner") if shared else acc.crossJoin(pdf)
         bound |= set(pdf.columns)
+    return acc
+
+
+def _check_optional_group(
+    parsed_group, bound: set[str], group_idx: int
+) -> list[str]:
+    gvars = set().union(*(_pattern_vars(p) for p in parsed_group))
+    shared = sorted(gvars & bound)
+    if not shared:
+        raise ValueError(
+            f"optional group {group_idx} shares no variable with the "
+            "required patterns (would be a cartesian left join)"
+        )
+    return shared
+
+
+def bgp_select(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    project: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Compile a BGP into a DataFrame of variable bindings (bag
+    semantics, like SPARQL BGP matching).  Column names are the
+    variable names; ``project`` selects/orders output variables.
+
+    ``optional`` is a list of OPTIONAL pattern groups (SPARQL
+    semantics: each group left-joins onto the required bindings on its
+    shared variables; group-only variables come back null when the
+    group doesn't match).  Groups are applied in order; a variable may
+    be introduced by at most one optional group."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    parsed = [_parse_pattern(p) for p in patterns]
+    order = _join_order(parsed, allow_cartesian)
+    acc = _bgp_join(triples, parsed, order)
+    bound = set(acc.columns)
+    optional_vars: set[str] = set()
+    for gi, group in enumerate(optional or []):
+        gparsed = [_parse_pattern(p) for p in group]
+        gvars = set().union(*(_pattern_vars(p) for p in gparsed))
+        if gvars & optional_vars:
+            # joining on a nullable optional-introduced column would
+            # silently diverge from SPARQL's compatible-binding rules
+            raise ValueError(
+                "optional groups must not reference variables introduced "
+                "by another optional group"
+            )
+        shared = _check_optional_group(gparsed, bound, gi)
+        gdf = _bgp_join(triples, gparsed, _join_order(gparsed, allow_cartesian))
+        acc = acc.join(gdf, on=shared, how="left")
+        optional_vars |= set(gdf.columns) - bound
+        bound |= set(gdf.columns)
     if project is not None:
         missing = [v for v in project if v not in bound]
         if missing:
             raise ValueError(f"projected variables not bound: {missing}")
         acc = acc.select(*project)
     return acc
+
+
+def bgp_over_table(
+    spark,
+    table_path: str,
+    patterns: list[tuple[str, str, str]],
+    project: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+) -> DataFrame:
+    """PRODUCTION form: BGP over a persisted triple table
+    (``write_triples`` output).  Each pattern becomes a column-pruned
+    parquet scan whose constant terms are PUSHED filters
+    (tests/test_bgp.py asserts PushedFilters in the plan) — at 10^12
+    triples the subject-bucketed layout additionally prunes files for
+    subject-constant patterns."""
+    return bgp_select(
+        spark.read.parquet(table_path), patterns, project=project, optional=optional
+    )
 
 
 def _sql_quote(val: str) -> str:
@@ -178,21 +238,34 @@ def _pattern_sql(parsed: list[tuple[str, str]], rel: str = "triples") -> str:
     return f"SELECT {proj} FROM {rel} WHERE {where}"
 
 
+def _group_sql(parsed, order) -> str:
+    parts = [f"({_pattern_sql(parsed[order[0]])}) g0"]
+    bound = _pattern_vars(parsed[order[0]])
+    for n, i in enumerate(order[1:], 1):
+        shared = sorted(bound & _pattern_vars(parsed[i]))
+        kw = f"JOIN ({_pattern_sql(parsed[i])}) g{n}"
+        parts.append(
+            f"{kw} USING ({', '.join(shared)})" if shared else f"CROSS {kw}"
+        )
+        bound |= _pattern_vars(parsed[i])
+    return "SELECT * FROM " + " ".join(parts)
+
+
 def bgp_oracle_sql(
     triples_sql: str,
     patterns: list[tuple[str, str, str]],
     project: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
-    (same greedy join order, USING-joins on shared variables), runnable
-    by DuckDB over the relationally-derived triples CTE — the oracle
-    never touches the Spark plan."""
+    (same greedy join order, USING-joins on shared variables, LEFT
+    JOINs for optional groups), runnable by DuckDB over the
+    relationally-derived triples CTE — the oracle never touches the
+    Spark plan."""
     parsed = [_parse_pattern(p) for p in patterns]
     order = _join_order(parsed, allow_cartesian)
-    ctes = ",\n".join(
-        f"p{i} AS ({_pattern_sql(parsed[i])})" for i in order
-    )
+    ctes = [f"p{i} AS ({_pattern_sql(parsed[i])})" for i in order]
     joins = [f"p{order[0]}"]
     bound = _pattern_vars(parsed[order[0]])
     for i in order[1:]:
@@ -202,8 +275,24 @@ def bgp_oracle_sql(
         else:
             joins.append(f"CROSS JOIN p{i}")
         bound |= _pattern_vars(parsed[i])
+    optional_vars: set[str] = set()
+    for gi, group in enumerate(optional or []):
+        gparsed = [_parse_pattern(p) for p in group]
+        gvars = set().union(*(_pattern_vars(p) for p in gparsed))
+        if gvars & optional_vars:
+            raise ValueError(
+                "optional groups must not reference variables introduced "
+                "by another optional group"
+            )
+        shared = _check_optional_group(gparsed, bound, gi)
+        ctes.append(
+            f"opt{gi} AS ({_group_sql(gparsed, _join_order(gparsed, allow_cartesian))})"
+        )
+        joins.append(f"LEFT JOIN opt{gi} USING ({', '.join(shared)})")
+        optional_vars |= gvars - bound
+        bound |= gvars
     proj = ", ".join(project) if project is not None else ", ".join(sorted(bound))
     return (
-        f"WITH triples AS ({triples_sql}),\n{ctes}\n"
+        f"WITH triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
         f"SELECT {proj} FROM {' '.join(joins)}"
     )

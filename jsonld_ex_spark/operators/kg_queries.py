@@ -436,3 +436,22 @@ def kg_triples_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_added", F.lit(0).cast("long")).alias("n_added"),
         F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
     )
+
+
+def kg_bgp_turn_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with an OPTIONAL group (SPARQL left join): every typed turn
+    with its role, plus the tool name when the turn has one — NULL
+    toolname for the ~2/3 of turns without, so the left-join path is
+    non-vacuous at every scale."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.plans.oracles import (
+        BGP_TURN_TOOLS_OPTIONAL,
+        BGP_TURN_TOOLS_PATTERNS,
+    )
+
+    return bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        BGP_TURN_TOOLS_PATTERNS,
+        project=["turn", "role", "toolname"],
+        optional=BGP_TURN_TOOLS_OPTIONAL,
+    )

@@ -279,3 +279,26 @@ r AS (SELECT pred, count(*) AS n_removed FROM ok WHERE k NOT IN (SELECT k FROM n
 SELECT pred, CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
        CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
 FROM a FULL JOIN r USING (pred)"""
+
+
+BGP_TURN_TOOLS_PATTERNS: list[tuple[str, str, str]] = [
+    ("?turn", f"<{RDF}type>", f"<{VOCAB}Turn>"),
+    ("?turn", f"<{VOCAB}role>", "?role"),
+]
+# OPTIONAL { ?turn v:tool ?toolname } — only tool-role turns carry it;
+# the other two thirds of the bindings come back with a NULL toolname,
+# exercising the left-join path non-vacuously at every scale.
+BGP_TURN_TOOLS_OPTIONAL: list[list[tuple[str, str, str]]] = [
+    [("?turn", f"<{VOCAB}tool>", "?toolname")]
+]
+
+
+def kg_bgp_turn_tools_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(),
+        BGP_TURN_TOOLS_PATTERNS,
+        project=["turn", "role", "toolname"],
+        optional=BGP_TURN_TOOLS_OPTIONAL,
+    )

@@ -137,3 +137,83 @@ def test_triples_delta_non_vacuous_both_directions(spark):  # noqa: F811
     # entirely (its one added tail has no matching removal)
     rest = rows["http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"]
     assert rest["n_added"] >= 2 * rest["n_removed"] > 0
+
+
+def test_optional_group_left_join_semantics(tiny):
+    out = bgp_select(
+        tiny,
+        [("?t", "<urn:role>", "?r")],
+        optional=[[("?t", "<urn:mentions>", "?e")]],
+        project=["t", "r", "e"],
+    )
+    rows = _rows(out)
+    # every typed binding survives; t3 keeps its single mention,
+    # a turn with no mentions would carry e = NULL
+    assert ("urn:t3", "assistant", "urn:e1") in rows
+    assert len(rows) == 4  # t1x2 mentions, t2x1, t3x1 — none dropped
+    # now an optional that genuinely misses: urn:sameAs rows exist only
+    # for e1, so t-rows get NULL
+    out2 = bgp_select(
+        tiny,
+        [("?t", "<urn:role>", "?r")],
+        optional=[[("?t", "<urn:sameAs>", "?x")]],
+        project=["t", "x"],
+    )
+    assert _rows(out2) == [("urn:t1", None), ("urn:t2", None), ("urn:t3", None)]
+
+
+def test_optional_validation(tiny):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_select(
+            tiny,
+            [("?t", "<urn:role>", "?r")],
+            optional=[[("?a", "<urn:sameAs>", "?b")]],
+        )
+    with pytest.raises(ValueError, match="another optional group"):
+        bgp_select(
+            tiny,
+            [("?t", "<urn:role>", "?r")],
+            optional=[
+                [("?t", "<urn:mentions>", "?e")],
+                [("?e", "<urn:sameAs>", "?x")],
+            ],
+        )
+
+
+def test_optional_oracle_sql_matches_spark(tiny):
+    patterns = [("?t", "<urn:role>", "?r")]
+    optional = [[("?t", "<urn:mentions>", "?e")]]
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(cte, patterns, project=["t", "r", "e"], optional=optional)
+    duck = sorted(
+        tuple(r) for r in duckdb.connect().execute(sql).fetchall()
+    )
+    got = _rows(
+        bgp_select(tiny, patterns, project=["t", "r", "e"], optional=optional)
+    )
+    assert got == duck
+
+
+def test_bgp_over_table_pushes_constant_filters(spark, tmp_path):  # noqa: F811
+    """Production form: constants in a pattern must reach the parquet
+    scan as PushedFilters (at 10^12 triples this is the difference
+    between scanning a predicate's slice and scanning the world)."""
+    from jsonld_ex_spark.operators.bgp import bgp_over_table
+    from jsonld_ex_spark.operators.kg_pipeline import kg_triples
+    from jsonld_ex_spark.operators.triples import write_triples
+
+    path = str(tmp_path / "trip")
+    write_triples(kg_triples(spark, SF_DIR).limit(2000), path, n_buckets=2)
+    df = bgp_over_table(
+        spark,
+        path,
+        [("?t", "<urn:x:role>", '"tool"'), ("?t", "<urn:x:mentions>", "?e")],
+        project=["t", "e"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "urn:x:role" in plan  # the pred constant reached the scan
+    assert "CartesianProduct" not in plan
