@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_tool_mentions": kg_queries.kg_bgp_tool_mentions,
         "kg_bgp_bridge_entities": kg_queries.kg_bgp_bridge_entities,
         "kg_bgp_turn_tools": kg_queries.kg_bgp_turn_tools,
+        # Distributed rdf:first/rest list walk (pointer doubling)
+        "kg_list_walk": kg_queries.kg_list_walk,
         # Incremental maintenance: snapshot-to-snapshot triple delta
         "kg_triples_delta": kg_queries.kg_triples_delta,
     }
@@ -91,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_tool_mentions": oracles.kg_bgp_tool_mentions_oracle(),
         "kg_bgp_bridge_entities": oracles.kg_bgp_bridge_entities_oracle(),
         "kg_bgp_turn_tools": oracles.kg_bgp_turn_tools_oracle(),
+        "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_triples_delta": oracles.kg_triples_delta_oracle(),
     }
     from jsonld_ex_spark.operators import jsonld_ops

@@ -99,6 +99,7 @@ EXTRA_QUERIES = [
     "kg_bgp_bridge_entities",
     "kg_bgp_turn_tools",
     "kg_triples_delta",
+    "kg_list_walk",
     "jsonld_frame_select",
     "kg_frame_tool_turns",
     "kg_graph_dedup",

@@ -1,0 +1,93 @@
+"""Distributed path traversal over the triple graph.
+
+RDF lists (rdf:first / rdf:rest chains — how the reference's toRdf
+serializes @list containers, /root/reference/lib/json/ld/encoder.ex
+list handling) are the canonical "recursive structure Spark lacks an
+operator for": recovering *position in list* requires walking a
+pointer chain.  A naive iterative join walks one hop per superstep —
+O(L) shuffles for length-L lists.  This module uses POINTER DOUBLING:
+alongside the reachability frontier it squares a jump table
+(``src →(2^k hops)→ dst``) each superstep, so a length-L chain
+completes in ceil(log2 L) + 1 supersteps — at 10^12-turn scale with
+million-turn conversations that is ~20 shuffles, not a million.
+
+Both the frontier and the jump table are localCheckpointed each
+superstep: each references itself twice per iteration, so the logical
+plan would otherwise double per superstep and Catalyst OOMs on even
+small inputs (cache() does NOT truncate lineage — CLAUDE.md, same
+lesson as dedup_ops._connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def chain_positions(
+    triples: DataFrame,
+    heads: DataFrame,
+    first_pred: str = f"{RDF_NS}first",
+    rest_pred: str = f"{RDF_NS}rest",
+    nil: str = f"{RDF_NS}nil",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Walk rdf:first/rest chains distributively.
+
+    ``heads`` must have columns (head, cell): one row per list with its
+    owning key and entry cell.  Returns (head, position, member) with
+    0-based positions.  Raises after ``max_iters`` supersteps (a cyclic
+    rest chain would otherwise loop forever; 40 doublings cover lists
+    of length 2^40).
+    """
+    edges = (
+        triples.filter((F.col("pred") == rest_pred) & (F.col("obj") != nil))
+        .select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            F.lit(1).cast("int").alias("step"),
+        )
+    )
+    reach = heads.select("head", "cell", F.lit(0).cast("int").alias("position"))
+    jump = edges.localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        nxt = (
+            reach.join(jump, reach["cell"] == jump["src"], "inner")
+            .select(
+                "head",
+                F.col("dst").alias("cell"),
+                (F.col("position") + F.col("step")).alias("position"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.rdd.isEmpty():
+            break
+        reach = reach.unionByName(nxt).localCheckpoint(eager=False)
+        j2 = jump.alias("a").join(
+            jump.alias("b"), F.col("a.dst") == F.col("b.src"), "inner"
+        ).select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.step") + F.col("b.step")).alias("step"),
+        )
+        # keep only the longest jump per src: the frontier already holds
+        # every position reached with shorter jumps, so composing with
+        # the max-step jump alone is sufficient and keeps the jump table
+        # one row per src
+        j2 = j2.groupBy("src").agg(
+            F.max(F.struct("step", "dst")).alias("m")
+        ).select("src", F.col("m.dst").alias("dst"), F.col("m.step").alias("step"))
+        jump = j2.localCheckpoint(eager=False)
+    else:
+        raise RuntimeError(
+            f"chain_positions did not converge in {max_iters} supersteps — "
+            "rest-chain cycle or list longer than 2^{max_iters}"
+        )
+    firsts = triples.filter(F.col("pred") == first_pred).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("member")
+    )
+    return reach.join(firsts, on="cell", how="inner").select(
+        "head", "position", "member"
+    )

@@ -455,3 +455,22 @@ def kg_bgp_turn_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
         project=["turn", "role", "toolname"],
         optional=BGP_TURN_TOOLS_OPTIONAL,
     )
+
+
+def kg_list_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover each conversation's turn ORDER purely from the graph:
+    walk the rdf:first/rest list cells via pointer doubling
+    (operators/graph_paths.py, O(log L) supersteps) — no appeal to the
+    transcript table's turn_idx.  The oracle re-derives positions with
+    a DuckDB recursive CTE over the relational triple derivation, so
+    agreement proves the @list serialization AND the walker."""
+    from jsonld_ex_spark.operators.graph_paths import chain_positions
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    triples = _checkpointed_triples(spark, sf_dir)
+    heads = triples.filter(F.col("pred") == f"{VOCAB}turns").select(
+        F.col("subj").alias("head"), F.col("obj").alias("cell")
+    )
+    return chain_positions(triples, heads).select(
+        F.col("head").alias("conv_iri"), "position", F.col("member").alias("turn_iri")
+    )

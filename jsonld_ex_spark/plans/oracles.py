@@ -302,3 +302,27 @@ def kg_bgp_turn_tools_oracle() -> str:
         project=["turn", "role", "toolname"],
         optional=BGP_TURN_TOOLS_OPTIONAL,
     )
+
+
+def kg_list_walk_oracle() -> str:
+    """List positions re-derived with a recursive CTE over the
+    relational triple oracle — one hop per recursion level (DuckDB's
+    sequential walk) vs the Spark side's pointer doubling."""
+    return f"""
+WITH RECURSIVE trip AS ({kg_triples_oracle()}),
+edges AS (
+  SELECT subj AS src, obj AS dst FROM trip
+  WHERE pred = '{RDF}rest' AND obj <> '{RDF}nil'
+),
+heads AS (
+  SELECT subj AS conv_iri, obj AS cell FROM trip WHERE pred = '{VOCAB}turns'
+),
+walk AS (
+  SELECT conv_iri, cell, 0 AS position FROM heads
+  UNION ALL
+  SELECT w.conv_iri, e.dst, w.position + 1
+  FROM walk w JOIN edges e ON e.src = w.cell
+)
+SELECT w.conv_iri, w.position, f.obj AS turn_iri
+FROM walk w JOIN trip f ON f.subj = w.cell AND f.pred = '{RDF}first'
+"""

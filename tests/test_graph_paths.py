@@ -1,0 +1,58 @@
+"""Pointer-doubling list walker: superstep bound, cycle guard, and
+cross-validation of graph-derived positions against the turn indices
+embedded in the IRIs (which the walker never looks at).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_ex_spark.operators.graph_paths import RDF_NS, chain_positions
+from tests.spark_fixtures import SF_DIR, spark  # noqa: F401
+
+
+def _chain_df(spark, n, cyclic=False):  # noqa: F811
+    rows = []
+    for i in range(n - 1):
+        rows.append((f"c{i}", f"{RDF_NS}rest", f"c{i + 1}", True))
+    rows.append(
+        (f"c{n - 1}", f"{RDF_NS}rest", "c0" if cyclic else f"{RDF_NS}nil", True)
+    )
+    for i in range(n):
+        rows.append((f"c{i}", f"{RDF_NS}first", f"m{i}", True))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+
+
+def test_long_chain_converges_in_log_supersteps(spark):  # noqa: F811
+    """1000-node chain must finish within ceil(log2(1000))+2 = 12
+    supersteps — the whole point of doubling over one-hop iteration."""
+    n = 1000
+    triples = _chain_df(spark, n)
+    heads = spark.createDataFrame([("L", "c0")], "head string, cell string")
+    out = chain_positions(triples, heads, max_iters=12)
+    got = {(r["position"], r["member"]) for r in out.collect()}
+    assert got == {(i, f"m{i}") for i in range(n)}
+
+
+def test_cycle_raises_instead_of_hanging(spark):  # noqa: F811
+    triples = _chain_df(spark, 8, cyclic=True)
+    heads = spark.createDataFrame([("L", "c0")], "head string, cell string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        chain_positions(triples, heads, max_iters=6)
+
+
+def test_graph_positions_match_iri_turn_indices(spark):  # noqa: F811
+    """The walker sees only first/rest edges; the recovered position
+    must equal the turn_idx the pipeline embedded in each turn IRI."""
+    from jsonld_ex_spark.operators.kg_queries import kg_list_walk
+
+    out = kg_list_walk(spark, SF_DIR)
+    mismatch = out.filter(
+        F.col("position")
+        != F.regexp_extract("turn_iri", r":(\d+)$", 1).cast("int")
+    ).count()
+    assert mismatch == 0
+    assert out.count() > 0
