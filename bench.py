@@ -100,6 +100,7 @@ EXTRA_QUERIES = [
     "kg_bgp_turn_tools",
     "kg_triples_delta",
     "kg_list_walk",
+    "kg_construct_entity_edges",
     "jsonld_frame_select",
     "kg_frame_tool_turns",
     "kg_graph_dedup",

@@ -216,6 +216,95 @@ def bgp_over_table(
     )
 
 
+def bgp_construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL-style CONSTRUCT: evaluate the BGP, then instantiate each
+    template pattern once per binding, emitting rows in the standard
+    triple schema (subj, pred, obj, obj_is_iri, obj_dt, obj_lang,
+    graph — the last three null: constructed objects are IRIs or plain
+    literals).  ``distinct=True`` dedupes, because an RDF graph is a
+    set — e.g. a type triple instantiated once per mention collapses
+    to one row per entity.  The output feeds straight back into
+    write_triples / bgp_select, closing the query→enrichment loop."""
+    bindings = bgp_select(triples, patterns, optional=optional)
+    null_s = F.lit(None).cast("string")
+
+    def term_col(term: str, position: str):
+        kind, val = _parse_term(term)
+        if kind == _VAR:
+            if val not in bindings.columns:
+                raise ValueError(f"template variable ?{val} not bound by the BGP")
+            return F.col(val), None
+        if kind == _LIT and position != "obj":
+            raise ValueError("literal subjects/predicates are not valid RDF")
+        return F.lit(val), kind
+
+    out = None
+    for s, p, o in template:
+        sc, _ = term_col(s, "subj")
+        pc, _ = term_col(p, "pred")
+        oc, okind = term_col(o, "obj")
+        # a variable object carries whatever the matched triple had;
+        # the BGP binds lexical forms, so constructed var-objects are
+        # emitted as IRIs when they parse as absolute IRIs is NOT
+        # decidable from the lexical form alone — the caller states it
+        # per template pattern via <>/""; bare variables default to IRI
+        is_iri = F.lit(okind != _LIT)
+        row = bindings.select(
+            sc.alias("subj"),
+            pc.alias("pred"),
+            oc.alias("obj"),
+            is_iri.alias("obj_is_iri"),
+            null_s.alias("obj_dt"),
+            null_s.alias("obj_lang"),
+            null_s.alias("graph"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("empty CONSTRUCT template")
+    return out.dropDuplicates() if distinct else out
+
+
+def bgp_construct_oracle_sql(
+    triples_sql: str,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    distinct: bool = True,
+) -> str:
+    """SQL mirror of :func:`bgp_construct` over the oracle triples CTE."""
+    inner = bgp_oracle_sql(triples_sql, patterns, optional=optional)
+
+    def term_sql(term: str, position: str) -> tuple[str, str]:
+        kind, val = _parse_term(term)
+        if kind == _VAR:
+            return val, kind
+        if kind == _LIT and position != "obj":
+            raise ValueError("literal subjects/predicates are not valid RDF")
+        return _sql_quote(val), kind
+
+    parts = []
+    for s, p, o in template:
+        ssql, _ = term_sql(s, "subj")
+        psql, _ = term_sql(p, "pred")
+        osql, okind = term_sql(o, "obj")
+        is_iri = "false" if okind == _LIT else "true"
+        parts.append(
+            f"SELECT {ssql} AS subj, {psql} AS pred, {osql} AS obj, "
+            f"{is_iri} AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_dt, "
+            "CAST(NULL AS VARCHAR) AS obj_lang, CAST(NULL AS VARCHAR) AS graph "
+            "FROM bindings"
+        )
+    body = " UNION ALL ".join(parts)
+    sel = "SELECT DISTINCT * FROM" if distinct else "SELECT * FROM"
+    return f"WITH bindings AS ({inner})\n{sel} ({body}) AS constructed"
+
+
 def _sql_quote(val: str) -> str:
     return "'" + val.replace("'", "''") + "'"
 

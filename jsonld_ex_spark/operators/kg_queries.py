@@ -474,3 +474,23 @@ def kg_list_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain_positions(triples, heads).select(
         F.col("head").alias("conv_iri"), "position", F.col("member").alias("turn_iri")
     )
+
+
+def kg_construct_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style CONSTRUCT over the built graph: invert mention
+    edges (?ent v:mentionedBy ?turn) and type every mentioned entity —
+    the distinct-set semantics collapse the type template to one row
+    per entity.  Output is standard triple schema, so it feeds straight
+    back into write_triples (query → enrichment loop)."""
+    from jsonld_ex_spark.operators.bgp import bgp_construct
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    return bgp_construct(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}mentions>", "?ent")],
+        [
+            ("?ent", f"<{RDF_NS}type>", f"<{VOCAB}Entity>"),
+            ("?ent", f"<{VOCAB}mentionedBy>", "?turn"),
+        ],
+    )

@@ -326,3 +326,16 @@ walk AS (
 SELECT w.conv_iri, w.position, f.obj AS turn_iri
 FROM walk w JOIN trip f ON f.subj = w.cell AND f.pred = '{RDF}first'
 """
+
+
+def kg_construct_entity_edges_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_construct_oracle_sql
+
+    return bgp_construct_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}mentions>", "?ent")],
+        [
+            ("?ent", f"<{RDF}type>", f"<{VOCAB}Entity>"),
+            ("?ent", f"<{VOCAB}mentionedBy>", "?turn"),
+        ],
+    )

@@ -217,3 +217,62 @@ def test_bgp_over_table_pushes_constant_filters(spark, tmp_path):  # noqa: F811
     assert "PushedFilters: [" in plan
     assert "urn:x:role" in plan  # the pred constant reached the scan
     assert "CartesianProduct" not in plan
+
+
+def test_construct_distinct_and_closure(tiny):
+    from jsonld_ex_spark.operators.bgp import bgp_construct
+
+    g = bgp_construct(
+        tiny,
+        [("?t", "<urn:mentions>", "?e")],
+        [
+            ("?e", "<urn:type>", "<urn:Entity>"),
+            ("?e", "<urn:mentionedBy>", "?t"),
+        ],
+    )
+    # set semantics: e1 is mentioned by 3 turns but typed once
+    assert g.filter("pred = 'urn:type'").count() == 2  # e1, e2
+    assert g.filter("pred = 'urn:mentionedBy'").count() == 4
+    assert g.columns == [
+        "subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph",
+    ]
+    # closure: the constructed graph is itself BGP-queryable
+    back = bgp_select(
+        g,
+        [("?e", "<urn:type>", "<urn:Entity>"), ("?e", "<urn:mentionedBy>", "?t")],
+        project=["e", "t"],
+    )
+    assert back.count() == 4
+
+
+def test_construct_literal_object_and_errors(tiny):
+    from jsonld_ex_spark.operators.bgp import bgp_construct
+
+    g = bgp_construct(
+        tiny, [("?t", "<urn:role>", '"tool"')], [("?t", "<urn:flag>", '"hot"')]
+    )
+    rows = g.collect()
+    assert {r["subj"] for r in rows} == {"urn:t1", "urn:t2"}
+    assert all(r["obj"] == "hot" and r["obj_is_iri"] is False for r in rows)
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_construct(tiny, [("?t", "<urn:role>", "?r")], [("?x", "<urn:p>", "?t")])
+    with pytest.raises(ValueError, match="empty CONSTRUCT"):
+        bgp_construct(tiny, [("?t", "<urn:role>", "?r")], [])
+
+
+def test_construct_oracle_sql_matches_spark(tiny):
+    from jsonld_ex_spark.operators.bgp import bgp_construct, bgp_construct_oracle_sql
+
+    patterns = [("?t", "<urn:mentions>", "?e")]
+    template = [
+        ("?e", "<urn:type>", "<urn:Entity>"),
+        ("?e", "<urn:mentionedBy>", "?t"),
+    ]
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_construct_oracle_sql(cte, patterns, template)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    got = _rows(bgp_construct(tiny, patterns, template))
+    assert got == duck
