@@ -59,10 +59,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_ops,
             multimodal_ops,
             relational_ops,
+            skew_ops,
             text_ops,
         )
 
         q.update(text_ops.queries())
+        q.update(skew_ops.queries())
         q.update(dedup_ops.queries())
         q.update(ann_ops.queries())
         q.update(relational_ops.queries())
@@ -110,10 +112,12 @@ def oracle_sql() -> dict[str, str]:
             dedup_ops,
             multimodal_ops,
             relational_ops,
+            skew_ops,
             text_ops,
         )
 
         o.update(text_ops.oracle_sql())
+        o.update(skew_ops.oracle_sql())
         o.update(dedup_ops.oracle_sql())
         o.update(ann_ops.oracle_sql())
         o.update(relational_ops.oracle_sql())

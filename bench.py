@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",
+    "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",
     "kg_graph_dedup",

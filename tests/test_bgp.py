@@ -276,3 +276,22 @@ def test_construct_oracle_sql_matches_spark(tiny):
     duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     got = _rows(bgp_construct(tiny, patterns, template))
     assert got == duck
+
+
+def test_key_skew_profile_surfaces_planted_hot_keys(spark):  # noqa: F811
+    """The corpus plants HOT_ENTITIES hot surface forms; the profiler
+    must rank them at the top with consistent integer shares."""
+    from jsonld_ex_spark.functions.skew_ops import key_skew_profile
+    from jsonld_ex_spark.operators.kg_queries import kg_mentions
+
+    prof = key_skew_profile(kg_mentions(spark, SF_DIR), "surface_norm", top_n=10)
+    rows = sorted(prof.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    # counts non-increasing, hot head is far above the uniform tail
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert rows[0]["n"] > 3 * rows[-1]["n"]
+    assert all(0 < r["ppm"] < 1_000_000 for r in rows)
+    # plan: no driver collect — profile is a single DataFrame plan
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
