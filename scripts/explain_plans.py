@@ -79,6 +79,40 @@ COMMENT = {
         "graph_md5 for grouping. Canonicalization is a sort because "
         "skolem labels are deterministic."
     ),
+    "kg_bgp_tool_mentions": (
+        "BGP compiler output: two filtered pattern projections of the "
+        "localCheckpointed triple RDD, hash equi-join on the shared "
+        "variable; join strategy left to AQE (selectivity is "
+        "data-dependent). Over a persisted table the pattern constants "
+        "become PushedFilters (plan-asserted in tests/test_bgp.py)."
+    ),
+    "kg_bgp_turn_tools": (
+        "OPTIONAL group = left outer equi-join onto the required "
+        "bindings; 2/3 of rows exercise the null-extension path."
+    ),
+    "kg_triples_delta": (
+        "Incremental maintenance: two LeftAnti hash joins on a "
+        "null-safe md5 identity key between localCheckpointed snapshot "
+        "key-sets, then per-pred counts full-outer-merged. With both "
+        "snapshots subject-bucketed on disk the anti-joins are "
+        "co-partitioned (zero shuffle)."
+    ),
+    "kg_list_walk": (
+        "Pointer-doubling list walk: per superstep ONE equi-join of "
+        "the frontier with the jump table + ONE jump-table "
+        "self-composition, both localCheckpointed (lineage truncation); "
+        "ceil(log2 L)+1 supersteps total — not O(L)."
+    ),
+    "kg_construct_entity_edges": (
+        "CONSTRUCT: BGP binding scan fanned into template projections, "
+        "unioned, then one dropDuplicates shuffle (set semantics). "
+        "Output is the standard triple schema, write_triples-ready."
+    ),
+    "skew_entity_profile": (
+        "Skew diagnostics: map-side-combined count per key, broadcast "
+        "single-row total, rank window over the 211-key aggregated "
+        "domain only — the full table is touched exactly once."
+    ),
 }
 
 QUERIES = list(COMMENT.keys())
