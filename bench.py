@@ -109,12 +109,12 @@ EXTRA_QUERIES = [
 ]
 
 
-def run_query(spark, fn, sf_dir: str) -> tuple[float, int]:
+def run_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     # best-of-2: the sandbox host has multi-minute CPU-steal storms that
     # can inflate a single run 2-15x; two attempts keep the recorded
     # numbers representative (see BENCH/BASELINE.md timing protocol)
     best = None
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         secs = time.perf_counter() - t0
@@ -225,8 +225,11 @@ def main() -> None:
 
     qmap = entrymod.queries()
     extra = {}
+    # single run per extra: they sit outside the comparable headline
+    # total, and several rerun the full pipeline — best-of-2 would
+    # double ~2 min of non-headline wall-clock per bench invocation
     for name in EXTRA_QUERIES:
-        secs, _ = run_query(spark, qmap[name], sf_dir)
+        secs, _ = run_query(spark, qmap[name], sf_dir, runs=1)
         extra[name] = round(secs, 3)
 
     print(json.dumps({
