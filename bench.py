@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     "kg_list_walk",
     "kg_construct_entity_edges",
     "skew_entity_profile",
+    "kg_conversation_text",
     "jsonld_frame_select",
     "kg_frame_tool_turns",
     "kg_graph_dedup",

@@ -494,3 +494,41 @@ def kg_construct_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("?ent", f"<{VOCAB}mentionedBy>", "?turn"),
         ],
     )
+
+
+def kg_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text fidelity, derived PURELY from the graph: walk
+    each conversation's rdf:list (pointer doubling), join the v:text
+    literal of every turn, and fingerprint the position-ordered,
+    newline-joined conversation text.  The oracle rebuilds the same
+    fingerprint from the TRANSCRIPTS (string_agg ORDER BY turn_idx),
+    so agreement proves the north star's per-turn-text-equality
+    criterion at conversation granularity: nothing was lost, reordered
+    or altered between the source table and the materialized graph."""
+    from jsonld_ex_spark.operators.graph_paths import chain_positions
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    triples = _checkpointed_triples(spark, sf_dir)
+    heads = triples.filter(F.col("pred") == f"{VOCAB}turns").select(
+        F.col("subj").alias("head"), F.col("obj").alias("cell")
+    )
+    walk = chain_positions(triples, heads)
+    texts = triples.filter(F.col("pred") == f"{VOCAB}text").select(
+        F.col("subj").alias("member"), F.col("obj").alias("text")
+    )
+    return (
+        walk.join(texts, on="member", how="inner")
+        .groupBy(F.col("head").alias("conv_iri"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("position", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                )
+            ).alias("text_md5"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )

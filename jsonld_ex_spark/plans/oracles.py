@@ -339,3 +339,16 @@ def kg_construct_entity_edges_oracle() -> str:
             ("?ent", f"<{VOCAB}mentionedBy>", "?turn"),
         ],
     )
+
+
+def kg_conversation_text_oracle() -> str:
+    """Conversation text fingerprints straight from the transcript CTE
+    — no triples, no walker: if the graph-derived form agrees, the
+    whole construct→walk→reassemble chain preserved every byte."""
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t})
+SELECT concat('{CONV_NS}', conv_id) AS conv_iri,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY conv_id"""
