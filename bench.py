@@ -111,9 +111,11 @@ EXTRA_QUERIES = [
 
 
 def run_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
-    # best-of-2: the sandbox host has multi-minute CPU-steal storms that
-    # can inflate a single run 2-15x; two attempts keep the recorded
-    # numbers representative (see BENCH/BASELINE.md timing protocol)
+    # default best-of-2: the sandbox host has multi-minute CPU-steal
+    # storms that can inflate a single run 2-15x; two attempts keep the
+    # recorded numbers representative (see BENCH/BASELINE.md timing
+    # protocol). Extras pass runs=1 — non-comparable section, and each
+    # reruns the self-contained pipeline.
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()

@@ -195,6 +195,11 @@ def bgp_select(
         if missing:
             raise ValueError(f"projected variables not bound: {missing}")
         acc = acc.select(*project)
+    else:
+        # deterministic default order, identical to bgp_oracle_sql's
+        # default projection (join accumulation order depends on the
+        # engine's USING-column hoisting, so neither side uses it)
+        acc = acc.select(*sorted(bound))
     return acc
 
 
@@ -229,9 +234,18 @@ def bgp_construct(
     graph — the last three null: constructed objects are IRIs or plain
     literals).  ``distinct=True`` dedupes, because an RDF graph is a
     set — e.g. a type triple instantiated once per mention collapses
-    to one row per entity.  The output feeds straight back into
-    write_triples / bgp_select, closing the query→enrichment loop."""
+    to one row per entity.  Per SPARQL CONSTRUCT semantics, a template
+    pattern referencing a variable that is unbound in a solution (an
+    OPTIONAL group that didn't match) is simply not instantiated for
+    that solution — never emitted with NULL terms.  The output feeds
+    straight back into write_triples / bgp_select, closing the
+    query→enrichment loop."""
     bindings = bgp_select(triples, patterns, optional=optional)
+    if len(template) > 1:
+        # each template pattern projects the same binding relation;
+        # materialize it once instead of re-running the BGP join per
+        # union branch
+        bindings = bindings.localCheckpoint(eager=False)
     null_s = F.lit(None).cast("string")
 
     def term_col(term: str, position: str):
@@ -239,23 +253,27 @@ def bgp_construct(
         if kind == _VAR:
             if val not in bindings.columns:
                 raise ValueError(f"template variable ?{val} not bound by the BGP")
-            return F.col(val), None
+            return F.col(val), None, val
         if kind == _LIT and position != "obj":
             raise ValueError("literal subjects/predicates are not valid RDF")
-        return F.lit(val), kind
+        return F.lit(val), kind, None
 
     out = None
     for s, p, o in template:
-        sc, _ = term_col(s, "subj")
-        pc, _ = term_col(p, "pred")
-        oc, okind = term_col(o, "obj")
+        sc, _, svar = term_col(s, "subj")
+        pc, _, pvar = term_col(p, "pred")
+        oc, okind, ovar = term_col(o, "obj")
         # a variable object carries whatever the matched triple had;
         # the BGP binds lexical forms, so constructed var-objects are
         # emitted as IRIs when they parse as absolute IRIs is NOT
         # decidable from the lexical form alone — the caller states it
         # per template pattern via <>/""; bare variables default to IRI
         is_iri = F.lit(okind != _LIT)
-        row = bindings.select(
+        src = bindings
+        for var in (svar, pvar, ovar):
+            if var is not None:
+                src = src.filter(F.col(var).isNotNull())
+        row = src.select(
             sc.alias("subj"),
             pc.alias("pred"),
             oc.alias("obj"),
@@ -290,15 +308,23 @@ def bgp_construct_oracle_sql(
 
     parts = []
     for s, p, o in template:
-        ssql, _ = term_sql(s, "subj")
-        psql, _ = term_sql(p, "pred")
+        ssql, skind = term_sql(s, "subj")
+        psql, pkind = term_sql(p, "pred")
         osql, okind = term_sql(o, "obj")
         is_iri = "false" if okind == _LIT else "true"
+        # SPARQL CONSTRUCT: skip solutions where a template variable is
+        # unbound (same rule as the DataFrame side)
+        notnull = [
+            f"{sql} IS NOT NULL"
+            for sql, kind in ((ssql, skind), (psql, pkind), (osql, okind))
+            if kind == _VAR
+        ]
+        where = " WHERE " + " AND ".join(notnull) if notnull else ""
         parts.append(
             f"SELECT {ssql} AS subj, {psql} AS pred, {osql} AS obj, "
             f"{is_iri} AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_dt, "
             "CAST(NULL AS VARCHAR) AS obj_lang, CAST(NULL AS VARCHAR) AS graph "
-            "FROM bindings"
+            f"FROM bindings{where}"
         )
     body = " UNION ALL ".join(parts)
     sel = "SELECT DISTINCT * FROM" if distinct else "SELECT * FROM"

@@ -39,8 +39,9 @@ def chain_positions(
     ``heads`` must have columns (head, cell): one row per list with its
     owning key and entry cell.  Returns (head, position, member) with
     0-based positions.  Raises after ``max_iters`` supersteps (a cyclic
-    rest chain would otherwise loop forever; 40 doublings cover lists
-    of length 2^40).
+    rest chain would otherwise loop forever); after k supersteps the
+    frontier covers positions < 2^k and one extra superstep detects
+    completion, so max_iters=40 covers lists up to length 2^39.
     """
     edges = (
         triples.filter((F.col("pred") == rest_pred) & (F.col("obj") != nil))
@@ -83,7 +84,7 @@ def chain_positions(
     else:
         raise RuntimeError(
             f"chain_positions did not converge in {max_iters} supersteps — "
-            "rest-chain cycle or list longer than 2^{max_iters}"
+            f"rest-chain cycle or list longer than 2^{max_iters - 1}"
         )
     firsts = triples.filter(F.col("pred") == first_pred).select(
         F.col("subj").alias("cell"), F.col("obj").alias("member")

@@ -319,6 +319,15 @@ def _checkpointed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_triples(spark, sf_dir).localCheckpoint(eager=False)
 
 
+def _list_heads(triples: DataFrame) -> DataFrame:
+    """(head, cell) rows for every conversation's rdf:list entry."""
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return triples.filter(F.col("pred") == f"{VOCAB}turns").select(
+        F.col("subj").alias("head"), F.col("obj").alias("cell")
+    )
+
+
 def kg_bgp_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-pattern star BGP: ?turn role "tool" . ?turn mentions ?entity —
     compiled by operators/bgp.py into an equi-join of two filtered
@@ -465,13 +474,9 @@ def kg_list_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DuckDB recursive CTE over the relational triple derivation, so
     agreement proves the @list serialization AND the walker."""
     from jsonld_ex_spark.operators.graph_paths import chain_positions
-    from jsonld_ex_spark.sources.transcripts import VOCAB
 
     triples = _checkpointed_triples(spark, sf_dir)
-    heads = triples.filter(F.col("pred") == f"{VOCAB}turns").select(
-        F.col("subj").alias("head"), F.col("obj").alias("cell")
-    )
-    return chain_positions(triples, heads).select(
+    return chain_positions(triples, _list_heads(triples)).select(
         F.col("head").alias("conv_iri"), "position", F.col("member").alias("turn_iri")
     )
 
@@ -483,9 +488,9 @@ def kg_construct_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per entity.  Output is standard triple schema, so it feeds straight
     back into write_triples (query → enrichment loop)."""
     from jsonld_ex_spark.operators.bgp import bgp_construct
+    from jsonld_ex_spark.operators.graph_paths import RDF_NS
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
-    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     return bgp_construct(
         _checkpointed_triples(spark, sf_dir),
         [("?turn", f"<{VOCAB}mentions>", "?ent")],
@@ -509,10 +514,7 @@ def kg_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
     triples = _checkpointed_triples(spark, sf_dir)
-    heads = triples.filter(F.col("pred") == f"{VOCAB}turns").select(
-        F.col("subj").alias("head"), F.col("obj").alias("cell")
-    )
-    walk = chain_positions(triples, heads)
+    walk = chain_positions(triples, _list_heads(triples))
     texts = triples.filter(F.col("pred") == f"{VOCAB}text").select(
         F.col("subj").alias("member"), F.col("obj").alias("text")
     )

@@ -295,3 +295,47 @@ def test_key_skew_profile_surfaces_planted_hot_keys(spark):  # noqa: F811
     # plan: no driver collect — profile is a single DataFrame plan
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_construct_skips_unbound_optional_template_vars(tiny):
+    """SPARQL CONSTRUCT: a template pattern referencing a variable left
+    unbound by a non-matching OPTIONAL is not instantiated — no NULL
+    triples reach the output (or write_triples)."""
+    from jsonld_ex_spark.operators.bgp import bgp_construct, bgp_construct_oracle_sql
+
+    patterns = [("?t", "<urn:role>", "?r")]
+    optional = [[("?t", "<urn:mentions>", "?e"), ("?e", "<urn:sameAs>", "?x")]]
+    template = [
+        ("?t", "<urn:hasRole>", "?r"),
+        ("?t", "<urn:linksTo>", "?x"),
+    ]
+    g = bgp_construct(tiny, patterns, template, optional=optional)
+    rows = g.collect()
+    assert all(r["subj"] is not None and r["obj"] is not None for r in rows)
+    # every turn keeps its role triple; only t1/t2 (mention e1, which
+    # has sameAs edges) yield linksTo triples
+    assert g.filter("pred = 'urn:hasRole'").count() == 3
+    # all three turns mention e1, which has sameAs edges → all bound
+    links = {r["subj"] for r in g.filter("pred = 'urn:linksTo'").collect()}
+    assert links == {"urn:t1", "urn:t2", "urn:t3"}
+    # and the SQL mirror agrees exactly
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_construct_oracle_sql(cte, patterns, template, optional=optional)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert _rows(g) == duck
+
+
+def test_default_projection_sorted_and_mirrored(tiny):
+    """project=None: both sides emit variables sorted by name."""
+    df = bgp_select(tiny, [("?t", "<urn:mentions>", "?e")])
+    assert df.columns == ["e", "t"]
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(cte, [("?t", "<urn:mentions>", "?e")])
+    cols = [d[0] for d in duckdb.connect().execute(sql).description]
+    assert cols == ["e", "t"]
