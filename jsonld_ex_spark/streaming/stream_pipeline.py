@@ -309,8 +309,9 @@ def stream_kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="skg_")
     in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    # conversation-complete files: each conv_id lands in exactly one file
-    transcripts_df(spark, sf_dir).repartition(8, "conv_id").write.parquet(in_dir)
+    # conversation-complete files: each conv_id lands in exactly one
+    # file; 32 files / maxFilesPerTrigger=8 -> FOUR real micro-batches
+    transcripts_df(spark, sf_dir).repartition(32, "conv_id").write.parquet(in_dir)
     q = stream_triples(spark, in_dir, out_dir, ckpt, available_now=True)
     try:
         q.awaitTermination(600)
@@ -327,10 +328,14 @@ def queries():
         "stream_events_by_window": stream_events_by_window,
         "stream_user_sessions": stream_user_sessions,
         "stream_kg_triple_stats": stream_kg_triple_stats,
+        "stream_bgp_tool_mentions": stream_bgp_tool_mentions,
     }
 
 
 def oracle_sql():
+    from jsonld_ex_spark.plans.oracles import (
+        kg_bgp_tool_mentions_oracle as _bgp_tool_mentions_oracle,
+    )
     from jsonld_ex_spark.plans.oracles import kg_triple_stats_oracle
 
     return {
@@ -339,6 +344,8 @@ def oracle_sql():
         # streamed triples must equal batch triples (deterministic
         # skolems) → the BATCH stats oracle gates the streaming pipeline
         "stream_kg_triple_stats": kg_triple_stats_oracle(),
+        # streamed per-micro-batch BGP matches must equal the batch BGP
+        "stream_bgp_tool_mentions": _bgp_tool_mentions_oracle(),
     }
 
 
@@ -400,3 +407,77 @@ def stream_user_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bgp_matches(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    patterns,
+    project,
+    available_now: bool = True,
+):
+    """CONTINUOUS graph-pattern matching: each transcript micro-batch is
+    constructed into triples and the BGP evaluated over it, appending
+    matches to the sink.  Correct whenever every pattern variable is
+    conversation-local (the staging contract already guarantees
+    conversation-complete micro-batches): the union of per-batch
+    matches then equals the batch BGP over the full graph.  At
+    production scale this is the standing-query deployment shape —
+    pattern hits land within one trigger of ingest instead of waiting
+    for a nightly batch sweep."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = bgp_select(
+            conversation_triples(batch_df), patterns, project=project
+        )
+        matches.write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_bgp_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED streaming × query-layer cross: the tool-mention BGP
+    runs as a standing query inside foreachBatch over multiple real
+    micro-batches; the appended matches must hash-equal the BATCH BGP
+    oracle — deterministic skolems + conversation-local patterns make
+    the streamed union exact, and the streaming engine (offsets,
+    scheduling, append sink) sits under the same gate."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
+    from jsonld_ex_spark.sources.transcripts import transcripts_df
+
+    root = tempfile.mkdtemp(prefix="sbgp_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    # 32 conversation-complete files -> four micro-batches (see above)
+    transcripts_df(spark, sf_dir).repartition(32, "conv_id").write.parquet(in_dir)
+    q = stream_bgp_matches(
+        spark, in_dir, out_dir, ckpt,
+        BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"],
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return spark.read.parquet(out_dir)
