@@ -1,0 +1,94 @@
+"""spark-submit entrypoint: graph-pattern query over a persisted triple
+table — the production deployment of the BGP layer.
+
+    scripts/make_pyfiles.sh
+    spark-submit --py-files dist/jsonld_ex_spark.zip jobs/query_graph.py \
+        --triples /data/triple_table \
+        --output  /tmp/matches \
+        --pattern '?turn <https://sparkld.dev/vocab#role> "tool"' \
+        --pattern '?turn <https://sparkld.dev/vocab#mentions> ?entity' \
+        [--optional '?turn <https://sparkld.dev/vocab#tool> ?toolname'] \
+        [--construct '?entity <https://sparkld.dev/vocab#mentionedBy> ?turn']
+
+Each --pattern/--optional/--construct is one whitespace-separated
+triple pattern (?var, <iri>, "literal" terms; literals must not contain
+spaces — use the Python API for arbitrary literals).  With --construct
+the matches are instantiated into new triples and written via
+write_triples (subject-bucketed, ready to be queried again); otherwise
+the binding table is written as parquet.  Pattern constants reach the
+triple scan as pushed filters (tests/test_bgp.py).
+
+Prints ONE JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def parse_pattern(text: str) -> tuple[str, str, str]:
+    parts = text.split()
+    if len(parts) != 3:
+        raise SystemExit(f"pattern must have 3 whitespace-separated terms: {text!r}")
+    return (parts[0], parts[1], parts[2])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--triples", required=True, help="persisted triple table (write_triples output)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--pattern", action="append", required=True)
+    p.add_argument("--optional", action="append", default=[])
+    p.add_argument("--construct", action="append", default=[])
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("jsonld-ex-spark:query_graph")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from jsonld_ex_spark.operators.bgp import bgp_construct, bgp_select
+
+    patterns = [parse_pattern(t) for t in args.pattern]
+    optional = [[parse_pattern(t)] for t in args.optional]
+
+    t0 = time.perf_counter()
+    triples = spark.read.parquet(args.triples)
+    if args.construct:
+        template = [parse_pattern(t) for t in args.construct]
+        out = bgp_construct(triples, patterns, template, optional=optional or None)
+        from jsonld_ex_spark.operators.triples import write_triples
+
+        write_triples(out, args.output, mode="overwrite")
+        n = spark.read.parquet(args.output).count()
+        kind = "constructed_triples"
+    else:
+        out = bgp_select(triples, patterns, optional=optional or None)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        kind = "bindings"
+    print(
+        json.dumps(
+            {
+                "job": "query_graph",
+                "kind": kind,
+                "rows": n,
+                "patterns": len(patterns),
+                "optional": len(optional),
+                "construct": len(args.construct),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
