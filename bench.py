@@ -98,6 +98,8 @@ EXTRA_QUERIES = [
     "kg_bgp_tool_mentions",
     "kg_bgp_bridge_entities",
     "kg_bgp_turn_tools",
+    "kg_bgp_nontool_mentions",
+    "stream_bgp_tool_mentions",
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",

@@ -157,6 +157,7 @@ def bgp_select(
     patterns: list[tuple[str, str, str]],
     project: list[str] | None = None,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
@@ -167,13 +168,21 @@ def bgp_select(
     semantics: each group left-joins onto the required bindings on its
     shared variables; group-only variables come back null when the
     group doesn't match).  Groups are applied in order; a variable may
-    be introduced by at most one optional group."""
+    be introduced by at most one optional group.
+
+    ``minus`` is a list of MINUS pattern groups: a solution is dropped
+    when the group matches on its shared variables (left-anti join —
+    SPARQL MINUS for groups that share at least one variable, which
+    the compiler requires).  MINUS is applied to the required+optional
+    result, and may not reference optional-introduced variables (the
+    anti-join null-key semantics would diverge from SPARQL)."""
     if not patterns:
         raise ValueError("empty BGP")
     parsed = [_parse_pattern(p) for p in patterns]
     order = _join_order(parsed, allow_cartesian)
     acc = _bgp_join(triples, parsed, order)
     bound = set(acc.columns)
+    required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
         gparsed = [_parse_pattern(p) for p in group]
@@ -190,6 +199,22 @@ def bgp_select(
         acc = acc.join(gdf, on=shared, how="left")
         optional_vars |= set(gdf.columns) - bound
         bound |= set(gdf.columns)
+    for mi, group in enumerate(minus or []):
+        mparsed = [_parse_pattern(p) for p in group]
+        mvars = set().union(*(_pattern_vars(p) for p in mparsed))
+        if mvars & optional_vars:
+            raise ValueError(
+                "minus groups must not reference optional-introduced variables"
+            )
+        shared = sorted(mvars & required_vars)
+        if not shared:
+            raise ValueError(
+                f"minus group {mi} shares no variable with the required "
+                "patterns (SPARQL MINUS with disjoint domains is a no-op; "
+                "the compiler rejects it as almost certainly a mistake)"
+            )
+        mdf = _bgp_join(triples, mparsed, _join_order(mparsed, allow_cartesian))
+        acc = acc.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
     if project is not None:
         missing = [v for v in project if v not in bound]
         if missing:
@@ -201,6 +226,53 @@ def bgp_select(
         # engine's USING-column hoisting, so neither side uses it)
         acc = acc.select(*sorted(bound))
     return acc
+
+
+def bgp_union(
+    triples: DataFrame,
+    alternatives: list[list[tuple[str, str, str]]],
+    project: list[str],
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: evaluate each alternative BGP and concatenate the
+    binding bags.  ``project`` fixes the output schema; an alternative
+    that doesn't bind a projected variable contributes NULL for it
+    (SPARQL's unbound), mirroring UNION of differently-shaped groups."""
+    if not alternatives:
+        raise ValueError("empty UNION")
+    out = None
+    for alt in alternatives:
+        b = bgp_select(triples, alt, allow_cartesian=allow_cartesian)
+        cols = [
+            F.col(v).alias(v) if v in b.columns
+            else F.lit(None).cast("string").alias(v)
+            for v in project
+        ]
+        part = b.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def bgp_union_oracle_sql(
+    triples_sql: str,
+    alternatives: list[list[tuple[str, str, str]]],
+    project: list[str],
+    allow_cartesian: bool = False,
+) -> str:
+    """SQL mirror of :func:`bgp_union` (UNION ALL with NULL padding)."""
+    if not alternatives:
+        raise ValueError("empty UNION")
+    parts = []
+    for alt in alternatives:
+        parsed = [_parse_pattern(p) for p in alt]
+        bound = set().union(*(_pattern_vars(p) for p in parsed))
+        sel = ", ".join(
+            v if v in bound else f"CAST(NULL AS VARCHAR) AS {v}" for v in project
+        )
+        inner = _group_sql(parsed, _join_order(parsed, allow_cartesian))
+        parts.append(f"SELECT {sel} FROM ({inner}) alt")
+    body = " UNION ALL ".join(parts)
+    return f"WITH triples AS ({triples_sql})\n{body}"
 
 
 def bgp_over_table(
@@ -371,13 +443,14 @@ def bgp_oracle_sql(
     patterns: list[tuple[str, str, str]],
     project: list[str] | None = None,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
-    JOINs for optional groups), runnable by DuckDB over the
-    relationally-derived triples CTE — the oracle never touches the
-    Spark plan."""
+    JOINs for optional groups, NOT EXISTS for minus groups), runnable
+    by DuckDB over the relationally-derived triples CTE — the oracle
+    never touches the Spark plan."""
     parsed = [_parse_pattern(p) for p in patterns]
     order = _join_order(parsed, allow_cartesian)
     ctes = [f"p{i} AS ({_pattern_sql(parsed[i])})" for i in order]
@@ -390,6 +463,7 @@ def bgp_oracle_sql(
         else:
             joins.append(f"CROSS JOIN p{i}")
         bound |= _pattern_vars(parsed[i])
+    required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
         gparsed = [_parse_pattern(p) for p in group]
@@ -406,8 +480,35 @@ def bgp_oracle_sql(
         joins.append(f"LEFT JOIN opt{gi} USING ({', '.join(shared)})")
         optional_vars |= gvars - bound
         bound |= gvars
+    filters = []
+    for mi, group in enumerate(minus or []):
+        mparsed = [_parse_pattern(p) for p in group]
+        mvars = set().union(*(_pattern_vars(p) for p in mparsed))
+        if mvars & optional_vars:
+            raise ValueError(
+                "minus groups must not reference optional-introduced variables"
+            )
+        shared = sorted(mvars & required_vars)
+        if not shared:
+            raise ValueError(
+                f"minus group {mi} shares no variable with the required "
+                "patterns (SPARQL MINUS with disjoint domains is a no-op; "
+                "the compiler rejects it as almost certainly a mistake)"
+            )
+        ctes.append(
+            f"m{mi} AS ({_group_sql(mparsed, _join_order(mparsed, allow_cartesian))})"
+        )
+        cond = " AND ".join(f"m{mi}.{v} = base.{v}" for v in shared)
+        filters.append(f"NOT EXISTS (SELECT 1 FROM m{mi} WHERE {cond})")
     proj = ", ".join(project) if project is not None else ", ".join(sorted(bound))
+    base = f"SELECT {', '.join(sorted(bound))} FROM {' '.join(joins)}"
+    if not filters:
+        return (
+            f"WITH triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
+            f"SELECT {proj} FROM ({base}) base"
+        )
+    where = " AND ".join(filters)
     return (
         f"WITH triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
-        f"SELECT {proj} FROM {' '.join(joins)}"
+        f"SELECT {proj} FROM ({base}) base WHERE {where}"
     )

@@ -534,3 +534,18 @@ def kg_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_turns"),
         )
     )
+
+
+def kg_bgp_nontool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with MINUS (SPARQL negation as left-anti join): mention
+    edges whose turn is NOT a tool turn — the complement of
+    kg_bgp_tool_mentions within the same pattern vocabulary."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        project=["turn", "entity"],
+        minus=[[("?turn", f"<{VOCAB}role>", '"tool"')]],
+    )

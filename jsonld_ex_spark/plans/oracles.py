@@ -352,3 +352,14 @@ SELECT concat('{CONV_NS}', conv_id) AS conv_iri,
        md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM t GROUP BY conv_id"""
+
+
+def kg_bgp_nontool_mentions_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        project=["turn", "entity"],
+        minus=[[("?turn", f"<{VOCAB}role>", '"tool"')]],
+    )

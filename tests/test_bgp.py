@@ -339,3 +339,62 @@ def test_default_projection_sorted_and_mirrored(tiny):
     sql = bgp_oracle_sql(cte, [("?t", "<urn:mentions>", "?e")])
     cols = [d[0] for d in duckdb.connect().execute(sql).description]
     assert cols == ["e", "t"]
+
+
+def test_minus_semantics_and_sql_mirror(tiny):
+    out = bgp_select(
+        tiny,
+        [("?t", "<urn:mentions>", "?e")],
+        project=["t", "e"],
+        minus=[[("?t", "<urn:role>", '"tool"')]],
+    )
+    # only the assistant turn's mention survives
+    assert _rows(out) == [("urn:t3", "urn:e1")]
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(
+        cte,
+        [("?t", "<urn:mentions>", "?e")],
+        project=["t", "e"],
+        minus=[[("?t", "<urn:role>", '"tool"')]],
+    )
+    assert sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall()) == [
+        ("urn:t3", "urn:e1")
+    ]
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_select(tiny, [("?t", "<urn:role>", "?r")], minus=[[("?a", "<urn:note>", "?b")]])
+    with pytest.raises(ValueError, match="optional-introduced"):
+        bgp_select(
+            tiny,
+            [("?t", "<urn:role>", "?r")],
+            optional=[[("?t", "<urn:mentions>", "?e")]],
+            minus=[[("?e", "<urn:sameAs>", "?x")]],
+        )
+
+
+def test_union_semantics_and_sql_mirror(tiny):
+    from jsonld_ex_spark.operators.bgp import bgp_union, bgp_union_oracle_sql
+
+    alts = [
+        [("?t", "<urn:role>", '"assistant"')],
+        [("?t", "<urn:mentions>", "?e")],
+    ]
+    def norm(rows):
+        return sorted(
+            (tuple("" if v is None else v for v in r) for r in rows)
+        )
+
+    out = bgp_union(tiny, alts, project=["t", "e"])
+    rows = norm(tuple(r) for r in out.collect())
+    # 1 assistant row (e NULL-padded) + 4 mention rows
+    assert len(rows) == 5
+    assert ("urn:t3", "") in rows
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_union_oracle_sql(cte, alts, project=["t", "e"])
+    duck = norm(duckdb.connect().execute(sql).fetchall())
+    assert rows == duck
