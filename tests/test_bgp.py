@@ -398,3 +398,83 @@ def test_union_semantics_and_sql_mirror(tiny):
     sql = bgp_union_oracle_sql(cte, alts, project=["t", "e"])
     duck = norm(duckdb.connect().execute(sql).fetchall())
     assert rows == duck
+
+
+# --- property-based: random graphs x random algebra vs DuckDB --------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SUBJ = [f"urn:s{i}" for i in range(4)]
+_PRED = [f"urn:p{i}" for i in range(3)]
+_OBJ = [f"urn:o{i}" for i in range(3)] + ["lit0", "lit1"]
+
+_triple = st.tuples(
+    st.sampled_from(_SUBJ),
+    st.sampled_from(_PRED),
+    st.sampled_from(_OBJ),
+    st.booleans(),
+)
+
+
+def _rand_pattern(draw, i: int):
+    # star shape: every pattern's subject is ?a, so the BGP is connected
+    pred = draw(st.sampled_from([f"<{p}>" for p in _PRED] + [f"?p{i}"]))
+    obj = draw(
+        st.sampled_from(
+            [f"<{o}>" for o in _OBJ]
+            + [f'"{o}"' for o in _OBJ]
+            + [f"?o{i}", "?shared"]
+        )
+    )
+    return ("?a", pred, obj)
+
+
+@st.composite
+def _case(draw):
+    triples = draw(st.lists(_triple, min_size=1, max_size=12, unique=True))
+    n = draw(st.integers(1, 3))
+    patterns = [_rand_pattern(draw, i) for i in range(n)]
+    optional = (
+        [[_rand_pattern(draw, 90)]] if draw(st.booleans()) else None
+    )
+    minus = [[_rand_pattern(draw, 95)]] if draw(st.booleans()) else None
+    return triples, patterns, optional, minus
+
+
+@given(_case())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_bgp_matches_duckdb(spark, case):  # noqa: F811
+    """Any random star BGP (with random OPTIONAL/MINUS groups) over any
+    random tiny graph must produce the same binding bag in Spark and in
+    the generated DuckDB SQL — including NULLs from OPTIONAL."""
+    triples, patterns, optional, minus = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    try:
+        got = bgp_select(df, patterns, optional=optional, minus=minus)
+    except ValueError:
+        # e.g. a minus group with only constants+?a sharing nothing new is
+        # still fine; true rejections (no variables) must reject in SQL too
+        with pytest.raises(ValueError):
+            bgp_oracle_sql("SELECT 1", patterns, optional=optional, minus=minus)
+        return
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in triples
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(cte, patterns, optional=optional, minus=minus)
+    duck = duckdb.connect().execute(sql)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+    assert got.columns == duck_cols
+
+    def norm(rows):
+        return sorted(tuple("" if v is None else v for v in r) for r in rows)
+
+    assert norm(tuple(r) for r in got.collect()) == norm(duck_rows)
