@@ -100,6 +100,7 @@ EXTRA_QUERIES = [
     "kg_bgp_turn_tools",
     "kg_bgp_nontool_mentions",
     "stream_bgp_tool_mentions",
+    "dedup_substring_spans",
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",

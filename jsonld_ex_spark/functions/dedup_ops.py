@@ -25,6 +25,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from jsonld_ex_spark.functions.vector_buckets import sign_buckets
 
@@ -376,6 +377,103 @@ def _connected_components(
     )
 
 
+SUBSTR_K = 6          # token-gram width for the diagonal chaining
+SUBSTR_MIN_SPAN = 10  # report pairs sharing a run of >= this many tokens
+SUBSTR_DF_CAP = 50    # drop k-grams present in more docs (boilerplate)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring dedup (the "Deduplicating Training Data" form,
+    distributed): find document pairs sharing a verbatim token run of
+    >= SUBSTR_MIN_SPAN tokens.  MinHash/Jaccard treat documents as
+    bags and miss long copied passages inside otherwise-different
+    documents; suffix arrays find them but don't distribute.  The
+    Spark shape: per-doc k-token-gram fingerprints WITH positions (one
+    JVM transform+explode, no Python), a document-frequency cap that
+    drops boilerplate grams BEFORE the self-join (same skew insurance
+    as dedup_ngram_jaccard), an equi-join on fingerprint, then
+    gaps-and-islands per (pair, diagonal): consecutive positions on
+    the same diagonal pa-pb chain into maximal shared runs of length
+    run+k-1.  Every stage is a hash shuffle on uniform keys — no
+    all-pairs comparison anywhere."""
+    k, cap = SUBSTR_K, SUBSTR_DF_CAP
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", "\\s+").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {k} + 1, 0)), "
+                f"i -> struct(i AS pos, md5(array_join(slice(t, i, {k}), ' ')) AS fp))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    hot = (
+        grams.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("fp")
+    )
+    g = grams.join(hot, on="fp", how="left_anti")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, on="fp", how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+    spans = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count(F.lit(1)) + F.lit(k - 1)).alias("span")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(F.max("span").alias("max_span_tokens"))
+        .filter(F.col("max_span_tokens") >= SUBSTR_MIN_SPAN)
+    )
+
+
+_Q_SUBSTR = f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{SUBSTR_K - 1}], ' ')) AS fp
+  FROM docs, unnest(generate_series(1, greatest(len(t) - {SUBSTR_K} + 1, 0))) AS u(i)
+),
+hot AS (
+  SELECT fp FROM (
+    SELECT fp, count(DISTINCT doc_id) AS df FROM grams GROUP BY fp
+  ) d WHERE df > {SUBSTR_DF_CAP}
+),
+g AS (SELECT * FROM grams WHERE fp NOT IN (SELECT fp FROM hot)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b USING (fp) WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+  FROM pairs
+),
+spans AS (
+  SELECT doc_a, doc_b, CAST(count(*) + {SUBSTR_K - 1} AS BIGINT) AS span
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY doc_a, doc_b
+HAVING max(span) >= {SUBSTR_MIN_SPAN}
+"""
+
+
 def queries():
     return {
         "dedup_exact": dedup_exact,
@@ -384,6 +482,7 @@ def queries():
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_clusters": dedup_clusters,
+        "dedup_substring_spans": dedup_substring_spans,
     }
 
 
@@ -430,6 +529,7 @@ mh_pairs AS (
 
 def oracle_sql():
     return {
+        "dedup_substring_spans": _Q_SUBSTR,
         "dedup_exact": """
             WITH f AS (
               SELECT doc_id,

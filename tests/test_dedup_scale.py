@@ -154,3 +154,45 @@ def test_connected_components_raises_on_non_convergence(spark):  # noqa: F811
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     with pytest.raises(RuntimeError, match="did not converge"):
         _connected_components(nodes, edges, max_iters=2)
+
+
+def test_substring_spans_finds_planted_copy(spark, tmp_path):  # noqa: F811
+    """A 14-token passage copied between two otherwise-different docs
+    must surface with exactly max_span_tokens=14; unrelated docs with
+    only short overlaps must not appear."""
+    import duckdb
+
+    from jsonld_ex_spark.functions.dedup_ops import (
+        SUBSTR_MIN_SPAN,
+        dedup_substring_spans,
+        oracle_sql,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(14))
+    rows = [
+        (1, f"alpha beta {passage} gamma delta", "en", "s", 0),
+        (2, f"one two three {passage} four five six", "en", "s", 0),
+        (3, "alpha beta gamma delta one two three four", "en", "s", 0),
+        (4, "totally unrelated tokens here nine ten eleven", "en", "s", 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["max_span_tokens"]
+        for r in dedup_substring_spans(spark, d).collect()
+    }
+    assert out == {(1, 2): 14}
+    assert SUBSTR_MIN_SPAN > 8  # docs 1/3 share 2+2 tokens only — excluded
+    # oracle agrees on the planted fixture too
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a directory; DuckDB needs the part-file glob
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    duck = {
+        (a, b): s
+        for a, b, s in con.execute(oracle_sql()["dedup_substring_spans"]).fetchall()
+    }
+    assert duck == out
