@@ -101,6 +101,8 @@ EXTRA_QUERIES = [
     "kg_bgp_nontool_mentions",
     "stream_bgp_tool_mentions",
     "dedup_substring_spans",
+    "ann_pq_codes",
+    "ann_pq_topk",
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",

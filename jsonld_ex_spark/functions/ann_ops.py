@@ -272,6 +272,115 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization (PQ) ---------------------------------------------
+
+PQ_M = 8    # subspaces
+PQ_SUB = EMB_DIM // PQ_M
+PQ_K = 16   # codewords per subspace (sub-slices of the first PQ_K vectors;
+            # deterministic init — the k-means refinement is the same
+            # drop-in as for the IVF coarse quantizer)
+
+_PQ_SUBDIST = (
+    "aggregate(zip_with(slice({a}, m * {sub} + 1, {sub}), "
+    "slice({b}, m * {sub} + 1, {sub}), (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as long), (a2, v2) -> a2 + v2)"
+)
+
+
+def _pq_codes_expr() -> str:
+    """Per-vector PQ code array in ONE projection (zero shuffle): for
+    each subspace m, the argmin-L2 codeword over the broadcast codebook
+    row (struct array_sort = (distance asc, cent_id asc) tie-break —
+    the same deterministic trick as cells_sorted_expr)."""
+    d = _PQ_SUBDIST.format(a="qv", b="c.c_qv", sub=PQ_SUB)
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"array_sort(transform(cents, c -> named_struct("
+        f"'d', {d}, 'cent_id', c.cent_id)))[0].cent_id)"
+    )
+
+
+def _pq_coded(q: DataFrame) -> DataFrame:
+    return (
+        q.crossJoin(F.broadcast(centroids_row(q, PQ_K)))
+        .where(F.expr("size(cents) > 0"))
+        .select("vec_id", "qv", F.expr(_pq_codes_expr()).alias("codes"))
+    )
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression: EMB_DIM ints -> PQ_M codebook ids per vector
+    (64x smaller at 4 bits/code).  Exploded to scalar rows so every
+    code sits under the oracle (never emit array columns — CLAUDE.md)."""
+    coded = _pq_coded(_qvecs(spark, sf_dir))
+    return coded.select(
+        "vec_id",
+        F.posexplode("codes").alias("m", "code"),
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each candidate is
+    scored against a query using only its PQ_M codes and the broadcast
+    codebook — the billion-scale memory shape (codes are 4 bytes/vector
+    here vs 512 for raw ints).  Gate form scans all candidates per
+    query (the IVF cell restriction composes exactly as in
+    ann_ivf_topk); distances are integer-exact so the DuckDB oracle
+    reproduces scores AND ranks bit-for-bit."""
+    q = _qvecs(spark, sf_dir)
+    coded = _pq_coded(q)
+    queries = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    # approximate INNER PRODUCT (same metric as the bruteforce/IVF
+    # baselines): q . reconstruction(cand) = sum_m dot(q_sub_m, codeword)
+    adc_ip = (
+        "aggregate(zip_with(slice(q_qv, m * {sub} + 1, {sub}), "
+        "slice(cents[codes[m]].c_qv, m * {sub} + 1, {sub}), (x, y) -> x * y), "
+        "cast(0 as long), (a2, v2) -> a2 + v2)"
+    ).format(sub=PQ_SUB)
+    adc = (
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as long), "
+        f"(acc, m) -> acc + ({adc_ip}))"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(centroids_row(q, PQ_K)))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.expr(adc).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+_PQ_CTES = f"""
+pqcents AS (SELECT vec_id AS cent_id, qv AS c_qv FROM q WHERE vec_id < {PQ_K}),
+pqm AS (SELECT unnest(range(0, {PQ_M})) AS m),
+pqd AS (
+  SELECT v.vec_id, pqm.m, c.cent_id,
+         CAST(list_dot_product(v.qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}],
+                               v.qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}])
+            - 2 * list_dot_product(v.qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}],
+                                   c.c_qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}])
+            + list_dot_product(c.c_qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}],
+                               c.c_qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}]) AS BIGINT) AS d
+  FROM q v CROSS JOIN pqm CROSS JOIN pqcents c
+),
+pqcodes AS (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cent_id ASC) AS r
+    FROM pqd
+  ) rr WHERE r = 1
+)"""
+
+
 def queries():
     return {
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -280,6 +389,8 @@ def queries():
         "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
         "ann_kmeans_centroids": ann_kmeans_centroids,
         "ann_recall": ann_recall,
+        "ann_pq_codes": ann_pq_codes,
+        "ann_pq_topk": ann_pq_topk,
     }
 
 
@@ -450,6 +561,32 @@ def oracle_sql():
         "ann_topk_bruteforce": f"""
             WITH {_QVECS_CTE}, {_BRUTE_CTE}
             SELECT query_id, cand_id, qdot, rank FROM brute_topk""",
+        "ann_pq_codes": f"""
+            WITH {_QVECS_CTE}, {_PQ_CTES}
+            SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+            FROM pqcodes""",
+        "ann_pq_topk": f"""
+            WITH {_QVECS_CTE}, {_PQ_CTES},
+            pqip AS (
+              SELECT v.vec_id AS query_id, pqm.m, c.cent_id,
+                     CAST(list_dot_product(
+                        v.qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}],
+                        c.c_qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}]) AS BIGINT) AS ip
+              FROM q v CROSS JOIN pqm CROSS JOIN pqcents c
+              WHERE v.vec_id < {N_QUERIES}
+            ),
+            pqadc AS (
+              SELECT i.query_id, k.vec_id AS cand_id, CAST(sum(i.ip) AS BIGINT) AS adc
+              FROM pqcodes k
+              JOIN pqip i ON i.m = k.m AND i.cent_id = k.code
+              WHERE i.query_id <> k.vec_id
+              GROUP BY i.query_id, k.vec_id
+            )
+            SELECT query_id, cand_id, adc, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc DESC, cand_id ASC) AS rank
+              FROM pqadc
+            ) t WHERE rank <= {TOP_K}""",
         "ann_ivf_topk": f"""
             WITH {_QVECS_CTE}, {_IVF_CTE}
             SELECT query_id, cand_id, qdot, rank FROM ivf_topk""",

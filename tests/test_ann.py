@@ -8,7 +8,9 @@ import pytest
 
 from jsonld_ex_spark.functions import ann_ops
 
-from tests.spark_fixtures import spark  # noqa: F401
+from pyspark.sql import functions as F
+
+from tests.spark_fixtures import SF_DIR, spark  # noqa: F401
 
 pytestmark = pytest.mark.spark
 
@@ -78,3 +80,28 @@ def test_ivf_kmeans_recall_at_least_090(spark, sf_dir):  # noqa: F811
     brute = {(r["query_id"], r["cand_id"]) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
     got = {(r["query_id"], r["cand_id"]) for r in ann_ivf_kmeans_topk(spark, sf_dir).collect()}
     assert len(brute & got) / (TOP_K * ann_ops.N_QUERIES) >= 0.9
+
+
+def test_pq_codes_range_and_recall_floor(spark):  # noqa: F811
+    """PQ codes must lie in [0, PQ_K); ADC top-k must keep meaningful
+    recall vs exact bruteforce (quantization is lossy — the floor is
+    deliberately modest, the BIT-EXACTNESS of codes/scores is what the
+    driver gate proves)."""
+    from jsonld_ex_spark.functions.ann_ops import (
+        N_QUERIES,
+        PQ_K,
+        TOP_K,
+        ann_pq_codes,
+        ann_pq_topk,
+        ann_topk_bruteforce,
+    )
+
+    codes = ann_pq_codes(spark, SF_DIR)
+    assert codes.filter((F.col("code") < 0) | (F.col("code") >= PQ_K)).count() == 0
+    brute = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    pq = {(r["query_id"], r["cand_id"]) for r in ann_pq_topk(spark, SF_DIR).collect()}
+    recall = len(brute & pq) / (N_QUERIES * TOP_K)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
