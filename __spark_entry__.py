@@ -61,12 +61,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_ops,
             multimodal_ops,
             relational_ops,
+            sketch_ops,
             skew_ops,
             text_ops,
         )
 
         q.update(text_ops.queries())
         q.update(skew_ops.queries())
+        q.update(sketch_ops.queries())
         q.update(dedup_ops.queries())
         q.update(ann_ops.queries())
         q.update(relational_ops.queries())
@@ -116,12 +118,14 @@ def oracle_sql() -> dict[str, str]:
             dedup_ops,
             multimodal_ops,
             relational_ops,
+            sketch_ops,
             skew_ops,
             text_ops,
         )
 
         o.update(text_ops.oracle_sql())
         o.update(skew_ops.oracle_sql())
+        o.update(sketch_ops.oracle_sql())
         o.update(dedup_ops.oracle_sql())
         o.update(ann_ops.oracle_sql())
         o.update(relational_ops.oracle_sql())

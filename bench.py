@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "dedup_substring_spans",
     "ann_pq_codes",
     "ann_pq_topk",
+    "sketch_distinct_convs",
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",
