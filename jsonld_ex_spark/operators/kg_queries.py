@@ -549,3 +549,79 @@ def kg_bgp_nontool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         project=["turn", "entity"],
         minus=[[("?turn", f"<{VOCAB}role>", '"tool"')]],
     )
+
+
+PR_SCALE = 10 ** 12   # fixed-point PageRank mass (integers end to end)
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio
+
+
+def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric entity co-occurrence edges (the gated
+    kg_entity_cooccurrence pair set, n_convs >= 2, both directions)."""
+    t = transcripts_df(spark, sf_dir)
+    m = (
+        t.select(
+            "conv_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")
+            ).alias("e"),
+        )
+        .dropDuplicates(["conv_id", "e"])
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, on="conv_id", how="inner")
+        .filter(F.col("a.e") < F.col("b.e"))
+        .groupBy(F.col("a.e").alias("ent_a"), F.col("b.e").alias("ent_b"))
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .filter(F.col("n_convs") >= 2)
+    )
+    return pairs.select(
+        F.col("ent_a").alias("src"), F.col("ent_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
+    )
+
+
+def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the constructed KG: PR_ITERS PageRank
+    iterations on the entity co-occurrence graph, in FIXED-POINT
+    integer arithmetic so every intermediate is engine-portable
+    (PR_SCALE mass units; 'a div b' on non-negative operands floors
+    identically in Spark and DuckDB — CLAUDE.md portable floor
+    division).  Each iteration is one contribs equi-join + one
+    map-side-combined sum — the standard distributed PageRank shape;
+    the oracle unrolls the same three iterations as CTEs (the k-means
+    oracle pattern), so convergence-free bit-exact comparison."""
+    edges = _cooccur_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("ent")).distinct()
+    deg = edges.groupBy(F.col("src").alias("ent")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(f"{PR_SCALE} div n")
+    pr = nodes.crossJoin(F.broadcast(n_row)).select(
+        "ent", base.alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = pr.join(deg, on="ent", how="inner").select(
+            F.col("ent").alias("src"), F.expr("pr div d").alias("c")
+        )
+        msgs = (
+            edges.join(contrib, on="src", how="inner")
+            .groupBy(F.col("dst").alias("ent"))
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(msgs, on="ent", how="left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "ent",
+                F.expr(
+                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n) "
+                    f"+ {PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
+                ).alias("pr"),
+            )
+        )
+    return pr.select("ent", F.col("pr").cast("long").alias("pr"))

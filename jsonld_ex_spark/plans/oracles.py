@@ -363,3 +363,52 @@ def kg_bgp_nontool_mentions_oracle() -> str:
         project=["turn", "entity"],
         minus=[[("?turn", f"<{VOCAB}role>", '"tool"')]],
     )
+
+
+def kg_entity_pagerank_oracle() -> str:
+    """PR_ITERS PageRank iterations unrolled as CTEs over the same
+    integer fixed-point arithmetic (DuckDB // floors like Spark div on
+    non-negative operands; sums CAST back to BIGINT before reuse)."""
+    from jsonld_ex_spark.operators.kg_queries import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    t = transcripts_oracle_cte("lineitem")
+    parts = [f"""t AS ({t}),
+m AS (
+  SELECT DISTINCT conv_id, mm AS e
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+),
+cooc AS (
+  SELECT a.e AS ent_a, b.e AS ent_b
+  FROM m a JOIN m b USING (conv_id)
+  WHERE a.e < b.e GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT ent_a AS src, ent_b AS dst FROM cooc
+  UNION ALL SELECT ent_b, ent_a FROM cooc
+),
+nodes AS (SELECT DISTINCT src AS ent FROM edges),
+deg AS (SELECT src AS ent, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT ent, CAST({PR_SCALE} // n AS BIGINT) AS pr FROM nodes CROSS JOIN nn)"""]
+    for it in range(1, PR_ITERS + 1):
+        prev = f"pr{it - 1}"
+        parts.append(f"""pr{it} AS (
+  SELECT nodes.ent,
+         CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // nn.n)
+               + {PR_DAMP_NUM} * COALESCE(s.msum, 0)) // {PR_DAMP_DEN} AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS ent, CAST(sum(p.pr // d.d) AS BIGINT) AS msum
+    FROM edges e
+    JOIN {prev} p ON p.ent = e.src
+    JOIN deg d ON d.ent = e.src
+    GROUP BY e.dst
+  ) s ON s.ent = nodes.ent
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT ent, pr FROM pr{PR_ITERS}"
+    )

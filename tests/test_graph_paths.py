@@ -56,3 +56,21 @@ def test_graph_positions_match_iri_turn_indices(spark):  # noqa: F811
     ).count()
     assert mismatch == 0
     assert out.count() > 0
+
+
+def test_pagerank_mass_and_hot_entities(spark):  # noqa: F811
+    """Fixed-point PageRank: total mass stays within floor-rounding of
+    PR_SCALE, and the corpus's planted hot entities dominate the top."""
+    from jsonld_ex_spark.operators.kg_queries import (
+        PR_SCALE,
+        kg_entity_pagerank,
+    )
+    from jsonld_ex_spark.sources.transcripts import HOT_ENTITIES
+
+    rows = kg_entity_pagerank(spark, SF_DIR).collect()
+    total = sum(r["pr"] for r in rows)
+    # each div floors; mass loss bounded well under 0.1%
+    assert 0.999 * PR_SCALE <= total <= PR_SCALE
+    top = [r["ent"] for r in sorted(rows, key=lambda r: -r["pr"])[:HOT_ENTITIES]]
+    hot = {f"ENT_{i:04d}" for i in range(HOT_ENTITIES)}
+    assert sum(1 for e in top if e in hot) >= HOT_ENTITIES - 2
