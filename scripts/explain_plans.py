@@ -113,6 +113,33 @@ COMMENT = {
         "single-row total, rank window over the 211-key aggregated "
         "domain only — the full table is touched exactly once."
     ),
+    "dedup_substring_spans": (
+        "Exact-substring dedup: positioned k-gram fingerprints in one "
+        "JVM transform+explode, DF-cap anti-join BEFORE the self-join, "
+        "fingerprint equi-join, islands window per (pair, diagonal). "
+        "No Python, no all-pairs stage."
+    ),
+    "ann_pq_codes": (
+        "PQ code assignment: ONE broadcast codebook row "
+        "(BroadcastNestedLoopJoin over 16 rows), all 8 subspace argmins "
+        "per vector in a single higher-order projection — zero shuffle "
+        "on the vector side (the vector_buckets pattern)."
+    ),
+    "ann_pq_topk": (
+        "ADC top-k: candidates scored against broadcast queries + "
+        "codebook purely in projections; the only shuffle is the "
+        "per-query top-k window."
+    ),
+    "sketch_distinct_convs": (
+        "HLL register build: md5 → register/rank per row, one "
+        "map-side-combined groupBy(register) max over 256 keys. "
+        "Mergeable: rollups OR sketches instead of re-scanning."
+    ),
+    "kg_entity_pagerank": (
+        "3 unrolled PageRank iterations: per iteration one contribs "
+        "equi-join + one map-side-combined sum keyed on entity; edges "
+        "localCheckpointed once. All integer fixed-point, no Python."
+    ),
 }
 
 QUERIES = list(COMMENT.keys())
