@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "ann_pq_topk",
     "sketch_distinct_convs",
     "kg_entity_pagerank",
+    "kg_shape_report",
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",

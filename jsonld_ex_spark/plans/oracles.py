@@ -412,3 +412,50 @@ pr0 AS (SELECT ent, CAST({PR_SCALE} // n AS BIGINT) AS pr FROM nodes CROSS JOIN 
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT ent, pr FROM pr{PR_ITERS}"
     )
+
+
+def kg_shape_report_oracle() -> str:
+    """The six shape rules re-expressed as scalar-subquery counts over
+    the relational triple derivation."""
+    from jsonld_ex_spark.operators.kg_queries import _kg_shapes
+
+    parts = []
+    for s in _kg_shapes():
+        if s["rule"] == "cardinality":
+            checked = (
+                f"(SELECT count(*) FROM (SELECT DISTINCT subj FROM trip "
+                f"WHERE pred = '{RDF}type' AND obj = '{s['cls']}') ts)"
+            )
+            bad = f"""(SELECT count(*) FROM (
+  SELECT ts.subj, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT subj FROM trip WHERE pred = '{RDF}type' AND obj = '{s['cls']}') ts
+  LEFT JOIN (SELECT subj, count(*) AS c FROM trip WHERE pred = '{s['pred']}' GROUP BY subj) c
+    ON c.subj = ts.subj
+) x WHERE c < {s['min_count']} OR c > {s['max_count']})"""
+        elif s["rule"] == "datatype":
+            checked = f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}')"
+            bad = (
+                f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}' "
+                f"AND (obj_is_iri OR coalesce(obj_dt, '') <> '{s['dt']}'))"
+            )
+        elif s["rule"] == "node_kind":
+            checked = f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}')"
+            want = "true" if s["is_iri"] else "false"
+            bad = (
+                f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}' "
+                f"AND obj_is_iri <> {want})"
+            )
+        else:  # value_in
+            vals = ", ".join(f"'{v}'" for v in s["values"])
+            checked = f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}')"
+            bad = (
+                f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}' "
+                f"AND obj NOT IN ({vals}))"
+            )
+        parts.append(
+            f"SELECT '{s['rule_id']}' AS rule_id, "
+            f"CAST({checked} AS BIGINT) AS n_checked, "
+            f"CAST({bad} AS BIGINT) AS n_violations"
+        )
+    body = " UNION ALL ".join(parts)
+    return f"WITH trip AS ({kg_triples_oracle()})\n{body}"
