@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
@@ -346,6 +347,7 @@ def queries():
         "topk_customers": topk_customers,
         "events_by_type": events_by_type,
         "purchasers_without_errors": purchasers_without_errors,
+        "events_value_percentiles": events_value_percentiles,
     }
 
 
@@ -362,4 +364,69 @@ def oracle_sql():
         "topk_customers": _Q_TOPK,
         "events_by_type": _Q_EVENTS,
         "purchasers_without_errors": _Q_SETOPS,
+        "events_value_percentiles": _Q_PCT,
     }
+
+
+PCT_QS = (50, 95, 99)
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed percentiles (nearest-rank) per event_type —
+    not approx_percentile, whose internal sketch differs across
+    engines and can never sit under a hash-exact gate.  Shape: one
+    sort-within-group window (rank), one tiny per-group count, a
+    3-row-per-group rank lookup join.  Values are quantized to integer
+    cents (CLAUDE.md: never emit DOUBLE where the driver hashes
+    renderings).  At 100 TB the same shape holds per partition-range;
+    for a single global percentile you'd sample-and-bound first
+    (Spark's range partitioner trick) — per-group percentiles like
+    these stay fully parallel."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("cast(round(value * 100) as long)").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = e.withColumn("r", F.row_number().over(w))
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ks = counts.select(
+        "event_type",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(q).alias("pct"),
+                    F.expr(f"(n * {q} + 99) div 100").alias("k"),
+                )
+                for q in PCT_QS
+            ])
+        ).alias("qk"),
+    ).select("event_type", F.col("qk.pct").alias("pct"), F.col("qk.k").alias("k"))
+    ks = ks.select(
+        F.col("event_type").alias("k_type"), "pct", "k"
+    )
+    return (
+        ranked.join(
+            ks,
+            on=[ranked["event_type"] == ks["k_type"], ranked["r"] == ks["k"]],
+        )
+        .select("event_type", "pct", F.col("v").alias("value_cents"))
+    )
+
+
+_Q_PCT = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS r
+  FROM e
+),
+counts AS (SELECT event_type, count(*) AS n FROM e GROUP BY event_type),
+ks AS (
+  SELECT event_type, q.pct, (n * q.pct + 99) // 100 AS k
+  FROM counts, (VALUES {', '.join(f'({q})' for q in PCT_QS)}) AS q(pct)
+)
+SELECT ks.event_type, CAST(ks.pct AS INT) AS pct, ranked.v AS value_cents
+FROM ranked JOIN ks ON ranked.event_type = ks.event_type AND ranked.r = ks.k
+"""

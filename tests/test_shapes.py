@@ -79,3 +79,20 @@ def test_pipeline_graph_is_clean_but_checked(spark):  # noqa: F811
     assert len(rows) == 6
     assert all(r["n_violations"] == 0 for r in rows)
     assert all(r["n_checked"] > 0 for r in rows)  # non-vacuous
+
+
+def test_exact_percentiles_nearest_rank(spark):  # noqa: F811
+    """Nearest-rank definition pinned on a tiny group: p50 of
+    [10,20,30,40] cents is the ceil(0.5*4)=2nd value (20)."""
+    import tempfile
+
+    from jsonld_ex_spark.functions.relational_ops import events_value_percentiles
+
+    d = tempfile.mkdtemp() + "/t"
+    rows = [(i, None, 1, "x", v, "{}") for i, v in enumerate([0.10, 0.20, 0.30, 0.40])]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = {r["pct"]: r["value_cents"] for r in events_value_percentiles(spark, d).collect()}
+    assert out == {50: 20, 95: 40, 99: 40}
