@@ -334,9 +334,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # approximate INNER PRODUCT (same metric as the bruteforce/IVF
     # baselines): q . reconstruction(cand) = sum_m dot(q_sub_m, codeword)
+    # look the codeword up BY cent_id VALUE (filter), not array
+    # position — a gap in the first PQ_K vec_ids would silently shift
+    # positional indexing while the oracle joins on cent_id
     adc_ip = (
         "aggregate(zip_with(slice(q_qv, m * {sub} + 1, {sub}), "
-        "slice(cents[codes[m]].c_qv, m * {sub} + 1, {sub}), (x, y) -> x * y), "
+        "slice(filter(cents, c -> c.cent_id = codes[m])[0].c_qv, "
+        "m * {sub} + 1, {sub}), (x, y) -> x * y), "
         "cast(0 as long), (a2, v2) -> a2 + v2)"
     ).format(sub=PQ_SUB)
     adc = (

@@ -404,7 +404,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(t) - {k} + 1, 0)), "
+                # documents shorter than k tokens contribute no grams:
+                # sequence(1, 0) DESCENDS in Spark and slice(t, 0, k)
+                # throws INVALID_PARAMETER_VALUE.START
+                f"transform(if(size(t) >= {k}, sequence(1, size(t) - {k} + 1), array()), "
                 f"i -> struct(i AS pos, md5(array_join(slice(t, i, {k}), ' ')) AS fp))"
             )
         ).alias("g"),

@@ -557,26 +557,13 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio
 
 
 def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric entity co-occurrence edges (the gated
-    kg_entity_cooccurrence pair set, n_convs >= 2, both directions)."""
-    t = transcripts_df(spark, sf_dir)
-    m = (
-        t.select(
-            "conv_id",
-            F.explode(
-                F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")
-            ).alias("e"),
-        )
-        .dropDuplicates(["conv_id", "e"])
-    )
-    a, b = m.alias("a"), m.alias("b")
-    pairs = (
-        a.join(b, on="conv_id", how="inner")
-        .filter(F.col("a.e") < F.col("b.e"))
-        .groupBy(F.col("a.e").alias("ent_a"), F.col("b.e").alias("ent_b"))
-        .agg(F.count(F.lit(1)).alias("n_convs"))
-        .filter(F.col("n_convs") >= 2)
-    )
+    """Symmetric entity co-occurrence edges: the gated
+    kg_entity_cooccurrence pair set (entity_linking.py — single source
+    of truth for mention extraction, dedup key and the n_convs >= 2
+    threshold), symmetrized into both directions."""
+    from jsonld_ex_spark.operators.entity_linking import kg_entity_cooccurrence
+
+    pairs = kg_entity_cooccurrence(spark, sf_dir)
     return pairs.select(
         F.col("ent_a").alias("src"), F.col("ent_b").alias("dst")
     ).unionByName(

@@ -32,6 +32,11 @@ def _typed_subjects(triples: DataFrame, cls: str) -> DataFrame:
     )
 
 
+# Each rule returns ONE relation of checked units with a boolean `bad`
+# column, so the report is a single conditional aggregate per rule
+# (count + sum(bad)) — one pass over the rule's predicate slice, not
+# separate checked/violation scans.
+
 def _rule_cardinality(triples, cls, pred, min_count, max_count):
     """Subjects of type cls must carry between [min_count, max_count]
     pred triples."""
@@ -43,33 +48,32 @@ def _rule_cardinality(triples, cls, pred, min_count, max_count):
         on="subj",
         how="left",
     ).select("subj", F.coalesce("c", F.lit(0)).alias("c"))
-    bad = matched.filter(
-        (F.col("c") < min_count) | (F.col("c") > max_count)
+    return matched.select(
+        "subj",
+        ((F.col("c") < min_count) | (F.col("c") > max_count)).alias("bad"),
     )
-    return matched.select("subj"), bad.select("subj")
 
 
 def _rule_datatype(triples, pred, dt):
     """Every pred triple's object must be a literal of datatype dt."""
-    t = triples.filter(F.col("pred") == pred)
-    bad = t.filter(
-        F.col("obj_is_iri") | (F.coalesce("obj_dt", F.lit("")) != dt)
+    return triples.filter(F.col("pred") == pred).select(
+        "subj",
+        (F.col("obj_is_iri") | (F.coalesce("obj_dt", F.lit("")) != dt)).alias("bad"),
     )
-    return t.select("subj"), bad.select("subj")
 
 
 def _rule_node_kind(triples, pred, is_iri):
     """Every pred triple's object must be an IRI (or a literal)."""
-    t = triples.filter(F.col("pred") == pred)
-    bad = t.filter(F.col("obj_is_iri") != F.lit(is_iri))
-    return t.select("subj"), bad.select("subj")
+    return triples.filter(F.col("pred") == pred).select(
+        "subj", (F.col("obj_is_iri") != F.lit(is_iri)).alias("bad")
+    )
 
 
 def _rule_value_in(triples, pred, values):
     """Every pred triple's object lexical form must be in the set."""
-    t = triples.filter(F.col("pred") == pred)
-    bad = t.filter(~F.col("obj").isin(list(values)))
-    return t.select("subj"), bad.select("subj")
+    return triples.filter(F.col("pred") == pred).select(
+        "subj", (~F.col("obj").isin(list(values))).alias("bad")
+    )
 
 
 _RULE_FNS = {
@@ -82,14 +86,17 @@ _RULE_FNS = {
 
 def validate_shapes(triples: DataFrame, shapes: list[dict]) -> DataFrame:
     """Run every shape rule; returns one report row per rule:
-    (rule_id, n_checked, n_violations), ordered by the caller via
-    rule_id.  Each shape dict: {'rule_id', 'rule', **params}."""
+    (rule_id, n_checked, n_violations) via a single conditional
+    aggregate over that rule's checked relation."""
     out = None
     for shape in shapes:
         params = {k: v for k, v in shape.items() if k not in ("rule_id", "rule")}
-        checked, bad = _RULE_FNS[shape["rule"]](triples, **params)
-        row = checked.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
-            bad.agg(F.count(F.lit(1)).alias("n_violations"))
+        checked = _RULE_FNS[shape["rule"]](triples, **params)
+        row = checked.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(F.sum(F.col("bad").cast("long")), F.lit(0)).alias(
+                "n_violations"
+            ),
         ).select(
             F.lit(shape["rule_id"]).alias("rule_id"), "n_checked", "n_violations"
         )
@@ -102,5 +109,5 @@ def validate_shapes(triples: DataFrame, shapes: list[dict]) -> DataFrame:
 def shape_violation_rows(triples: DataFrame, shape: dict) -> DataFrame:
     """Debug form: the violating subjects for one rule."""
     params = {k: v for k, v in shape.items() if k not in ("rule_id", "rule")}
-    _, bad = _RULE_FNS[shape["rule"]](triples, **params)
-    return bad.distinct()
+    checked = _RULE_FNS[shape["rule"]](triples, **params)
+    return checked.filter(F.col("bad")).select("subj").distinct()

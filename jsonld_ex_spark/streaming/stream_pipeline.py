@@ -52,6 +52,55 @@ TRANSCRIPT_SCHEMA = StructType(
 )
 
 
+def _start_transcript_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    process_batch,
+    available_now: bool = True,
+):
+    """Shared transcript-stream scaffolding: readStream over staged
+    parquet (maxFilesPerTrigger=8 -> real micro-batches), checkpointed
+    foreachBatch, availableNow trigger."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _run_gated_transcript_stream(spark: SparkSession, sf_dir: str, start_query):
+    """Shared gate harness: stage 32 conversation-complete transcript
+    files (32 / maxFilesPerTrigger=8 -> FOUR micro-batches), run the
+    query to completion, tear down staging/checkpoint, return the
+    output dir (cleaned up at exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.sources.transcripts import transcripts_df
+
+    root = tempfile.mkdtemp(prefix="sgate_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    transcripts_df(spark, sf_dir).repartition(32, "conv_id").write.parquet(in_dir)
+    q = start_query(in_dir, out_dir, ckpt)
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return out_dir
+
+
 def stream_triples(
     spark: SparkSession,
     input_dir: str,
@@ -62,23 +111,13 @@ def stream_triples(
     """readStream over a transcript parquet directory → triple sink."""
     from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
 
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(input_dir)
-    )
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = conversation_triples(batch_df)
         triples.write.mode("append").parquet(output_dir)
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_transcript_stream(
+        spark, input_dir, checkpoint_dir, process_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 EVENT_SCHEMA = StructType(
@@ -300,26 +339,12 @@ def stream_kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     skolemization makes streamed triples EQUAL batch triples, so the
     full streaming engine (source offsets, micro-batch scheduling,
     exactly-once sink) sits under the hash-exact gate."""
-    import atexit
-    import shutil
-    import tempfile
-
     from jsonld_ex_spark.operators.kg_queries import _triple_stats
-    from jsonld_ex_spark.sources.transcripts import transcripts_df
 
-    root = tempfile.mkdtemp(prefix="skg_")
-    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    # conversation-complete files: each conv_id lands in exactly one
-    # file; 32 files / maxFilesPerTrigger=8 -> FOUR real micro-batches
-    transcripts_df(spark, sf_dir).repartition(32, "conv_id").write.parquet(in_dir)
-    q = stream_triples(spark, in_dir, out_dir, ckpt, available_now=True)
-    try:
-        q.awaitTermination(600)
-    finally:
-        q.stop()
-    shutil.rmtree(in_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    out_dir = _run_gated_transcript_stream(
+        spark, sf_dir,
+        lambda i, o, c: stream_triples(spark, i, o, c, available_now=True),
+    )
     return _triple_stats(spark.read.parquet(out_dir).select("pred", "subj"))
 
 
@@ -430,25 +455,15 @@ def stream_bgp_matches(
     from jsonld_ex_spark.operators.bgp import bgp_select
     from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
 
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(input_dir)
-    )
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         matches = bgp_select(
             conversation_triples(batch_df), patterns, project=project
         )
         matches.write.mode("append").parquet(output_dir)
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_transcript_stream(
+        spark, input_dir, checkpoint_dir, process_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_bgp_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,26 +473,13 @@ def stream_bgp_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — deterministic skolems + conversation-local patterns make
     the streamed union exact, and the streaming engine (offsets,
     scheduling, append sink) sits under the same gate."""
-    import atexit
-    import shutil
-    import tempfile
-
     from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
-    from jsonld_ex_spark.sources.transcripts import transcripts_df
 
-    root = tempfile.mkdtemp(prefix="sbgp_")
-    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    # 32 conversation-complete files -> four micro-batches (see above)
-    transcripts_df(spark, sf_dir).repartition(32, "conv_id").write.parquet(in_dir)
-    q = stream_bgp_matches(
-        spark, in_dir, out_dir, ckpt,
-        BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"],
+    out_dir = _run_gated_transcript_stream(
+        spark, sf_dir,
+        lambda i, o, c: stream_bgp_matches(
+            spark, i, o, c,
+            BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"],
+        ),
     )
-    try:
-        q.awaitTermination(600)
-    finally:
-        q.stop()
-    shutil.rmtree(in_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return spark.read.parquet(out_dir)

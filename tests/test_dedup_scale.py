@@ -196,3 +196,22 @@ def test_substring_spans_finds_planted_copy(spark, tmp_path):  # noqa: F811
         for a, b, s in con.execute(oracle_sql()["dedup_substring_spans"]).fetchall()
     }
     assert duck == out
+
+
+def test_substring_spans_short_and_empty_docs_no_crash(spark, tmp_path):  # noqa: F811
+    """Docs shorter than the k-gram width (and empty/null text) must
+    contribute zero grams, not crash the transform (Spark's
+    sequence(1, 0) DESCENDS; slice(t, 0, k) throws)."""
+    from jsonld_ex_spark.functions.dedup_ops import dedup_substring_spans
+
+    rows = [
+        (1, "one two", "en", "s", 0),
+        (2, "", "en", "s", 0),
+        (3, None, "en", "s", 0),
+        (4, "a b c d e", "en", "s", 0),  # exactly k-1 tokens
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    assert dedup_substring_spans(spark, d).count() == 0
