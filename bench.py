@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "sketch_distinct_convs",
     "kg_entity_pagerank",
     "kg_shape_report",
+    "kg_bgp_persisted_tool_mentions",
     "kg_triples_delta",
     "kg_list_walk",
     "kg_construct_entity_edges",

@@ -646,3 +646,27 @@ def kg_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.operators.shapes import validate_shapes
 
     return validate_shapes(_checkpointed_triples(spark, sf_dir), _kg_shapes())
+
+
+def kg_bgp_persisted_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION BGP path under the gate: write the triple table
+    (salted, subject-bucketed parquet — the real deployment layout),
+    then run the tool-mention BGP via bgp_over_table so each pattern is
+    a column-pruned parquet scan with PUSHED constant filters
+    (plan-asserted in tests/test_bgp.py).  Must hash-equal the same
+    oracle as the in-memory kg_bgp_tool_mentions — proving the
+    write→scan→query path is lossless, not just the in-memory one."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.bgp import bgp_over_table
+    from jsonld_ex_spark.operators.triples import write_triples
+    from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
+
+    tdir = tempfile.mkdtemp(prefix="bgp_tbl_") + "/triples"
+    write_triples(kg_triples(spark, sf_dir), tdir, mode="overwrite")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    return bgp_over_table(
+        spark, tdir, BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"]
+    )
