@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "kg_entity_pagerank",
     "kg_shape_report",
     "kg_bgp_persisted_tool_mentions",
+    "kg_bgp_human_or_assistant_turns",
     "events_value_percentiles",
     "kg_triples_delta",
     "kg_list_walk",

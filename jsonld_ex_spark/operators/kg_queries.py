@@ -670,3 +670,20 @@ def kg_bgp_persisted_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFram
     return bgp_over_table(
         spark, tdir, BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"]
     )
+
+
+def kg_bgp_human_or_assistant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION under the gate: user-role turns UNION assistant-role
+    turns, each alternative binding (turn, role) — together the exact
+    complement of the tool-role turns."""
+    from jsonld_ex_spark.operators.bgp import bgp_union
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_union(
+        _checkpointed_triples(spark, sf_dir),
+        [
+            [("?turn", f"<{VOCAB}role>", '"user"')],
+            [("?turn", f"<{VOCAB}role>", '"assistant"')],
+        ],
+        project=["turn"],
+    )

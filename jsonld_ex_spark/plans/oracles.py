@@ -459,3 +459,16 @@ def kg_shape_report_oracle() -> str:
         )
     body = " UNION ALL ".join(parts)
     return f"WITH trip AS ({kg_triples_oracle()})\n{body}"
+
+
+def kg_bgp_human_or_assistant_turns_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_union_oracle_sql
+
+    return bgp_union_oracle_sql(
+        kg_triples_oracle(),
+        [
+            [("?turn", f"<{VOCAB}role>", '"user"')],
+            [("?turn", f"<{VOCAB}role>", '"assistant"')],
+        ],
+        project=["turn"],
+    )
