@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_entity_edges": kg_queries.kg_construct_entity_edges,
         "kg_conversation_text": kg_queries.kg_conversation_text,
         "kg_entity_pagerank": kg_queries.kg_entity_pagerank,
+        "kg_entity_triangles": kg_queries.kg_entity_triangles,
         "kg_shape_report": kg_queries.kg_shape_report,
         # Incremental maintenance: snapshot-to-snapshot triple delta
         "kg_triples_delta": kg_queries.kg_triples_delta,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),
         "kg_conversation_text": oracles.kg_conversation_text_oracle(),
         "kg_entity_pagerank": oracles.kg_entity_pagerank_oracle(),
+        "kg_entity_triangles": oracles.kg_entity_triangles_oracle(),
         "kg_shape_report": oracles.kg_shape_report_oracle(),
         "kg_triples_delta": oracles.kg_triples_delta_oracle(),
     }

@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "ann_pq_topk",
     "sketch_distinct_convs",
     "kg_entity_pagerank",
+    "kg_entity_triangles",
     "kg_shape_report",
     "kg_bgp_persisted_tool_mentions",
     "kg_bgp_human_or_assistant_turns",

@@ -687,3 +687,59 @@ def kg_bgp_human_or_assistant_turns(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         project=["turn"],
     )
+
+
+def kg_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts per entity over the co-occurrence graph, via the
+    DEGREE-ORDERED edge orientation: every edge points from its
+    (degree, id)-smaller endpoint to the larger, so each triangle is
+    enumerated exactly once and per-node out-degree is bounded by
+    O(sqrt(E)) — the standard arboricity bound that keeps the wedge
+    join from exploding on hot entities at web scale (lexicographic
+    orientation would give the hottest entity its full degree as
+    out-degree).  The ordering key (deg, ent) is deterministic, so the
+    DuckDB oracle reproduces the identical orientation, wedges and
+    counts."""
+    pairs = (
+        _cooccur_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("src").alias("ent"))
+        .unionByName(pairs.select(F.col("dst").alias("ent")))
+        .groupBy("ent")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("ent", "src").withColumnRenamed("d", "ds"), on="src")
+        .join(deg.withColumnRenamed("ent", "dst").withColumnRenamed("d", "dd"), on="dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+            )
+            .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    w1, w2, w3 = e.alias("w1"), e.alias("w2"), e.alias("w3")
+    tri = (
+        w1.join(w2, F.col("w1.v") == F.col("w2.u"))
+        .join(
+            w3,
+            (F.col("w1.u") == F.col("w3.u")) & (F.col("w2.v") == F.col("w3.v")),
+        )
+        .select(
+            F.col("w1.u").alias("a"), F.col("w1.v").alias("b"), F.col("w2.v").alias("c")
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("ent"))
+        .unionByName(tri.select(F.col("b").alias("ent")))
+        .unionByName(tri.select(F.col("c").alias("ent")))
+    )
+    return corners.groupBy("ent").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -472,3 +472,46 @@ def kg_bgp_human_or_assistant_turns_oracle() -> str:
         ],
         project=["turn"],
     )
+
+
+def kg_entity_triangles_oracle() -> str:
+    """Degree-ordered triangle enumeration re-derived relationally:
+    same (deg, ent) orientation key, same once-per-triangle wedge
+    close, per-corner counts."""
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t}),
+m AS (
+  SELECT DISTINCT conv_id, mm AS e
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+),
+pairs AS (
+  SELECT a.e AS src, b.e AS dst
+  FROM m a JOIN m b USING (conv_id)
+  WHERE a.e < b.e GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT ent, count(*) AS d FROM (
+    SELECT src AS ent FROM pairs UNION ALL SELECT dst FROM pairs
+  ) x GROUP BY ent
+),
+e AS (
+  SELECT CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND src < dst)
+              THEN src ELSE dst END AS u,
+         CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND src < dst)
+              THEN dst ELSE src END AS v
+  FROM pairs
+  JOIN deg ds ON ds.ent = src
+  JOIN deg dd ON dd.ent = dst
+),
+tri AS (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM e w1
+  JOIN e w2 ON w1.v = w2.u
+  JOIN e w3 ON w3.u = w1.u AND w3.v = w2.v
+)
+SELECT ent, count(*) AS n_triangles FROM (
+  SELECT a AS ent FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) corners GROUP BY ent"""

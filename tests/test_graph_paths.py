@@ -74,3 +74,23 @@ def test_pagerank_mass_and_hot_entities(spark):  # noqa: F811
     top = [r["ent"] for r in sorted(rows, key=lambda r: -r["pr"])[:HOT_ENTITIES]]
     hot = {f"ENT_{i:04d}" for i in range(HOT_ENTITIES)}
     assert sum(1 for e in top if e in hot) >= HOT_ENTITIES - 2
+
+
+def test_triangle_counting_on_known_graph(spark, monkeypatch):  # noqa: F811
+    """K4 minus one edge has exactly 2 triangles; every triangle
+    increments all three corners once (degree-ordered enumeration must
+    count each triangle exactly once, never 0 or 3 times)."""
+    from jsonld_ex_spark.operators import kg_queries
+
+    edges = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sym = df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    monkeypatch.setattr(kg_queries, "_cooccur_edges", lambda s, d: sym)
+    out = {
+        r["ent"]: r["n_triangles"]
+        for r in kg_queries.kg_entity_triangles(spark, "ignored").collect()
+    }
+    # triangles: ABC and ABD (ACD and BCD are open — CD edge missing)
+    assert out == {"A": 2, "B": 2, "C": 1, "D": 1}
