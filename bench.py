@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "sketch_distinct_convs",
     "kg_entity_pagerank",
     "kg_entity_triangles",
+    "kg_entity_neighbor_similarity",
     "kg_shape_report",
     "kg_bgp_persisted_tool_mentions",
     "kg_bgp_human_or_assistant_turns",

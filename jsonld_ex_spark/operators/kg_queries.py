@@ -743,3 +743,47 @@ def kg_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("ent")))
     )
     return corners.groupBy("ent").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kg_entity_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural entity similarity: Jaccard of co-occurrence
+    NEIGHBORHOODS (shared neighbors / union), in integer ppm.  This is
+    graph-based entity resolution — two surface forms that co-occur
+    with the same entities are merge candidates even when their own
+    texts never meet.  Shape: one wedge join through the shared
+    neighbor (each wedge b: a—b—c emits candidate pair (a, c)), then a
+    count aggregate and a degree join — no all-pairs comparison; pairs
+    with < 2 shared neighbors are dropped before the degree join."""
+    pairs = (
+        _cooccur_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("ent")).agg(F.count(F.lit(1)).alias("d"))
+    w1, w2 = adj.alias("w1"), adj.alias("w2")
+    shared = (
+        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        .filter(F.col("w1.dst") < F.col("w2.dst"))
+        .groupBy(
+            F.col("w1.dst").alias("ent_a"), F.col("w2.dst").alias("ent_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    da = deg.select(F.col("ent").alias("ent_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("ent").alias("ent_b"), F.col("d").alias("db"))
+    return (
+        shared.join(da, on="ent_a")
+        .join(db, on="ent_b")
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div (da + db - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

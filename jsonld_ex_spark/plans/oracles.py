@@ -515,3 +515,32 @@ SELECT ent, count(*) AS n_triangles FROM (
   UNION ALL SELECT b FROM tri
   UNION ALL SELECT c FROM tri
 ) corners GROUP BY ent"""
+
+
+def kg_entity_neighbor_similarity_oracle() -> str:
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+WITH t AS ({t}),
+m AS (
+  SELECT DISTINCT conv_id, mm AS e
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+),
+pairs AS (
+  SELECT a.e AS src, b.e AS dst
+  FROM m a JOIN m b USING (conv_id)
+  WHERE a.e < b.e GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+deg AS (SELECT src AS ent, count(*) AS d FROM adj GROUP BY src),
+shared AS (
+  SELECT w1.dst AS ent_a, w2.dst AS ent_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM adj w1 JOIN adj w2 ON w1.src = w2.src
+  WHERE w1.dst < w2.dst
+  GROUP BY w1.dst, w2.dst HAVING count(*) >= 2
+)
+SELECT s.ent_a, s.ent_b, s.n_shared,
+       CAST((s.n_shared * 1000000) // (da.d + db.d - s.n_shared) AS BIGINT)
+         AS jaccard_ppm
+FROM shared s
+JOIN deg da ON da.ent = s.ent_a
+JOIN deg db ON db.ent = s.ent_b"""
