@@ -15,7 +15,7 @@ from jsonld_ex_spark.operators import kg_queries
 from jsonld_ex_spark.operators.kg_pipeline import kg_triples
 from jsonld_ex_spark.sources.transcripts import transcripts_df
 
-from tests.spark_fixtures import spark  # noqa: F401
+from tests.spark_fixtures import SF_DIR, spark  # noqa: F401
 
 pytestmark = pytest.mark.spark
 SF = "/root/testdata/sf0.001"
@@ -232,3 +232,34 @@ def test_temporal_join_plan_shapes(spark):  # noqa: F811
     assert ("SortMergeJoin" in range_plan) or ("ShuffledHashJoin" in range_plan) or (
         "BroadcastHashJoin" in range_plan  # tiny test input may broadcast
     )
+
+
+def test_graph_analytics_plans_no_cartesian_no_python(spark):  # noqa: F811
+    """PageRank / triangles / neighbor-similarity / shape validation
+    must compile to pure-JVM equi-join + aggregate plans: no
+    CartesianProduct, no BatchEvalPython/MapInPandas beyond the
+    construction pipeline they consume (these four read transcripts
+    directly or checkpointed triples)."""
+    from jsonld_ex_spark.operators.kg_queries import (
+        kg_entity_neighbor_similarity,
+        kg_entity_pagerank,
+        kg_entity_triangles,
+    )
+
+    for fn in (kg_entity_pagerank, kg_entity_triangles, kg_entity_neighbor_similarity):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+
+
+def test_skew_sketch_percentile_plans_single_pass(spark):  # noqa: F811
+    """The diagnostics operators must touch the full input exactly once:
+    one scan feeding a partial+final aggregate (plus tiny broadcast /
+    rank stages) — no repeated subtree over the big side."""
+    from jsonld_ex_spark.functions.relational_ops import events_value_percentiles
+    from jsonld_ex_spark.functions.sketch_ops import sketch_distinct_convs
+
+    p = sketch_distinct_convs(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    p2 = events_value_percentiles(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p2 and "CartesianProduct" not in p2
