@@ -135,6 +135,23 @@ COMMENT = {
         "map-side-combined groupBy(register) max over 256 keys. "
         "Mergeable: rollups OR sketches instead of re-scanning."
     ),
+    "kg_entity_triangles": (
+        "Degree-ordered triangle enumeration: orientation computed in "
+        "one projection after two degree joins, wedge equi-join + "
+        "closing equi-join — out-degree arboricity-bounded, so the "
+        "wedge stage cannot explode on hot entities."
+    ),
+    "kg_entity_neighbor_similarity": (
+        "One wedge equi-join through the shared neighbor + count "
+        "aggregate + two degree joins; integer ppm Jaccard in a "
+        "projection. No pairwise-all stage."
+    ),
+    "kg_shape_report": (
+        "Each shape rule is one conditional aggregate (count + "
+        "sum(bad)) over its predicate slice; rules union into the "
+        "6-row report. On a persisted table each slice is a pushed "
+        "pred filter."
+    ),
     "kg_entity_pagerank": (
         "3 unrolled PageRank iterations: per iteration one contribs "
         "equi-join + one map-side-combined sum keyed on entity; edges "
