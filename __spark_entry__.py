@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_nontool_mentions": kg_queries.kg_bgp_nontool_mentions,
         "kg_bgp_persisted_tool_mentions": kg_queries.kg_bgp_persisted_tool_mentions,
         "kg_bgp_human_or_assistant_turns": kg_queries.kg_bgp_human_or_assistant_turns,
+        "kg_bgp_entity_mention_stats": kg_queries.kg_bgp_entity_mention_stats,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
         "kg_construct_entity_edges": kg_queries.kg_construct_entity_edges,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-table BGP must reproduce the in-memory BGP oracle
         "kg_bgp_persisted_tool_mentions": oracles.kg_bgp_tool_mentions_oracle(),
         "kg_bgp_human_or_assistant_turns": oracles.kg_bgp_human_or_assistant_turns_oracle(),
+        "kg_bgp_entity_mention_stats": oracles.kg_bgp_entity_mention_stats_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),
         "kg_conversation_text": oracles.kg_conversation_text_oracle(),

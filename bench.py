@@ -110,6 +110,7 @@ EXTRA_QUERIES = [
     "kg_shape_report",
     "kg_bgp_persisted_tool_mentions",
     "kg_bgp_human_or_assistant_turns",
+    "kg_bgp_entity_mention_stats",
     "events_value_percentiles",
     "kg_triples_delta",
     "kg_list_walk",

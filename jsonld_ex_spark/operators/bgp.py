@@ -228,6 +228,74 @@ def bgp_select(
     return acc
 
 
+_AGG_FNS = {"count", "count_distinct", "min", "max"}
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+) -> DataFrame:
+    """SPARQL SELECT-with-GROUP-BY over BGP bindings: ``aggs`` maps
+    output column -> (fn, var), fn in {count, count_distinct, min,
+    max}; ``("count", None)`` counts solutions.  Numeric SUM/AVG over
+    lexical forms is deliberately out of scope (the triple model's
+    objects are strings; cast in a downstream select if the datatype
+    warrants it)."""
+    b = bgp_select(triples, patterns, optional=optional, minus=minus)
+    cols = []
+    for out, (fn, var) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        if fn == "count" and var is None:
+            cols.append(F.count(F.lit(1)).alias(out))
+            continue
+        if var is None or var not in b.columns:
+            raise ValueError(f"aggregate {out}: variable {var!r} not bound")
+        cols.append(
+            {
+                "count": F.count(F.col(var)),
+                "count_distinct": F.countDistinct(F.col(var)),
+                "min": F.min(F.col(var)),
+                "max": F.max(F.col(var)),
+            }[fn].alias(out)
+        )
+    return b.groupBy(*group_by).agg(*cols)
+
+
+def bgp_aggregate_oracle_sql(
+    triples_sql: str,
+    patterns: list[tuple[str, str, str]],
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+) -> str:
+    """SQL mirror of :func:`bgp_aggregate` (counts CAST to BIGINT so
+    DuckDB's types render identically to Spark's longs)."""
+    inner = bgp_oracle_sql(triples_sql, patterns, optional=optional, minus=minus)
+    parts = []
+    for out, (fn, var) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        if fn == "count" and var is None:
+            parts.append(f"CAST(count(*) AS BIGINT) AS {out}")
+        elif fn == "count":
+            parts.append(f"CAST(count({var}) AS BIGINT) AS {out}")
+        elif fn == "count_distinct":
+            parts.append(f"CAST(count(DISTINCT {var}) AS BIGINT) AS {out}")
+        else:
+            parts.append(f"{fn}({var}) AS {out}")
+    sel = ", ".join(group_by + parts)
+    return (
+        f"WITH bindings AS ({inner})\n"
+        f"SELECT {sel} FROM bindings GROUP BY {', '.join(group_by)}"
+    )
+
+
 def bgp_union(
     triples: DataFrame,
     alternatives: list[list[tuple[str, str, str]]],

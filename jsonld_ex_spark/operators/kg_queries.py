@@ -787,3 +787,24 @@ def kg_entity_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+def kg_bgp_entity_mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic BGP aggregation compiler under the gate: per-entity
+    distinct mentioning turns + first/last turn IRI, straight from
+    { ?turn v:mentions ?entity } — SPARQL's SELECT ... GROUP BY form."""
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate
+    from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS  # noqa: F401
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_aggregate(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        group_by=["entity"],
+        aggs={
+            "n_mentions": ("count", None),
+            "n_turns": ("count_distinct", "turn"),
+            "first_turn": ("min", "turn"),
+            "last_turn": ("max", "turn"),
+        },
+    )

@@ -544,3 +544,19 @@ SELECT s.ent_a, s.ent_b, s.n_shared,
 FROM shared s
 JOIN deg da ON da.ent = s.ent_a
 JOIN deg db ON db.ent = s.ent_b"""
+
+
+def kg_bgp_entity_mention_stats_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate_oracle_sql
+
+    return bgp_aggregate_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        group_by=["entity"],
+        aggs={
+            "n_mentions": ("count", None),
+            "n_turns": ("count_distinct", "turn"),
+            "first_turn": ("min", "turn"),
+            "last_turn": ("max", "turn"),
+        },
+    )

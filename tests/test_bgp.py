@@ -478,3 +478,33 @@ def test_property_bgp_matches_duckdb(spark, case):  # noqa: F811
         return sorted(tuple("" if v is None else v for v in r) for r in rows)
 
     assert norm(tuple(r) for r in got.collect()) == norm(duck_rows)
+
+
+def test_bgp_aggregate_semantics_and_mirror(tiny):
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_aggregate_oracle_sql,
+    )
+
+    patterns = [("?t", "<urn:mentions>", "?e")]
+    aggs = {
+        "n": ("count", None),
+        "nt": ("count_distinct", "t"),
+        "first_t": ("min", "t"),
+    }
+    out = {
+        r["e"]: (r["n"], r["nt"], r["first_t"])
+        for r in bgp_aggregate(tiny, patterns, ["e"], aggs).collect()
+    }
+    assert out == {"urn:e1": (3, 3, "urn:t1"), "urn:e2": (1, 1, "urn:t1")}
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_aggregate_oracle_sql(cte, patterns, ["e"], aggs)
+    duck = {r[0]: tuple(r[1:]) for r in duckdb.connect().execute(sql).fetchall()}
+    assert duck == out
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        bgp_aggregate(tiny, patterns, ["e"], {"x": ("avg", "t")})
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_aggregate(tiny, patterns, ["e"], {"x": ("min", "zz")})
