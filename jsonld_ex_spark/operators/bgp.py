@@ -580,3 +580,20 @@ def bgp_oracle_sql(
         f"WITH triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
         f"SELECT {proj} FROM ({base}) base WHERE {where}"
     )
+
+
+def bgp_ask(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+) -> bool:
+    """SPARQL ASK: does at least one solution exist?  Evaluates with a
+    limit(1) so Spark stops at the first match instead of materializing
+    the binding bag."""
+    return (
+        bgp_select(triples, patterns, optional=optional, minus=minus)
+        .limit(1)
+        .count()
+        > 0
+    )

@@ -508,3 +508,16 @@ def test_bgp_aggregate_semantics_and_mirror(tiny):
         bgp_aggregate(tiny, patterns, ["e"], {"x": ("avg", "t")})
     with pytest.raises(ValueError, match="not bound"):
         bgp_aggregate(tiny, patterns, ["e"], {"x": ("min", "zz")})
+
+
+def test_bgp_ask(tiny):
+    from jsonld_ex_spark.operators.bgp import bgp_ask
+
+    assert bgp_ask(tiny, [("?t", "<urn:role>", '"tool"')])
+    assert not bgp_ask(tiny, [("?t", "<urn:role>", '"moderator"')])
+    # MINUS can empty the solution set
+    assert not bgp_ask(
+        tiny,
+        [("?t", "<urn:role>", '"tool"')],
+        minus=[[("?t", "<urn:mentions>", "?e")]],
+    )
