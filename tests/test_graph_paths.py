@@ -37,6 +37,19 @@ def test_long_chain_converges_in_log_supersteps(spark):  # noqa: F811
     assert got == {(i, f"m{i}") for i in range(n)}
 
 
+def test_known_bound_walk_matches_detection_loop(spark):  # noqa: F811
+    """known_max_length runs exactly ceil(log2(L)) supersteps with no
+    per-round driver action and must return the identical position set
+    as the emptiness-detection loop — for exact powers of two, off-by-
+    one lengths, and a bound looser than the actual chain."""
+    for n, bound in [(1, 1), (2, 2), (8, 8), (9, 9), (5, 40)]:
+        triples = _chain_df(spark, n)
+        heads = spark.createDataFrame([("L", "c0")], "head string, cell string")
+        out = chain_positions(triples, heads, known_max_length=bound)
+        got = {(r["position"], r["member"]) for r in out.collect()}
+        assert got == {(i, f"m{i}") for i in range(n)}, (n, bound)
+
+
 def test_cycle_raises_instead_of_hanging(spark):  # noqa: F811
     triples = _chain_df(spark, 8, cyclic=True)
     heads = spark.createDataFrame([("L", "c0")], "head string, cell string")
