@@ -108,8 +108,50 @@ def _join_order(parsed: list[list[tuple[str, str]]], allow_cartesian: bool) -> l
 
 _POS_COLS = ("subj", "pred", "obj")
 
+# SPARQL-style FILTER support: a filter is (var, op, value); op in
+# _FILTER_OPS.  An int value compares numerically (the lexical form is
+# cast — Spark CAST and DuckDB TRY_CAST both yield NULL on non-numeric
+# strings, so non-numeric bindings drop out identically); a str value
+# compares lexically; "regex" matches Java/RE2-common syntax via rlike
+# (Spark) / regexp_matches (DuckDB).
+_FILTER_SQL_OPS = {"gt": ">", "ge": ">=", "lt": "<", "le": "<=", "eq": "=", "ne": "<>"}
 
-def _pattern_df(triples: DataFrame, parsed: list[tuple[str, str]]) -> DataFrame:
+
+def _check_filters(filters) -> None:
+    for var, op, value in filters:
+        if op != "regex" and op not in _FILTER_SQL_OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        if op == "regex" and not isinstance(value, str):
+            raise ValueError("regex filter value must be a string")
+
+
+def _filter_cond_spark(src_col: str, op: str, value):
+    c = F.col(src_col)
+    if op == "regex":
+        return c.rlike(value)
+    if isinstance(value, int) and not isinstance(value, bool):
+        # try_cast, not cast: ANSI mode (Spark 4 default) makes CAST
+        # throw on a non-numeric lexical form; try_cast → NULL drops
+        # the binding, exactly like the oracle's TRY_CAST
+        c = c.try_cast("long")
+    lit = F.lit(value)
+    return {
+        "gt": c > lit, "ge": c >= lit, "lt": c < lit,
+        "le": c <= lit, "eq": c == lit, "ne": c != lit,
+    }[op]
+
+
+def _filter_cond_sql(src_col: str, op: str, value) -> str:
+    if op == "regex":
+        return f"regexp_matches({src_col}, {_sql_quote(value)})"
+    if isinstance(value, int) and not isinstance(value, bool):
+        return f"TRY_CAST({src_col} AS BIGINT) {_FILTER_SQL_OPS[op]} {value}"
+    return f"{src_col} {_FILTER_SQL_OPS[op]} {_sql_quote(value)}"
+
+
+def _pattern_df(
+    triples: DataFrame, parsed: list[tuple[str, str]], filters=()
+) -> DataFrame:
     conds = []
     cols: dict[str, str] = {}  # var name -> source column
     for pos, (kind, val) in zip(_POS_COLS, parsed):
@@ -122,17 +164,24 @@ def _pattern_df(triples: DataFrame, parsed: list[tuple[str, str]]) -> DataFrame:
             conds.append(F.col(pos) == F.lit(val))
             if pos == "obj":
                 conds.append(F.col("obj_is_iri") == F.lit(kind == _IRI))
+    # FILTERs on variables this pattern binds are applied on the SOURCE
+    # column, BELOW the projection and therefore below every join —
+    # the filtered pattern scan is what the join consumes (pushdown is
+    # plan-asserted in tests/test_bgp.py)
+    for var, op, value in filters:
+        if var in cols:
+            conds.append(_filter_cond_spark(cols[var], op, value))
     df = triples
     for c in conds:
         df = df.filter(c)
     return df.select(*[F.col(src).alias(var) for var, src in cols.items()])
 
 
-def _bgp_join(triples: DataFrame, parsed, order) -> DataFrame:
-    acc = _pattern_df(triples, parsed[order[0]])
+def _bgp_join(triples: DataFrame, parsed, order, filters=()) -> DataFrame:
+    acc = _pattern_df(triples, parsed[order[0]], filters)
     bound = set(acc.columns)
     for i in order[1:]:
-        pdf = _pattern_df(triples, parsed[i])
+        pdf = _pattern_df(triples, parsed[i], filters)
         shared = sorted(bound & set(pdf.columns))
         acc = acc.join(pdf, on=shared, how="inner") if shared else acc.crossJoin(pdf)
         bound |= set(pdf.columns)
@@ -159,10 +208,22 @@ def bgp_select(
     optional: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
     semantics, like SPARQL BGP matching).  Column names are the
     variable names; ``project`` selects/orders output variables.
+
+    ``filters`` is a list of SPARQL-style FILTER expressions
+    (var, op, value) with op in {gt, ge, lt, le, eq, ne, regex} —
+    e.g. ``("idx", "gt", 5)`` for FILTER(?idx > 5) or
+    ``("text", "regex", "error")`` for FILTER(regex(?text, "error")).
+    Int values compare numerically (non-numeric bindings drop out in
+    both engines), str values lexically.  Every filter variable must be
+    bound by the REQUIRED patterns; each filter is compiled into the
+    scan of every pattern that binds its variable, BELOW the joins
+    (pushdown — at 10^12 triples a post-join FILTER is the difference
+    between scanning a slice and materializing the full binding bag).
 
     ``optional`` is a list of OPTIONAL pattern groups (SPARQL
     semantics: each group left-joins onto the required bindings on its
@@ -179,8 +240,16 @@ def bgp_select(
     if not patterns:
         raise ValueError("empty BGP")
     parsed = [_parse_pattern(p) for p in patterns]
+    filters = filters or []
+    _check_filters(filters)
+    required = set().union(*(_pattern_vars(p) for p in parsed))
+    unbound = [v for v, _, _ in filters if v not in required]
+    if unbound:
+        raise ValueError(
+            f"filter variables not bound by required patterns: {unbound}"
+        )
     order = _join_order(parsed, allow_cartesian)
-    acc = _bgp_join(triples, parsed, order)
+    acc = _bgp_join(triples, parsed, order, filters)
     bound = set(acc.columns)
     required_vars = set(bound)
     optional_vars: set[str] = set()
@@ -349,15 +418,17 @@ def bgp_over_table(
     patterns: list[tuple[str, str, str]],
     project: list[str] | None = None,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """PRODUCTION form: BGP over a persisted triple table
     (``write_triples`` output).  Each pattern becomes a column-pruned
-    parquet scan whose constant terms are PUSHED filters
-    (tests/test_bgp.py asserts PushedFilters in the plan) — at 10^12
-    triples the subject-bucketed layout additionally prunes files for
-    subject-constant patterns."""
+    parquet scan whose constant terms AND string-typed FILTER
+    conditions are PUSHED filters (tests/test_bgp.py asserts
+    PushedFilters in the plan) — at 10^12 triples the subject-bucketed
+    layout additionally prunes files for subject-constant patterns."""
     return bgp_select(
-        spark.read.parquet(table_path), patterns, project=project, optional=optional
+        spark.read.parquet(table_path), patterns, project=project,
+        optional=optional, filters=filters,
     )
 
 
@@ -475,7 +546,9 @@ def _sql_quote(val: str) -> str:
     return "'" + val.replace("'", "''") + "'"
 
 
-def _pattern_sql(parsed: list[tuple[str, str]], rel: str = "triples") -> str:
+def _pattern_sql(
+    parsed: list[tuple[str, str]], rel: str = "triples", filters=()
+) -> str:
     conds = []
     cols: dict[str, str] = {}
     for pos, (kind, val) in zip(_POS_COLS, parsed):
@@ -488,6 +561,9 @@ def _pattern_sql(parsed: list[tuple[str, str]], rel: str = "triples") -> str:
             conds.append(f"{pos} = {_sql_quote(val)}")
             if pos == "obj":
                 conds.append(f"obj_is_iri = {'true' if kind == _IRI else 'false'}")
+    for var, op, value in filters:
+        if var in cols:
+            conds.append(_filter_cond_sql(cols[var], op, value))
     proj = ", ".join(f"{src} AS {var}" for var, src in cols.items())
     where = " AND ".join(conds) if conds else "true"
     return f"SELECT {proj} FROM {rel} WHERE {where}"
@@ -513,15 +589,25 @@ def bgp_oracle_sql(
     optional: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
-    JOINs for optional groups, NOT EXISTS for minus groups), runnable
-    by DuckDB over the relationally-derived triples CTE — the oracle
-    never touches the Spark plan."""
+    JOINs for optional groups, NOT EXISTS for minus groups, FILTER
+    conditions inside every pattern CTE that binds the variable),
+    runnable by DuckDB over the relationally-derived triples CTE — the
+    oracle never touches the Spark plan."""
     parsed = [_parse_pattern(p) for p in patterns]
+    filters = filters or []
+    _check_filters(filters)
+    required = set().union(*(_pattern_vars(p) for p in parsed))
+    unbound = [v for v, _, _ in filters if v not in required]
+    if unbound:
+        raise ValueError(
+            f"filter variables not bound by required patterns: {unbound}"
+        )
     order = _join_order(parsed, allow_cartesian)
-    ctes = [f"p{i} AS ({_pattern_sql(parsed[i])})" for i in order]
+    ctes = [f"p{i} AS ({_pattern_sql(parsed[i], filters=filters)})" for i in order]
     joins = [f"p{order[0]}"]
     bound = _pattern_vars(parsed[order[0]])
     for i in order[1:]:
@@ -597,3 +683,41 @@ def bgp_ask(
         .count()
         > 0
     )
+
+
+def bgp_ask_df(
+    triples: DataFrame, asks: dict[str, list[tuple[str, str, str]]]
+) -> DataFrame:
+    """Batch ASK form returning a DataFrame (ask_id, result) — one
+    boolean row per named ASK, each evaluated with the same limit-1
+    plan as :func:`bgp_ask` so Spark stops at the first matching
+    binding instead of materializing the bag.  This is the gateable
+    shape (the driver hashes DataFrames, not Python bools)."""
+    out = None
+    for name, patterns in asks.items():
+        row = (
+            bgp_select(triples, patterns)
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias("result"))
+            .select(F.lit(name).alias("ask_id"), "result")
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("empty ASK batch")
+    return out
+
+
+def bgp_ask_oracle_sql(
+    triples_sql: str, asks: dict[str, list[tuple[str, str, str]]]
+) -> str:
+    """SQL mirror of :func:`bgp_ask_df`: EXISTS over the same compiled
+    BGP each ask evaluates (count(*) > 0 on the full binding bag —
+    equivalent to the limit-1 existence check)."""
+    if not asks:
+        raise ValueError("empty ASK batch")
+    parts = [
+        f"SELECT {_sql_quote(name)} AS ask_id, "
+        f"(SELECT count(*) FROM ({bgp_oracle_sql(triples_sql, patterns)}) t) > 0 AS result"
+        for name, patterns in asks.items()
+    ]
+    return " UNION ALL ".join(parts)

@@ -828,6 +828,39 @@ def kg_entity_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK under the gate (round-3 verdict item #2): one batch
+    of named ASKs — a pattern that matches (tool turns mentioning
+    entities) and one that cannot (no 'moderator' role exists) — so
+    BOTH boolean outcomes sit under the EXISTS-based DuckDB oracle."""
+    from jsonld_ex_spark.operators.bgp import bgp_ask_df
+    from jsonld_ex_spark.plans.oracles import BGP_ASKS
+
+    return bgp_ask_df(_checkpointed_triples(spark, sf_dir), BGP_ASKS)
+
+
+def kg_bgp_filtered_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER expressions in the BGP compiler under the gate (round-3
+    verdict item #3): mention edges restricted to turns with
+    FILTER(?idx > 5) — numeric comparison on the turn_idx literal —
+    AND FILTER(regex(?entity, 'E00[0-4][0-9]$')) on the entity IRI.
+    Both conditions compile into the pattern scans BELOW the join
+    (plan-asserted in tests/test_bgp.py); the oracle compiles the same
+    filters into its pattern CTEs."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.plans.oracles import (
+        BGP_FILTERED_MENTIONS_FILTERS,
+        BGP_FILTERED_MENTIONS_PATTERNS,
+    )
+
+    return bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        BGP_FILTERED_MENTIONS_PATTERNS,
+        project=["turn", "idx", "entity"],
+        filters=BGP_FILTERED_MENTIONS_FILTERS,
+    )
+
+
 def kg_bgp_entity_mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generic BGP aggregation compiler under the gate: per-entity
     distinct mentioning turns + first/last turn IRI, straight from

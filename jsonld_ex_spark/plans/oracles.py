@@ -560,3 +560,45 @@ def kg_bgp_entity_mention_stats_oracle() -> str:
             "last_turn": ("max", "turn"),
         },
     )
+
+
+# SPARQL ASK batch under the gate: one pattern that matches (tool turns
+# mentioning entities exist at every sf) and one that cannot (no
+# "moderator" role in the vocabulary) — both boolean rows gated.
+BGP_ASKS: dict[str, list[tuple[str, str, str]]] = {
+    "tool_turns_mention_entities": [
+        ("?turn", f"<{VOCAB}role>", '"tool"'),
+        ("?turn", f"<{VOCAB}mentions>", "?entity"),
+    ],
+    "moderator_turns_exist": [("?turn", f"<{VOCAB}role>", '"moderator"')],
+}
+
+
+def kg_bgp_ask_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_ask_oracle_sql
+
+    return bgp_ask_oracle_sql(kg_triples_oracle(), BGP_ASKS)
+
+
+# FILTERed BGP under the gate: mention edges restricted to late turns
+# (numeric FILTER on the turn_idx literal) and a lexical entity-IRI
+# regex — both filter forms compiled below the join.
+BGP_FILTERED_MENTIONS_PATTERNS: list[tuple[str, str, str]] = [
+    ("?turn", f"<{VOCAB}turn_idx>", "?idx"),
+    ("?turn", f"<{VOCAB}mentions>", "?entity"),
+]
+BGP_FILTERED_MENTIONS_FILTERS: list[tuple[str, str, object]] = [
+    ("idx", "gt", 5),
+    ("entity", "regex", "E00[0-4][0-9]$"),
+]
+
+
+def kg_bgp_filtered_mentions_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(),
+        BGP_FILTERED_MENTIONS_PATTERNS,
+        project=["turn", "idx", "entity"],
+        filters=BGP_FILTERED_MENTIONS_FILTERS,
+    )

@@ -521,3 +521,94 @@ def test_bgp_ask(tiny):
         [("?t", "<urn:role>", '"tool"')],
         minus=[[("?t", "<urn:mentions>", "?e")]],
     )
+
+
+def test_bgp_ask_df_matches_oracle(tiny):
+    """Batch ASK: DataFrame form returns one labeled boolean row per
+    ask and the EXISTS-based SQL mirror agrees on both outcomes."""
+    from jsonld_ex_spark.operators.bgp import bgp_ask_df, bgp_ask_oracle_sql
+
+    asks = {
+        "tool_exists": [("?t", "<urn:role>", '"tool"')],
+        "moderator_exists": [("?t", "<urn:role>", '"moderator"')],
+    }
+    got = {r["ask_id"]: r["result"] for r in bgp_ask_df(tiny, asks).collect()}
+    assert got == {"tool_exists": True, "moderator_exists": False}
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_ask_oracle_sql(cte, asks)
+    duck = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
+    assert duck == got
+
+
+FILTER_TRIPLES = [
+    ("urn:t1", "urn:idx", "3", False),
+    ("urn:t2", "urn:idx", "7", False),
+    ("urn:t3", "urn:idx", "12", False),
+    ("urn:t4", "urn:idx", "oops", False),  # non-numeric binding drops out
+    ("urn:t1", "urn:mentions", "urn:e1", True),
+    ("urn:t2", "urn:mentions", "urn:e1", True),
+    ("urn:t2", "urn:mentions", "urn:zz99", True),  # regex-rejected
+    ("urn:t3", "urn:mentions", "urn:e2", True),
+    ("urn:t4", "urn:mentions", "urn:e3", True),
+]
+
+
+def test_filter_numeric_and_regex_semantics(spark):  # noqa: F811
+    """FILTER(?i > 5) numeric-compares the lexical form (non-numeric
+    bindings drop out in BOTH engines via CAST/TRY_CAST→NULL) and
+    FILTER(regex(?e, ...)) matches lexically; the SQL mirror agrees."""
+    df = spark.createDataFrame(
+        FILTER_TRIPLES, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    patterns = [("?t", "<urn:idx>", "?i"), ("?t", "<urn:mentions>", "?e")]
+    filters = [("i", "gt", 5), ("e", "regex", "e\\d$")]
+    out = bgp_select(df, patterns, project=["t", "i", "e"], filters=filters)
+    assert _rows(out) == [("urn:t2", "7", "urn:e1"), ("urn:t3", "12", "urn:e2")]
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in FILTER_TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(cte, patterns, project=["t", "i", "e"], filters=filters)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert duck == _rows(out)
+    # string-typed eq/ne filters compare lexically
+    out2 = bgp_select(df, patterns, project=["t"], filters=[("i", "eq", "7")])
+    assert _rows(out2) == [("urn:t2",), ("urn:t2",)]
+
+
+def test_filter_validation(tiny):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_select(
+            tiny, [("?t", "<urn:role>", '"tool"')], filters=[("zz", "gt", 1)]
+        )
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        bgp_select(
+            tiny, [("?t", "<urn:role>", "?r")], filters=[("r", "between", 1)]
+        )
+    with pytest.raises(ValueError, match="regex filter value"):
+        bgp_select(
+            tiny, [("?t", "<urn:role>", "?r")], filters=[("r", "regex", 7)]
+        )
+
+
+def test_filter_compiles_below_join(spark):  # noqa: F811
+    """The FILTER conditions must sit in the pattern scans BELOW the
+    join (first Join line above the cast/rlike filter lines in the
+    executed-plan tree), and pushable string filters must reach a
+    persisted table's parquet scan as PushedFilters."""
+    from jsonld_ex_spark.operators.kg_queries import kg_bgp_filtered_mentions
+
+    plan = (
+        kg_bgp_filtered_mentions(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    join_pos = min(
+        p for p in (plan.find("HashJoin"), plan.find("SortMergeJoin")) if p >= 0
+    )
+    cast_pos = plan.find("cast(")
+    rlike_pos = plan.find("RLIKE")
+    assert cast_pos > join_pos and rlike_pos > join_pos  # below, not post-join
+    assert "CartesianProduct" not in plan
