@@ -157,25 +157,54 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic SEQUENCE PACKING: chunks (from text_chunks) are
     laid out in (doc_id, chunk_idx) order and assigned to fixed-budget
     packs by their starting offset in the concatenated token stream —
-    pack_id = start_offset div PACK_BUDGET.  One running-sum window
-    over the global order; deterministic at any parallelism and
-    reproduced exactly by the oracle's cumulative sum.  (At 10^12
-    tokens the single global window would become a per-partition
-    pack-id + offset recombination — same arithmetic, documented
-    trade; the gate form keeps the simple spec.)"""
+    pack_id = start_offset div PACK_BUDGET.
+
+    SCALE-SAFE two-pass global running sum (round-3 verdict item #4 —
+    the former single global Window.orderBy planned a one-task sort,
+    a driver-adjacent bottleneck at 10^12 tokens):
+
+    1. range-repartition on (doc_id, chunk_idx) — partition i holds a
+       contiguous slice of the global order; localCheckpoint so the
+       partition assignment is computed ONCE and shared by both
+       branches below (a recompute could re-sample range boundaries);
+    2. per-partition running sums (window PARTITIONED by _pid — N
+       parallel sorts, no single-task exchange on the data path);
+    3. per-partition totals → prefix offsets via a window over the
+       TOTALS ONLY (N rows, one row per partition — bounded by
+       parallelism, not data) broadcast-joined back.
+
+    cum = prefix_offset(_pid) + local_cum is identical for ANY range
+    boundary placement, so the output is deterministic at every
+    parallelism and still reproduced exactly by the oracle's single
+    cumulative sum."""
     from pyspark.sql.window import Window
 
     chunks = text_chunks(spark, sf_dir)
-    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    c = (
+        chunks.repartitionByRange(n_parts, "doc_id", "chunk_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = Window.partitionBy("_pid").orderBy("doc_id", "chunk_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    withsum = chunks.withColumn("cum", F.sum("n_tokens").over(w))
-    return withsum.select(
-        "doc_id",
-        "chunk_idx",
-        "n_tokens",
-        F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").cast("long").alias("pack_id"),
-        F.expr(f"(cum - n_tokens) % {PACK_BUDGET}").cast("long").alias("offset_in_pack"),
+    local = c.withColumn("lcum", F.sum("n_tokens").over(w_local))
+    totals = c.groupBy("_pid").agg(F.sum("n_tokens").alias("ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("cum", F.col("off") + F.col("lcum"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").cast("long").alias("pack_id"),
+            F.expr(f"(cum - n_tokens) % {PACK_BUDGET}").cast("long").alias("offset_in_pack"),
+        )
     )
 
 
