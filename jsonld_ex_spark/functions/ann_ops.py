@@ -155,10 +155,11 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(q, cents_row)
 
 
-def _ivf_search(q: DataFrame, cents: DataFrame) -> DataFrame:
-    """IVF search body shared by the raw and k-means quantizers:
-    ``cents`` is the ONE-row centroid-array DataFrame (vector_buckets.
-    centroids_row shape)."""
+def _ivf_candidates(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, cand_id) candidate pairs from the IVF probe: every
+    vector assigned to its nearest cell (zero-shuffle projection
+    against the ONE broadcast centroid row), queries probe their
+    N_PROBE nearest cells, candidates = cell-membership equi-join."""
     # per-vector sorted cells (l2s asc, cent_id asc) in ONE projection —
     # exact same ordering the former row_number window produced
     assigned = q.crossJoin(F.broadcast(cents)).select(
@@ -174,12 +175,19 @@ def _ivf_search(q: DataFrame, cents: DataFrame) -> DataFrame:
             F.expr(f"transform(slice(cells_sorted, 1, {N_PROBE}), c -> c.cent_id)")
         ).alias("cell"),
     )
-    cand = (
+    return (
         probes.join(cells, on="cell")
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
+
+
+def _ivf_search(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF search body shared by the raw and k-means quantizers:
+    ``cents`` is the ONE-row centroid-array DataFrame (vector_buckets.
+    centroids_row shape)."""
+    cand = _ivf_candidates(q, cents)
     # broadcast ONLY the query vectors (vec_id < N_QUERIES) — the join
     # key restricts to them anyway, and at scale a full-table broadcast
     # is an executor OOM
@@ -286,6 +294,22 @@ _PQ_SUBDIST = (
     "cast(0 as long), (a2, v2) -> a2 + v2)"
 )
 
+# asymmetric-distance INNER PRODUCT (same metric as the bruteforce/IVF
+# baselines): q . reconstruction(cand) = sum_m dot(q_sub_m, codeword).
+# The codeword is looked up BY cent_id VALUE (filter), not array
+# position — a gap in the first PQ_K vec_ids would silently shift
+# positional indexing while the oracle joins on cent_id.
+_ADC_IP = (
+    "aggregate(zip_with(slice(q_qv, m * {sub} + 1, {sub}), "
+    "slice(filter(cents, c -> c.cent_id = codes[m])[0].c_qv, "
+    "m * {sub} + 1, {sub}), (x, y) -> x * y), "
+    "cast(0 as long), (a2, v2) -> a2 + v2)"
+).format(sub=PQ_SUB)
+_ADC = (
+    f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as long), "
+    f"(acc, m) -> acc + ({_ADC_IP}))"
+)
+
 
 def _pq_codes_expr() -> str:
     """Per-vector PQ code array in ONE projection (zero shuffle): for
@@ -332,21 +356,6 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
-    # approximate INNER PRODUCT (same metric as the bruteforce/IVF
-    # baselines): q . reconstruction(cand) = sum_m dot(q_sub_m, codeword)
-    # look the codeword up BY cent_id VALUE (filter), not array
-    # position — a gap in the first PQ_K vec_ids would silently shift
-    # positional indexing while the oracle joins on cent_id
-    adc_ip = (
-        "aggregate(zip_with(slice(q_qv, m * {sub} + 1, {sub}), "
-        "slice(filter(cents, c -> c.cent_id = codes[m])[0].c_qv, "
-        "m * {sub} + 1, {sub}), (x, y) -> x * y), "
-        "cast(0 as long), (a2, v2) -> a2 + v2)"
-    ).format(sub=PQ_SUB)
-    adc = (
-        f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as long), "
-        f"(acc, m) -> acc + ({adc_ip}))"
-    )
     scored = (
         coded.crossJoin(F.broadcast(queries))
         .crossJoin(F.broadcast(centroids_row(q, PQ_K)))
@@ -354,13 +363,64 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.expr(adc).alias("adc"),
+            F.expr(_ADC).alias("adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
+    )
+
+
+def ann_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED billion-scale shape (round-3 verdict item #5,
+    closing the ann_pq_topk full-scan caveat): IVF probe restricts the
+    candidate set (queries probe N_PROBE cells → cell-membership
+    equi-join), then ADC scores ONLY those candidates from their PQ_M
+    codes + the broadcast codebook.  At 100 TB this scans ~N_PROBE/
+    N_CENTROIDS of the corpus per query at 4 bytes/vector instead of
+    the whole coded table — the standard IVF-PQ index layout (Jégou et
+    al., 'Product Quantization for Nearest Neighbor Search').  Scores
+    are integer-exact; the oracle composes its own IVF candidate CTE
+    with the ADC CTE bit-for-bit."""
+    q = _qvecs(spark, sf_dir)
+    cand = _ivf_candidates(q, centroids_row(q, N_CENTROIDS))
+    coded = _pq_coded(q).select(F.col("vec_id").alias("cand_id"), "codes")
+    queries = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        cand.join(coded, "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .crossJoin(F.broadcast(centroids_row(q, PQ_K)))
+        .select("query_id", "cand_id", F.expr(_ADC).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "adc", "rank")
+    )
+
+
+def ann_pq_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@TOP_K of the composed IVF+PQ path against the exact
+    bruteforce baseline — the compression+probe quality claim itself
+    gated (same pattern as ann_recall)."""
+    brute = ann_topk_bruteforce(spark, sf_dir).select("query_id", "cand_id")
+    pq = ann_pq_ivf_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = brute.join(pq, on=["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    all_queries = brute.select("query_id").distinct()
+    return (
+        all_queries.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 100 / TOP_K).cast("long").alias("recall_pct"),
+        )
     )
 
 
@@ -395,6 +455,8 @@ def queries():
         "ann_recall": ann_recall,
         "ann_pq_codes": ann_pq_codes,
         "ann_pq_topk": ann_pq_topk,
+        "ann_pq_ivf_topk": ann_pq_ivf_topk,
+        "ann_pq_ivf_recall": ann_pq_ivf_recall,
     }
 
 
@@ -560,6 +622,36 @@ ivf_topk AS (
 """
 
 
+# query-side per-subspace inner products against every codeword, shared
+# by the full-scan and IVF-restricted ADC oracles
+_PQIP_CTE = f"""
+pqip AS (
+  SELECT v.vec_id AS query_id, pqm.m, c.cent_id,
+         CAST(list_dot_product(
+            v.qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}],
+            c.c_qv[pqm.m * {PQ_SUB} + 1 : pqm.m * {PQ_SUB} + {PQ_SUB}]) AS BIGINT) AS ip
+  FROM q v CROSS JOIN pqm CROSS JOIN pqcents c
+  WHERE v.vec_id < {N_QUERIES}
+)"""
+
+# ADC restricted to the IVF candidate set (ivf_cand from _IVF_CTE)
+_PQ_IVF_TOPK_CTE = f"""
+pqivfadc AS (
+  SELECT cd.query_id, cd.cand_id, CAST(sum(i.ip) AS BIGINT) AS adc
+  FROM ivf_cand cd
+  JOIN pqcodes k ON k.vec_id = cd.cand_id
+  JOIN pqip i ON i.query_id = cd.query_id AND i.m = k.m AND i.cent_id = k.code
+  GROUP BY cd.query_id, cd.cand_id
+),
+pqivf_topk AS (
+  SELECT query_id, cand_id, adc, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY adc DESC, cand_id ASC) AS rank
+    FROM pqivfadc
+  ) t WHERE rank <= {TOP_K}
+)"""
+
+
 def oracle_sql():
     return {
         "ann_topk_bruteforce": f"""
@@ -594,6 +686,22 @@ def oracle_sql():
         "ann_ivf_topk": f"""
             WITH {_QVECS_CTE}, {_IVF_CTE}
             SELECT query_id, cand_id, qdot, rank FROM ivf_topk""",
+        "ann_pq_ivf_topk": f"""
+            WITH {_QVECS_CTE}, {_PQ_CTES}, {_IVF_CTE}, {_PQIP_CTE}, {_PQ_IVF_TOPK_CTE}
+            SELECT query_id, cand_id, adc, rank FROM pqivf_topk""",
+        "ann_pq_ivf_recall": f"""
+            WITH {_QVECS_CTE}, {_BRUTE_CTE}, {_PQ_CTES}, {_IVF_CTE}, {_PQIP_CTE}, {_PQ_IVF_TOPK_CTE},
+            hits AS (
+              SELECT b.query_id, count(*) AS n_hits
+              FROM brute_topk b JOIN pqivf_topk l
+                ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+              GROUP BY b.query_id
+            )
+            SELECT q.query_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) * 100 / {TOP_K} AS BIGINT) AS recall_pct
+            FROM (SELECT DISTINCT query_id FROM brute_topk) q
+            LEFT JOIN hits h USING (query_id)""",
         "ann_kmeans_centroids": f"""
             WITH {_QVECS_CTE}, {_kmeans_oracle_ctes()}
             SELECT cent_id,
