@@ -77,10 +77,21 @@ def _start_transcript_stream(
 
 
 def _run_gated_transcript_stream(spark: SparkSession, sf_dir: str, start_query):
-    """Shared gate harness: stage 32 conversation-complete transcript
-    files (32 / maxFilesPerTrigger=8 -> FOUR micro-batches), run the
-    query to completion, tear down staging/checkpoint, return the
-    output dir (cleaned up at exit)."""
+    """Shared gate harness: stage 16 conversation-complete transcript
+    files (16 / maxFilesPerTrigger=8 -> TWO micro-batches — the
+    cross-batch union is still really exercised; round-3 verdict item
+    #9 cut the count from four, whose only extra evidence was two more
+    rounds of scheduling + checkpoint I/O), run the query to
+    completion, tear down staging/checkpoint, return the output dir
+    (cleaned up at exit).
+
+    While the gated stream runs, shuffle partitions are capped at the
+    session's core count: each micro-batch re-plans the full pipeline,
+    and at the bench's 128 shuffle partitions the per-batch Python
+    stage costs 128 task launches for 1/2 of an sf's rows — pure
+    scheduling wall.  Production streams size the trigger/partition
+    dials to the micro-batch volume for the same reason; the conf is
+    restored afterwards."""
     import atexit
     import shutil
     import tempfile
@@ -89,12 +100,18 @@ def _run_gated_transcript_stream(spark: SparkSession, sf_dir: str, start_query):
 
     root = tempfile.mkdtemp(prefix="sgate_")
     in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    transcripts_df(spark, sf_dir).repartition(32, "conv_id").write.parquet(in_dir)
-    q = start_query(in_dir, out_dir, ckpt)
+    transcripts_df(spark, sf_dir).repartition(16, "conv_id").write.parquet(in_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = str(min(int(prev), spark.sparkContext.defaultParallelism))
+    spark.conf.set("spark.sql.shuffle.partitions", cap)
     try:
-        q.awaitTermination(600)
+        q = start_query(in_dir, out_dir, ckpt)
+        try:
+            q.awaitTermination(600)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
