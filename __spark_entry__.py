@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_triple_stats": kg_queries.kg_triple_stats,
         "kg_nquads_roundtrip_stats": kg_queries.kg_nquads_roundtrip_stats,
+        "kg_triple_stats_snapshot": kg_queries.kg_triple_stats_snapshot,
         "kg_frame_tool_turns": kg_queries.kg_frame_tool_turns,
         "kg_graph_dedup": kg_queries.kg_graph_dedup,
         "kg_roundtrip_check": kg_queries.kg_roundtrip_check,
@@ -101,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         # the N-Quads write→read round trip must reproduce the exact
         # same per-predicate stats as the in-memory triples
         "kg_nquads_roundtrip_stats": oracles.kg_triple_stats_oracle(),
+        # two snapshot-table commits must compose to the same stats
+        "kg_triple_stats_snapshot": oracles.kg_triple_stats_oracle(),
         "kg_frame_tool_turns": oracles.kg_frame_tool_turns_oracle(),
         "kg_graph_dedup": oracles.kg_graph_dedup_oracle(),
         "kg_roundtrip_check": oracles.kg_roundtrip_check_oracle(),

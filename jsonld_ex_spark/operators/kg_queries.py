@@ -828,6 +828,34 @@ def kg_entity_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def kg_triple_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-GATED snapshot-table sink (sources/snapshot_table.py —
+    the explicit Iceberg re-scope): the triple table is committed as
+    TWO successive appends (a deterministic conv-hash split) through
+    the manifest/O_EXCL/atomic-pointer commit protocol, then the
+    CURRENT snapshot is read back and aggregated under the SAME oracle
+    as kg_triple_stats — proving two atomic commits compose losslessly
+    to the full table through the manifest read path.  Time travel,
+    overwrite, orphan invisibility and commit races are unit-tested
+    (tests/test_snapshot_table.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_triples_snapshot,
+    )
+
+    t = _checkpointed_triples(spark, sf_dir)
+    tdir = tempfile.mkdtemp(prefix="snap_tbl_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    write_triples_snapshot(t.filter(half), tdir, operation="append")
+    write_triples_snapshot(t.filter(~half), tdir, operation="append")
+    return _triple_stats(read_snapshot(spark, tdir).select("pred", "subj"))
+
+
 def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK under the gate (round-3 verdict item #2): one batch
     of named ASKs — a pattern that matches (tool turns mentioning

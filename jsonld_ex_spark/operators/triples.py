@@ -69,6 +69,13 @@ def write_triples_iceberg(triples: DataFrame, table: str, mode: str = "append") 
     test_iceberg_sink_roundtrip) is skip-gated on iceberg_available()
     and will drive create/append/read-back the moment a jar is present
     via ``spark.jars``/``spark.jars.packages``.
+
+    ROUND-4 RE-SCOPE (explicit, SURVEY §2.2): since the jar is
+    unobtainable here, the Iceberg TABLE SEMANTICS (atomic commits,
+    snapshot isolation, time travel, append/overwrite) are delivered
+    and GATED by sources/snapshot_table.py (manifest + O_EXCL version
+    claim + atomic CURRENT pointer — Iceberg's own commit model), via
+    the kg_triple_stats_snapshot driver query.
     """
     w = with_subject_bucket(salted_repartition(triples))
     writer = w.writeTo(table)

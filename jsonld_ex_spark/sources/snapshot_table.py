@@ -1,0 +1,143 @@
+"""Manifest-based SNAPSHOT TABLE over parquet: the Iceberg table
+semantics the triple sink needs — atomic commits, snapshot isolation,
+time travel, append/overwrite — on plain files.
+
+WHY THIS EXISTS (explicit re-scope of SURVEY.md §2.2's Iceberg sink,
+round-4): the sandbox cannot execute the real Iceberg path — the image
+ships no iceberg-spark-runtime jar, has no ~/.ivy2 / ~/.m2 cache, and
+has no network (maven.org DNS resolution fails, curl exit 6 — verified
+rounds 2-4), so `write_triples_iceberg` (operators/triples.py) stays a
+classpath-probed dormant path.  This module implements the SEMANTICS
+the north star wants from Iceberg, with the same commit protocol shape
+Iceberg itself uses (write data files invisibly, then an atomic
+metadata swap):
+
+* data files land under ``data/<commit-uuid>/`` — INVISIBLE to readers
+  until a manifest references them (a writer that dies mid-write leaves
+  only orphans; readers never see partial commits);
+* a manifest (``manifests/v{N}.json``) lists the data directories that
+  make up snapshot N; it is created with O_EXCL (``open(..., "x")``)
+  so two concurrent committers CANNOT both claim version N — the loser
+  gets FileExistsError and retries on the new parent (optimistic
+  concurrency, exactly Iceberg's commit model);
+* ``CURRENT`` is a write-temp + ``os.rename`` atomic pointer — readers
+  see the old or the new snapshot, never a torn state;
+* ``read_snapshot(..., snapshot_id=k)`` is time travel: any committed
+  snapshot stays readable until explicitly expired;
+* append = parent's file list + the new directory; overwrite = just
+  the new directory (the parent snapshot remains readable — overwrite
+  is a metadata operation, not a delete).
+
+At 100 TB the manifest lists thousands of directories, not billions of
+rows — commit cost is O(1) in data size; the subject-bucketed layout
+inside each data directory is identical to write_triples, so scan-side
+pruning/pushdown behaves the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "manifests"
+_DATA_DIR = "data"
+_CURRENT = "CURRENT"
+
+
+def _manifest_path(table_dir: str, snapshot_id: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{snapshot_id:05d}.json")
+
+
+def current_snapshot_id(table_dir: str) -> int:
+    """0 = empty table (no committed snapshot)."""
+    try:
+        with open(os.path.join(table_dir, _CURRENT)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
+    with open(_manifest_path(table_dir, snapshot_id)) as f:
+        return json.load(f)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """Commit history, oldest first (ids are contiguous from 1)."""
+    out = []
+    for i in range(1, current_snapshot_id(table_dir) + 1):
+        out.append(_read_manifest(table_dir, i))
+    return out
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    operation: str = "append",
+    max_retries: int = 10,
+) -> int:
+    """Write ``df`` as a new snapshot and atomically commit it.
+
+    Returns the committed snapshot id.  ``operation``: "append" keeps
+    the parent snapshot's data files; "overwrite" replaces them (in
+    metadata only — prior snapshots stay readable).  Safe under
+    concurrent committers: version claiming is O_EXCL, so exactly one
+    writer wins each id and the loser retries on the new parent."""
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"unknown operation {operation!r}")
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    data_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, data_rel))
+    for _ in range(max_retries):
+        parent = current_snapshot_id(table_dir)
+        files = []
+        if operation == "append" and parent:
+            files = list(_read_manifest(table_dir, parent)["files"])
+        files.append(data_rel)
+        snap = parent + 1
+        manifest = {
+            "snapshot_id": snap,
+            "parent": parent,
+            "operation": operation,
+            "files": files,
+        }
+        try:
+            # O_EXCL: exactly one committer can claim this version
+            with open(_manifest_path(table_dir, snap), "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            continue  # lost the race — re-read parent and retry
+        tmp = os.path.join(table_dir, f"{_CURRENT}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(snap))
+        os.replace(tmp, os.path.join(table_dir, _CURRENT))  # atomic swap
+        return snap
+    raise RuntimeError(f"lost {max_retries} commit races on {table_dir!r}")
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Scan a committed snapshot (default: CURRENT).  Orphan data
+    directories from crashed writers are never read — only what a
+    manifest references (snapshot isolation)."""
+    snap = current_snapshot_id(table_dir) if snapshot_id is None else snapshot_id
+    if snap < 1:
+        raise ValueError(f"no committed snapshot in {table_dir!r}")
+    m = _read_manifest(table_dir, snap)
+    paths = [os.path.join(table_dir, rel) for rel in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def write_triples_snapshot(
+    triples: DataFrame, table_dir: str, operation: str = "append", n_buckets: int = 64
+) -> int:
+    """Triple-table snapshot sink: identical salted/subject-bucketed
+    layout to operators.triples.write_triples, committed atomically."""
+    from jsonld_ex_spark.operators.triples import salted_repartition, with_subject_bucket
+
+    w = with_subject_bucket(salted_repartition(triples), n_buckets)
+    return commit_snapshot(w, table_dir, operation=operation)
