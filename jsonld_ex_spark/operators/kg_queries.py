@@ -595,19 +595,35 @@ PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio
 
 
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric entity co-occurrence edges: the gated
     kg_entity_cooccurrence pair set (entity_linking.py — single source
     of truth for mention extraction, dedup key and the n_convs >= 2
-    threshold), symmetrized into both directions."""
-    from jsonld_ex_spark.operators.entity_linking import kg_entity_cooccurrence
+    threshold), symmetrized into both directions.  Memoized per
+    (session, sf_dir) like _checkpointed_triples: the pagerank /
+    triangles / neighbor-similarity gate family shares ONE
+    materialized edge set instead of re-deriving the co-occurrence
+    pipeline per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EDGES_MEMO.get(key)
+    if df is None:
+        from jsonld_ex_spark.operators.entity_linking import kg_entity_cooccurrence
 
-    pairs = kg_entity_cooccurrence(spark, sf_dir)
-    return pairs.select(
-        F.col("ent_a").alias("src"), F.col("ent_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
-    )
+        for k in [k for k in _EDGES_MEMO if k[0] != key[0]]:
+            del _EDGES_MEMO[k]
+        pairs = kg_entity_cooccurrence(spark, sf_dir)
+        df = (
+            pairs.select(F.col("ent_a").alias("src"), F.col("ent_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
+            )
+            .localCheckpoint(eager=False)
+        )
+        _EDGES_MEMO[key] = df
+    return df
 
 
 def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
