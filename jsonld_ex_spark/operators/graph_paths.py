@@ -116,43 +116,63 @@ def _walk_fixed(
     n_steps: int,
 ) -> DataFrame:
     """Pointer-doubling walk with a KNOWN superstep count: no emptiness
-    probe between supersteps, so the whole walk is one lazy plan whose
-    localCheckpoints materialize inside a single driver action.  Same
-    frontier/jump recurrence as the detection loop (chain_positions),
-    minus the per-round driver job."""
-    edges = (
-        triples.filter((F.col("pred") == rest_pred) & (F.col("obj") != nil))
-        .select(
-            F.col("subj").alias("src"),
-            F.col("obj").alias("dst"),
-            F.lit(1).cast("int").alias("step"),
-        )
-    )
-    reach = heads.select("head", "cell", F.lit(0).cast("int").alias("position"))
-    jump = edges.localCheckpoint(eager=False)
-    for s in range(n_steps):
-        nxt = (
-            reach.join(jump, reach["cell"] == jump["src"], "inner")
+    probe between supersteps.  Same frontier/jump recurrence as the
+    detection loop (chain_positions), minus the per-round driver job.
+
+    The whole walk MATERIALIZES (eager final localCheckpoint) under a
+    TEMPORARILY CAPPED spark.sql.shuffle.partitions (core count):
+    frontier/jump tables are tiny relative to the triple table, but a
+    localCheckpointed DataFrame reports UnknownPartitioning, so every
+    superstep join/aggregate re-shuffles at the session's shuffle
+    partitions — at the bench's 128 (AQE coalescing off) that is ~6
+    supersteps x several shuffles x 128 near-empty tasks of pure
+    scheduling wall, plus an O(supersteps²)-partition re-scan of the
+    growing reach union.  Sizing the shuffle to the superstep data is
+    exactly what a production job does for iterative small-table
+    phases; the conf is restored before returning."""
+    spark = triples.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = str(min(int(prev), max(spark.sparkContext.defaultParallelism, 2)))
+    spark.conf.set("spark.sql.shuffle.partitions", cap)
+    try:
+        edges = (
+            triples.filter((F.col("pred") == rest_pred) & (F.col("obj") != nil))
             .select(
-                "head",
-                F.col("dst").alias("cell"),
-                (F.col("position") + F.col("step")).alias("position"),
+                F.col("subj").alias("src"),
+                F.col("obj").alias("dst"),
+                F.lit(1).cast("int").alias("step"),
             )
         )
-        reach = reach.unionByName(nxt).localCheckpoint(eager=False)
-        if s == n_steps - 1:
-            break  # the doubled jump table would never be read
-        j2 = jump.alias("a").join(
-            jump.alias("b"), F.col("a.dst") == F.col("b.src"), "inner"
-        ).select(
-            F.col("a.src").alias("src"),
-            F.col("b.dst").alias("dst"),
-            (F.col("a.step") + F.col("b.step")).alias("step"),
-        )
-        j2 = j2.groupBy("src").agg(
-            F.max(F.struct("step", "dst")).alias("m")
-        ).select("src", F.col("m.dst").alias("dst"), F.col("m.step").alias("step"))
-        jump = j2.localCheckpoint(eager=False)
+        reach = heads.select("head", "cell", F.lit(0).cast("int").alias("position"))
+        jump = edges.localCheckpoint(eager=False)
+        for s in range(n_steps):
+            nxt = (
+                reach.join(jump, reach["cell"] == jump["src"], "inner")
+                .select(
+                    "head",
+                    F.col("dst").alias("cell"),
+                    (F.col("position") + F.col("step")).alias("position"),
+                )
+            )
+            reach = reach.unionByName(nxt).localCheckpoint(eager=False)
+            if s == n_steps - 1:
+                break  # the doubled jump table would never be read
+            j2 = jump.alias("a").join(
+                jump.alias("b"), F.col("a.dst") == F.col("b.src"), "inner"
+            ).select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.step") + F.col("b.step")).alias("step"),
+            )
+            j2 = j2.groupBy("src").agg(
+                F.max(F.struct("step", "dst")).alias("m")
+            ).select("src", F.col("m.dst").alias("dst"), F.col("m.step").alias("step"))
+            jump = j2.localCheckpoint(eager=False)
+        # materialize NOW, while the capped conf is active (the caller's
+        # subsequent plan executes under the restored conf)
+        reach = reach.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     firsts = triples.filter(F.col("pred") == first_pred).select(
         F.col("subj").alias("cell"), F.col("obj").alias("member")
     )
