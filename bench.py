@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     "kg_triple_stats_snapshot",
     "kg_bgp_ask",
     "kg_bgp_filtered_mentions",
+    "kg_path_conv_turns",
     "ann_pq_ivf_topk",
     "ann_pq_ivf_recall",
     "media_wav_pcm_stats",

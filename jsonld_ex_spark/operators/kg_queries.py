@@ -872,6 +872,28 @@ def kg_triple_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triple_stats(read_snapshot(spark, tdir).select("pred", "subj"))
 
 
+def kg_path_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 PROPERTY PATH under the gate (round-4 algebra
+    completion): ``?conv v:turns/rdf:rest*/rdf:first ?turn`` — the
+    idiomatic SPARQL form of "every turn of every conversation",
+    traversing the @list encoding with a sequence path containing a
+    zero-or-more closure.  Exercises seq, star (path doubling to
+    fixpoint + the spec's zero-length-path-over-all-nodes semantics)
+    and set-semantics dedup; the DuckDB oracle evaluates the SAME path
+    AST with a WITH RECURSIVE fixpoint — two independent engines'
+    closures must agree pair-for-pair."""
+    from jsonld_ex_spark.operators.graph_paths import RDF_NS
+    from jsonld_ex_spark.operators.property_paths import path_select
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return path_select(
+        _checkpointed_triples(spark, sf_dir),
+        "?conv",
+        ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
+        "?turn",
+    )
+
+
 def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK under the gate (round-3 verdict item #2): one batch
     of named ASKs — a pattern that matches (tool turns mentioning

@@ -1,0 +1,306 @@
+"""SPARQL 1.1 property-path evaluation over the triple table.
+
+Completes the query algebra next to the BGP compiler (operators/bgp.py:
+SELECT / OPTIONAL / UNION / MINUS / FILTER / ASK / CONSTRUCT /
+GROUP-BY): paths are how a SPARQL user writes traversals —
+``?conv v:turns/rdf:rest*/rdf:first ?turn`` is the idiomatic "give me
+every turn of every conversation" that the list-walk operator answers
+positionally.
+
+Path AST (nested tuples; a bare string is an IRI predicate, with or
+without angle brackets):
+
+* ``"<iri>"``            — predicate edge (subj → obj)
+* ``("inv", p)``         — ``^p``  inverse
+* ``("seq", p1, p2, …)`` — ``p1/p2``  sequence
+* ``("alt", p1, p2, …)`` — ``p1|p2``  alternative
+* ``("plus", p)``        — ``p+``  one-or-more (transitive closure)
+* ``("star", p)``        — ``p*``  zero-or-more
+* ``("opt", p)``         — ``p?``  zero-or-one
+
+Semantics: SET semantics at every node (SPARQL defines arbitrary-length
+paths as node-pair reachability, not bags; applying distinct uniformly
+keeps the Spark plan and the DuckDB oracle exactly comparable).  The
+zero-length path (star/opt) relates every node of the GRAPH to itself,
+per the spec — "nodes" = all subjects and objects.  Terminal literal
+constants are out of scope for paths (join a normal BGP pattern for
+literal filtering); intermediate literals drop out naturally because a
+literal is never a subject.
+
+Scale shape: closures run PATH DOUBLING (R ∪ R∘R per superstep —
+all-pairs reachability over the path's edge set in ceil(log2 diameter)
+supersteps, NOT one-hop-per-round), with per-round set-dedup as the
+map-side-combinable aggregate and a count-fixpoint stop, so cyclic
+graphs terminate (the rdf:list pointer-doubling walker would raise on
+a cycle; reachability is well-defined on one).  Like graph_paths, the
+whole evaluation materializes under a temporarily capped
+spark.sql.shuffle.partitions — closure inputs (one predicate's edge
+set) are small relative to the triple table, and a localCheckpointed
+DataFrame reports UnknownPartitioning, so without the cap every
+superstep join/dedup re-shuffles at the session's full width.
+
+The DuckDB oracle mirror (:func:`path_oracle_sql`) compiles the same
+AST to plain SQL, with ``WITH RECURSIVE`` (UNION = set semantics)
+for plus/star — an independent engine's fixpoint against Spark's
+doubling loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COMBINATORS = ("inv", "seq", "alt", "plus", "star", "opt")
+
+
+def _iri(term: str) -> str:
+    return term[1:-1] if term.startswith("<") and term.endswith(">") else term
+
+
+def _check(path) -> None:
+    if isinstance(path, str):
+        return
+    if not (isinstance(path, tuple) and path and path[0] in _COMBINATORS):
+        raise ValueError(f"bad path node {path!r}")
+    kind = path[0]
+    if kind in ("inv", "plus", "star", "opt") and len(path) != 2:
+        raise ValueError(f"{kind} takes exactly one sub-path")
+    if kind in ("seq", "alt") and len(path) < 3:
+        raise ValueError(f"{kind} needs at least two sub-paths")
+    for sub in path[1:]:
+        _check(sub)
+
+
+def _dedup(df: DataFrame) -> DataFrame:
+    return df.dropDuplicates(["s", "o"])
+
+
+def _nodes(triples: DataFrame) -> DataFrame:
+    return (
+        triples.select(F.col("subj").alias("n"))
+        .unionByName(triples.select(F.col("obj").alias("n")))
+        .dropDuplicates(["n"])
+    )
+
+
+def _closure(e: DataFrame, max_iters: int) -> DataFrame:
+    """All-pairs reachability over edge set ``e`` by PATH DOUBLING with
+    a count-fixpoint stop: after k rounds the relation holds every pair
+    connected by a path of length ≤ 2^k, so a graph of diameter d
+    converges in ceil(log2 d) rounds — cycles included."""
+    r = _dedup(e).localCheckpoint(eager=True)
+    n = r.count()
+    for _ in range(max_iters):
+        step = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.o") == F.col("b.s"), "inner")
+            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+        )
+        r2 = _dedup(r.unionByName(step)).localCheckpoint(eager=True)
+        n2 = r2.count()
+        if n2 == n:
+            return r2
+        r, n = r2, n2
+    raise RuntimeError(
+        f"path closure did not converge in {max_iters} doubling rounds "
+        f"(diameter > 2^{max_iters})"
+    )
+
+
+def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
+    if isinstance(path, str):
+        return _dedup(
+            triples.filter(F.col("pred") == _iri(path)).select(
+                F.col("subj").alias("s"), F.col("obj").alias("o")
+            )
+        )
+    kind = path[0]
+    if kind == "inv":
+        inner = _eval(triples, path[1], max_iters)
+        return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if kind == "seq":
+        acc = _eval(triples, path[1], max_iters)
+        for sub in path[2:]:
+            nxt = _eval(triples, sub, max_iters)
+            acc = _dedup(
+                acc.alias("a")
+                .join(nxt.alias("b"), F.col("a.o") == F.col("b.s"), "inner")
+                .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+            )
+        return acc
+    if kind == "alt":
+        acc = _eval(triples, path[1], max_iters)
+        for sub in path[2:]:
+            acc = acc.unionByName(_eval(triples, sub, max_iters))
+        return _dedup(acc)
+    if kind == "plus":
+        return _closure(_eval(triples, path[1], max_iters), max_iters)
+    ident = _nodes(triples).select(F.col("n").alias("s"), F.col("n").alias("o"))
+    if kind == "star":
+        return _dedup(
+            _closure(_eval(triples, path[1], max_iters), max_iters).unionByName(ident)
+        )
+    if kind == "opt":
+        return _dedup(_eval(triples, path[1], max_iters).unionByName(ident))
+    raise ValueError(f"bad path node {path!r}")  # pragma: no cover — _check
+
+
+def eval_path(triples: DataFrame, path, max_iters: int = 20) -> DataFrame:
+    """Evaluate a property path to its (s, o) node-pair relation (set
+    semantics).  ``max_iters`` bounds closure DOUBLING rounds — 20
+    covers diameters up to 2^20."""
+    _check(path)
+    spark = triples.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = str(min(int(prev), max(spark.sparkContext.defaultParallelism, 2)))
+    spark.conf.set("spark.sql.shuffle.partitions", cap)
+    try:
+        # closures are eager (fixpoint counts), so the capped conf is
+        # active for every superstep; the final relation materializes
+        # here too so the caller's plan just scans it
+        return _eval(triples, path, max_iters).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def path_select(
+    triples: DataFrame,
+    subj_term: str,
+    path,
+    obj_term: str,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Bind a path triple pattern ``subj_term path obj_term``.
+
+    Terms are ``?var`` or ``<iri>`` (literal terms are rejected — see
+    module docstring).  Returns one column per variable; with two
+    identical variables the relation is filtered to s = o."""
+    rel = eval_path(triples, path, max_iters)
+
+    def parse(term: str, col: str):
+        if term.startswith("?") and len(term) > 1:
+            return ("var", term[1:])
+        if term.startswith("<") and term.endswith(">") and len(term) > 2:
+            return ("iri", term[1:-1])
+        raise ValueError(f"bad path term {term!r}: expected ?var or <iri>")
+
+    s_kind, s_val = parse(subj_term, "s")
+    o_kind, o_val = parse(obj_term, "o")
+    if s_kind == "iri":
+        rel = rel.filter(F.col("s") == s_val)
+    if o_kind == "iri":
+        rel = rel.filter(F.col("o") == o_val)
+    cols = []
+    if s_kind == "var":
+        cols.append(F.col("s").alias(s_val))
+    if o_kind == "var":
+        if s_kind == "var" and o_val == s_val:
+            return rel.filter(F.col("s") == F.col("o")).select(
+                F.col("s").alias(s_val)
+            )
+        cols.append(F.col("o").alias(o_val))
+    if not cols:
+        raise ValueError("path pattern with no variables is not supported")
+    return rel.select(*cols)
+
+
+# --- DuckDB oracle mirror ---------------------------------------------------
+
+
+def _sql(path, ctes: list[str], counter: list[int]) -> str:
+    """Compile a path node to SQL, appending CTE definitions for
+    closures; returns a relation expression with columns (s, o)."""
+    if isinstance(path, str):
+        iri = _iri(path).replace("'", "''")
+        return (
+            f"(SELECT DISTINCT subj AS s, obj AS o FROM triples "
+            f"WHERE pred = '{iri}')"
+        )
+    kind = path[0]
+    if kind == "inv":
+        inner = _sql(path[1], ctes, counter)
+        return f"(SELECT o AS s, s AS o FROM {inner} AS i)"
+    if kind == "seq":
+        acc = _sql(path[1], ctes, counter)
+        for sub in path[2:]:
+            nxt = _sql(sub, ctes, counter)
+            acc = (
+                f"(SELECT DISTINCT a.s, b.o FROM {acc} AS a "
+                f"JOIN {nxt} AS b ON a.o = b.s)"
+            )
+        return acc
+    if kind == "alt":
+        parts = [f"SELECT s, o FROM {_sql(sub, ctes, counter)} AS u{i}"
+                 for i, sub in enumerate(path[1:])]
+        return "(" + " UNION ".join(parts) + ")"
+    if kind in ("plus", "star"):
+        inner = _sql(path[1], ctes, counter)
+        counter[0] += 1
+        e, cl = f"pe{counter[0]}", f"pc{counter[0]}"
+        ctes.append(f"{e} AS (SELECT s, o FROM {inner} AS src)")
+        ctes.append(
+            f"{cl}(s, o) AS (SELECT s, o FROM {e} "
+            f"UNION SELECT {cl}.s, {e}.o FROM {cl} JOIN {e} ON {cl}.o = {e}.s)"
+        )
+        if kind == "plus":
+            return f"(SELECT s, o FROM {cl})"
+        return (
+            f"(SELECT s, o FROM {cl} UNION "
+            f"SELECT n, n FROM pnodes)"
+        )
+    if kind == "opt":
+        inner = _sql(path[1], ctes, counter)
+        return (
+            f"(SELECT s, o FROM {inner} AS i UNION SELECT n, n FROM pnodes)"
+        )
+    raise ValueError(f"bad path node {path!r}")
+
+
+def _needs_nodes(path) -> bool:
+    if isinstance(path, str):
+        return False
+    if path[0] in ("star", "opt"):
+        return True
+    return any(_needs_nodes(sub) for sub in path[1:])
+
+
+def path_oracle_sql(triples_sql: str, subj_term: str, path, obj_term: str) -> str:
+    """SQL mirror of :func:`path_select`: WITH RECURSIVE fixpoint for
+    closures (UNION = set semantics), identical term binding rules."""
+    _check(path)
+    ctes: list[str] = []
+    counter = [0]
+    if _needs_nodes(path):
+        ctes.append(
+            "pnodes AS (SELECT DISTINCT subj AS n FROM triples "
+            "UNION SELECT DISTINCT obj FROM triples)"
+        )
+    rel = _sql(path, ctes, counter)
+
+    def parse(term: str):
+        if term.startswith("?") and len(term) > 1:
+            return ("var", term[1:])
+        if term.startswith("<") and term.endswith(">") and len(term) > 2:
+            return ("iri", term[1:-1].replace("'", "''"))
+        raise ValueError(f"bad path term {term!r}: expected ?var or <iri>")
+
+    s_kind, s_val = parse(subj_term)
+    o_kind, o_val = parse(obj_term)
+    conds, cols = [], []
+    if s_kind == "iri":
+        conds.append(f"s = '{s_val}'")
+    else:
+        cols.append(f"s AS {s_val}")
+    if o_kind == "iri":
+        conds.append(f"o = '{o_val}'")
+    elif s_kind == "var" and o_val == s_val:
+        conds.append("s = o")
+        cols = [f"s AS {s_val}"]
+    else:
+        cols.append(f"o AS {o_val}")
+    if not cols:
+        raise ValueError("path pattern with no variables is not supported")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    body = f"SELECT {', '.join(cols)} FROM {rel} AS rel{where}"
+    cte_sql = ",\n".join([f"triples AS ({triples_sql})"] + ctes)
+    return f"WITH RECURSIVE {cte_sql}\n{body}"

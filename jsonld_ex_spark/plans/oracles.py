@@ -593,6 +593,17 @@ BGP_FILTERED_MENTIONS_FILTERS: list[tuple[str, str, object]] = [
 ]
 
 
+def kg_path_conv_turns_oracle() -> str:
+    from jsonld_ex_spark.operators.property_paths import path_oracle_sql
+
+    return path_oracle_sql(
+        kg_triples_oracle(),
+        "?conv",
+        ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF}rest>"), f"<{RDF}first>"),
+        "?turn",
+    )
+
+
 def kg_bgp_filtered_mentions_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 

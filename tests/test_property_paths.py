@@ -1,0 +1,125 @@
+"""Property-path evaluator semantics vs the DuckDB recursive-CTE
+mirror: closures (incl. CYCLES — reachability is well-defined where the
+list walker would raise), inverse/sequence/alternative, zero-length
+path semantics, and the gated conv→turn path query."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from jsonld_ex_spark.operators.property_paths import (
+    eval_path,
+    path_oracle_sql,
+    path_select,
+)
+from tests.spark_fixtures import SF_DIR, spark  # noqa: F401
+
+TRIPLES = [
+    # a -p-> b -p-> c -p-> a  (CYCLE), plus a -q-> d, d -p-> e
+    ("a", "p", "b", True),
+    ("b", "p", "c", True),
+    ("c", "p", "a", True),
+    ("a", "q", "d", True),
+    ("d", "p", "e", True),
+]
+
+
+@pytest.fixture()
+def tiny(spark):  # noqa: F811
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+
+
+def _cte() -> str:
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    return (
+        "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    )
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _duck(sql):
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+
+
+CASES = [
+    # plus over a CYCLE: every node in the cycle reaches every cycle
+    # node (incl. itself); d reaches e
+    ("plus_cycle", ("plus", "p")),
+    ("star_cycle", ("star", "p")),
+    ("inv", ("inv", "p")),
+    ("seq", ("seq", "q", "p")),           # a-q->d-p->e
+    ("alt", ("alt", "p", "q")),
+    ("opt", ("opt", "q")),
+    ("seq_star", ("seq", "q", ("star", "p"))),  # a->d, a->e (zero + one)
+    ("nested", ("plus", ("alt", "p", "q"))),
+]
+
+
+@pytest.mark.parametrize("name,path", CASES, ids=[c[0] for c in CASES])
+def test_path_matches_duckdb(tiny, name, path):
+    got = _pairs(path_select(tiny, "?s", path, "?o"))
+    sql = path_oracle_sql(_cte(), "?s", path, "?o")
+    assert got == _duck(sql), name
+    assert got  # non-vacuous
+
+
+def test_plus_cycle_exact_pairs(tiny):
+    got = set(_pairs(eval_path(tiny, ("plus", "p"))))
+    cyc = {"a", "b", "c"}
+    expected = {(x, y) for x in cyc for y in cyc} | {("d", "e")}
+    assert got == expected
+
+
+def test_constant_terms_and_same_var(tiny):
+    # constant subject
+    got = _pairs(path_select(tiny, "<a>", ("plus", "p"), "?o"))
+    assert got == [("a",), ("b",), ("c",)]
+    sql = path_oracle_sql(_cte(), "<a>", ("plus", "p"), "?o")
+    assert got == _duck(sql)
+    # same variable twice = self-reachability (cycle members only)
+    got2 = _pairs(path_select(tiny, "?x", ("plus", "p"), "?x"))
+    assert got2 == [("a",), ("b",), ("c",)]
+    sql2 = path_oracle_sql(_cte(), "?x", ("plus", "p"), "?x")
+    assert got2 == _duck(sql2)
+
+
+def test_path_validation(tiny):
+    with pytest.raises(ValueError, match="bad path node"):
+        eval_path(tiny, ("between", "p"))
+    with pytest.raises(ValueError, match="exactly one"):
+        eval_path(tiny, ("plus", "p", "q"))
+    with pytest.raises(ValueError, match="at least two"):
+        eval_path(tiny, ("seq", "p"))
+    with pytest.raises(ValueError, match="bad path term"):
+        path_select(tiny, '"lit"', "p", "?o")
+    with pytest.raises(ValueError, match="no variables"):
+        path_select(tiny, "<a>", "p", "<b>")
+
+
+def test_gated_path_equals_list_walk_members(spark):  # noqa: F811
+    """The path query's (conv, turn) pair set must equal the
+    pointer-doubling list walk's — two different traversal engines over
+    the same graph encoding."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.operators.kg_queries import (
+        kg_list_walk,
+        kg_path_conv_turns,
+    )
+
+    walk = (
+        kg_list_walk(spark, SF_DIR)
+        .select(F.col("conv_iri").alias("conv"), F.col("turn_iri").alias("turn"))
+        .dropDuplicates()
+    )
+    path = kg_path_conv_turns(spark, SF_DIR)
+    assert path.count() == walk.count()
+    assert path.exceptAll(walk).count() == 0
