@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "kg_bgp_ask",
     "kg_bgp_filtered_mentions",
     "kg_path_conv_turns",
+    "kg_bgp_top_entities",
     "ann_pq_ivf_topk",
     "ann_pq_ivf_recall",
     "media_wav_pcm_stats",

@@ -365,6 +365,52 @@ def bgp_aggregate_oracle_sql(
     )
 
 
+def bgp_order_limit(
+    bindings: DataFrame,
+    order_by: list[tuple[str, str]],
+    limit: int,
+) -> DataFrame:
+    """SPARQL solution modifiers ORDER BY + LIMIT over a binding
+    relation (bgp_select / bgp_aggregate output).  ``order_by`` is
+    [(column, "asc"|"desc"), ...] and MUST be a total order (include a
+    unique tie-break column) — otherwise the selected prefix is
+    engine-dependent and no oracle can reproduce it.  Spark plans
+    orderBy().limit(n) as TakeOrderedAndProject: per-partition top-n
+    heaps + one n-row merge at the driver — no global sort, the only
+    LIMIT shape that survives 10^12 bindings."""
+    if not order_by:
+        raise ValueError("order_by must not be empty (LIMIT without a total order is non-deterministic)")
+    if limit <= 0:
+        raise ValueError("limit must be positive")
+    cols = []
+    for col, direction in order_by:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"bad direction {direction!r}")
+        cols.append(F.col(col).asc() if direction == "asc" else F.col(col).desc())
+    return bindings.orderBy(*cols).limit(limit)
+
+
+def bgp_order_limit_oracle_sql(
+    inner_sql: str,
+    order_by: list[tuple[str, str]],
+    limit: int,
+) -> str:
+    """SQL mirror of :func:`bgp_order_limit`."""
+    if not order_by:
+        raise ValueError("order_by must not be empty (LIMIT without a total order is non-deterministic)")
+    if limit <= 0:
+        raise ValueError("limit must be positive")
+    parts = []
+    for col, direction in order_by:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"bad direction {direction!r}")
+        parts.append(f"{col} {direction.upper()}")
+    return (
+        f"SELECT * FROM ({inner_sql}) AS solutions "
+        f"ORDER BY {', '.join(parts)} LIMIT {limit}"
+    )
+
+
 def bgp_union(
     triples: DataFrame,
     alternatives: list[list[tuple[str, str, str]]],

@@ -872,6 +872,29 @@ def kg_triple_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triple_stats(read_snapshot(spark, tdir).select("pred", "subj"))
 
 
+TOP_ENTITIES_LIMIT = 20
+
+
+def kg_bgp_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers under the gate: ORDER BY n_mentions
+    DESC, entity ASC LIMIT 20 over the per-entity mention aggregate —
+    a total order (entity is unique within groups), so the selected
+    prefix is deterministic and oracle-reproducible.  Plan-asserted as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate, bgp_order_limit
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    agg = bgp_aggregate(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        group_by=["entity"],
+        aggs={"n_mentions": ("count", None)},
+    )
+    return bgp_order_limit(
+        agg, [("n_mentions", "desc"), ("entity", "asc")], TOP_ENTITIES_LIMIT
+    )
+
+
 def kg_path_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 PROPERTY PATH under the gate (round-4 algebra
     completion): ``?conv v:turns/rdf:rest*/rdf:first ?turn`` — the

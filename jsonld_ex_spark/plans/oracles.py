@@ -593,6 +593,24 @@ BGP_FILTERED_MENTIONS_FILTERS: list[tuple[str, str, object]] = [
 ]
 
 
+def kg_bgp_top_entities_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_aggregate_oracle_sql,
+        bgp_order_limit_oracle_sql,
+    )
+    from jsonld_ex_spark.operators.kg_queries import TOP_ENTITIES_LIMIT
+
+    inner = bgp_aggregate_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        group_by=["entity"],
+        aggs={"n_mentions": ("count", None)},
+    )
+    return bgp_order_limit_oracle_sql(
+        inner, [("n_mentions", "desc"), ("entity", "asc")], TOP_ENTITIES_LIMIT
+    )
+
+
 def kg_path_conv_turns_oracle() -> str:
     from jsonld_ex_spark.operators.property_paths import path_oracle_sql
 

@@ -612,3 +612,38 @@ def test_filter_compiles_below_join(spark):  # noqa: F811
     rlike_pos = plan.find("RLIKE")
     assert cast_pos > join_pos and rlike_pos > join_pos  # below, not post-join
     assert "CartesianProduct" not in plan
+
+
+def test_order_limit_semantics_and_plan(spark):  # noqa: F811
+    """ORDER BY + LIMIT: deterministic prefix under a total order,
+    mirrored SQL, and the TakeOrderedAndProject plan (per-partition
+    heaps — never a global sort)."""
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_order_limit,
+        bgp_order_limit_oracle_sql,
+    )
+    from jsonld_ex_spark.operators.kg_queries import kg_bgp_top_entities
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("c", 5), ("d", 1)], "e string, n long"
+    )
+    out = bgp_order_limit(df, [("n", "desc"), ("e", "asc")], 3)
+    assert [tuple(r) for r in out.collect()] == [("b", 5), ("c", 5), ("a", 3)]
+    sql = bgp_order_limit_oracle_sql(
+        "SELECT * FROM (VALUES ('a', 3), ('b', 5), ('c', 5), ('d', 1)) AS v(e, n)",
+        [("n", "desc"), ("e", "asc")], 3,
+    )
+    assert [tuple(r) for r in duckdb.connect().execute(sql).fetchall()] == [
+        ("b", 5), ("c", 5), ("a", 3),
+    ]
+    plan = (
+        kg_bgp_top_entities(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="total order"):
+        bgp_order_limit(df, [], 3)
+    with pytest.raises(ValueError, match="bad direction"):
+        bgp_order_limit(df, [("n", "down")], 3)
+    with pytest.raises(ValueError, match="positive"):
+        bgp_order_limit(df, [("n", "asc")], 0)
