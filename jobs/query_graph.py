@@ -8,15 +8,21 @@ table — the production deployment of the BGP layer.
         --pattern '?turn <https://sparkld.dev/vocab#role> "tool"' \
         --pattern '?turn <https://sparkld.dev/vocab#mentions> ?entity' \
         [--optional '?turn <https://sparkld.dev/vocab#tool> ?toolname'] \
-        [--construct '?entity <https://sparkld.dev/vocab#mentionedBy> ?turn']
+        [--construct '?entity <https://sparkld.dev/vocab#mentionedBy> ?turn'] \
+        [--filter 'idx gt 5'] [--filter 'entity regex E00..$'] \
+        [--order-by 'entity asc' --limit 100]
 
 Each --pattern/--optional/--construct is one whitespace-separated
 triple pattern (?var, <iri>, "literal" terms; literals must not contain
-spaces — use the Python API for arbitrary literals).  With --construct
-the matches are instantiated into new triples and written via
-write_triples (subject-bucketed, ready to be queried again); otherwise
-the binding table is written as parquet.  Pattern constants reach the
-triple scan as pushed filters (tests/test_bgp.py).
+spaces — use the Python API for arbitrary literals).  --filter is
+'var op value' with op in gt/ge/lt/le/eq/ne/regex (an all-digit value
+compares numerically).  --order-by 'col asc|desc' (repeatable; must be
+a total order) with --limit selects a deterministic top-k via
+TakeOrderedAndProject.  With --construct the matches are instantiated
+into new triples and written via write_triples (subject-bucketed,
+ready to be queried again); otherwise the binding table is written as
+parquet.  Pattern constants AND filters reach the triple scan as
+pushed predicates below the joins (tests/test_bgp.py).
 
 Prints ONE JSON metrics line.
 """
@@ -42,6 +48,11 @@ def main() -> None:
     p.add_argument("--pattern", action="append", required=True)
     p.add_argument("--optional", action="append", default=[])
     p.add_argument("--construct", action="append", default=[])
+    p.add_argument("--filter", action="append", default=[], dest="filters",
+                   help="'var op value' (gt/ge/lt/le/eq/ne/regex; digits compare numerically)")
+    p.add_argument("--order-by", action="append", default=[], dest="order_by",
+                   help="'col asc|desc' (repeatable; requires --limit)")
+    p.add_argument("--limit", type=int, default=None)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,13 +65,36 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from jsonld_ex_spark.operators.bgp import bgp_construct, bgp_select
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_construct,
+        bgp_order_limit,
+        bgp_select,
+    )
 
     patterns = [parse_pattern(t) for t in args.pattern]
     optional = [[parse_pattern(t)] for t in args.optional]
 
+    def parse_filter(text: str) -> tuple[str, str, object]:
+        parts = text.split(None, 2)
+        if len(parts) != 3:
+            raise SystemExit(f"filter must be 'var op value': {text!r}")
+        var, op, value = parts
+        return (var, op, int(value) if value.lstrip("-").isdigit() and op != "regex" else value)
+
+    filters = [parse_filter(t) for t in args.filters] or None
+    order_by = []
+    for t in args.order_by:
+        parts = t.split()
+        if len(parts) != 2:
+            raise SystemExit(f"order-by must be 'col asc|desc': {t!r}")
+        order_by.append((parts[0], parts[1]))
+    if order_by and args.limit is None:
+        raise SystemExit("--order-by requires --limit")
+
     t0 = time.perf_counter()
     triples = spark.read.parquet(args.triples)
+    if args.construct and (filters or order_by):
+        raise SystemExit("--filter/--order-by apply to SELECT queries, not --construct")
     if args.construct:
         template = [parse_pattern(t) for t in args.construct]
         out = bgp_construct(triples, patterns, template, optional=optional or None)
@@ -70,7 +104,11 @@ def main() -> None:
         n = spark.read.parquet(args.output).count()
         kind = "constructed_triples"
     else:
-        out = bgp_select(triples, patterns, optional=optional or None)
+        out = bgp_select(
+            triples, patterns, optional=optional or None, filters=filters
+        )
+        if order_by:
+            out = bgp_order_limit(out, order_by, args.limit)
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         kind = "bindings"

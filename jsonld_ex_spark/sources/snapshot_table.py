@@ -66,10 +66,14 @@ def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
 
 
 def snapshots(table_dir: str) -> list[dict]:
-    """Commit history, oldest first (ids are contiguous from 1)."""
+    """Commit history, oldest first (ids contiguous from 1; expired
+    snapshots are skipped)."""
     out = []
     for i in range(1, current_snapshot_id(table_dir) + 1):
-        out.append(_read_manifest(table_dir, i))
+        try:
+            out.append(_read_manifest(table_dir, i))
+        except FileNotFoundError:
+            continue  # expired
     return out
 
 
@@ -130,6 +134,66 @@ def read_snapshot(
     m = _read_manifest(table_dir, snap)
     paths = [os.path.join(table_dir, rel) for rel in m["files"]]
     return spark.read.parquet(*paths)
+
+
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, min_orphan_age_s: float = 3600.0
+) -> dict:
+    """Iceberg-style maintenance: drop manifests older than the newest
+    ``keep_last`` snapshots, then garbage-collect every data directory
+    no SURVIVING manifest references — including crashed-writer
+    orphans.  An unreferenced directory younger than
+    ``min_orphan_age_s`` is kept: it may belong to an IN-FLIGHT commit
+    whose manifest hasn't landed yet (the same age-threshold guard
+    Iceberg's remove-orphan-files uses).  Time travel to an expired id
+    raises; CURRENT and the kept history stay readable."""
+    import shutil
+    import time as _time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_snapshot_id(table_dir)
+    keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+    live: set[str] = set()
+    for i in keep:
+        live |= set(_read_manifest(table_dir, i)["files"])
+    expired: list[int] = []
+    for i in range(1, cur + 1):
+        if i in keep:
+            continue
+        try:
+            os.remove(_manifest_path(table_dir, i))
+            expired.append(i)
+        except FileNotFoundError:
+            continue  # already expired
+    removed_dirs: list[str] = []
+    data_root = os.path.join(table_dir, _DATA_DIR)
+    now = _time.time()
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, d)
+            full = os.path.join(data_root, d)
+            if rel in live:
+                continue
+            if now - os.path.getmtime(full) < min_orphan_age_s:
+                continue  # possibly an in-flight commit's data
+            shutil.rmtree(full, ignore_errors=True)
+            removed_dirs.append(rel)
+    return {
+        "expired_snapshots": expired,
+        "removed_data_dirs": removed_dirs,
+        "kept": sorted(keep),
+    }
+
+
+def compact_snapshot(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite the CURRENT snapshot's (possibly many) data directories
+    as ONE overwrite commit — the small-file compaction every
+    append-heavy table needs.  Prior snapshots remain readable until
+    expire_snapshots reclaims them."""
+    return commit_snapshot(
+        read_snapshot(spark, table_dir), table_dir, operation="overwrite"
+    )
 
 
 def write_triples_snapshot(

@@ -81,3 +81,49 @@ def test_empty_table_and_bad_operation(spark, tmp_path):  # noqa: F811
         read_snapshot(spark, t)
     with pytest.raises(ValueError, match="unknown operation"):
         commit_snapshot(_df(spark, 0, 1), t, "merge")
+
+
+def test_expire_and_orphan_gc(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.sources.snapshot_table import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t, "append")
+    commit_snapshot(_df(spark, 3, 6), t, "append")
+    commit_snapshot(_df(spark, 6, 9), t, "append")
+    # a crashed-writer orphan, old enough to collect
+    _df(spark, 90, 95).write.parquet(os.path.join(t, "data", "orphan"))
+    os.utime(os.path.join(t, "data", "orphan"), (0, 0))
+    rep = expire_snapshots(t, keep_last=2, min_orphan_age_s=60)
+    assert rep["expired_snapshots"] == [1]
+    assert rep["kept"] == [2, 3]
+    # v1's FIRST data dir is still referenced by v2/v3 manifests (append
+    # keeps parents' files), so only the orphan is collectable
+    assert rep["removed_data_dirs"] == [os.path.join("data", "orphan")]
+    # current + kept history readable; expired id raises
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(9))
+    assert sorted(r["id"] for r in read_snapshot(spark, t, 2).collect()) == list(range(6))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 1)
+    assert [m["snapshot_id"] for m in snapshots(t)] == [2, 3]
+
+
+def test_compact_then_expire_reclaims_files(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.sources.snapshot_table import (
+        compact_snapshot,
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t, "append")
+    commit_snapshot(_df(spark, 4, 8), t, "append")
+    snap = compact_snapshot(spark, t)
+    assert snap == 3
+    # compacted snapshot has ONE data dir and the full content
+    m3 = json.load(open(os.path.join(t, "manifests", "v00003.json")))
+    assert len(m3["files"]) == 1
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(8))
+    rep = expire_snapshots(t, keep_last=1, min_orphan_age_s=0)
+    assert rep["expired_snapshots"] == [1, 2]
+    # the two pre-compaction data dirs are unreferenced now -> collected
+    assert len(rep["removed_data_dirs"]) == 2
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(8))
