@@ -201,7 +201,7 @@ def write_triples_snapshot(
 ) -> int:
     """Triple-table snapshot sink: identical salted/subject-bucketed
     layout to operators.triples.write_triples, committed atomically."""
-    from jsonld_ex_spark.operators.triples import salted_repartition, with_subject_bucket
+    from jsonld_ex_spark.operators.triples import bucket_clustered
 
-    w = with_subject_bucket(salted_repartition(triples), n_buckets)
+    w = bucket_clustered(triples, n_buckets)
     return commit_snapshot(w, table_dir, operation=operation)
