@@ -209,10 +209,21 @@ def bgp_select(
     minus: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
     filters: list[tuple[str, str, object]] | None = None,
+    paths: list[tuple[str, object, str]] | None = None,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
     semantics, like SPARQL BGP matching).  Column names are the
     variable names; ``project`` selects/orders output variables.
+
+    ``paths`` is a list of PROPERTY-PATH triple patterns
+    (subj_term, path_ast, obj_term) — see operators/property_paths for
+    the AST — inner-joined onto the required bindings on their shared
+    variables (a path pattern's relation is a SET of node pairs, per
+    SPARQL arbitrary-length-path semantics).  Paths are joined after
+    the plain patterns and before OPTIONAL/MINUS groups; ``patterns``
+    may be empty when at least one path is given.  FILTTER variables
+    must still be bound by plain patterns (filters compile into
+    pattern scans).
 
     ``filters`` is a list of SPARQL-style FILTER expressions
     (var, op, value) with op in {gt, ge, lt, le, eq, ne, regex} —
@@ -237,20 +248,39 @@ def bgp_select(
     the compiler requires).  MINUS is applied to the required+optional
     result, and may not reference optional-introduced variables (the
     anti-join null-key semantics would diverge from SPARQL)."""
-    if not patterns:
+    paths = paths or []
+    if not patterns and not paths:
         raise ValueError("empty BGP")
     parsed = [_parse_pattern(p) for p in patterns]
     filters = filters or []
     _check_filters(filters)
-    required = set().union(*(_pattern_vars(p) for p in parsed))
+    required = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     unbound = [v for v, _, _ in filters if v not in required]
     if unbound:
         raise ValueError(
             f"filter variables not bound by required patterns: {unbound}"
         )
-    order = _join_order(parsed, allow_cartesian)
-    acc = _bgp_join(triples, parsed, order, filters)
-    bound = set(acc.columns)
+    if parsed:
+        order = _join_order(parsed, allow_cartesian)
+        acc = _bgp_join(triples, parsed, order, filters)
+        bound = set(acc.columns)
+    else:
+        acc, bound = None, set()
+    for pi, (s_term, ast, o_term) in enumerate(paths):
+        from jsonld_ex_spark.operators.property_paths import path_select
+
+        rel = path_select(triples, s_term, ast, o_term)
+        if acc is None:
+            acc, bound = rel, set(rel.columns)
+            continue
+        shared = sorted(bound & set(rel.columns))
+        if not shared and not allow_cartesian:
+            raise ValueError(
+                f"path pattern {pi} shares no variable with the prior "
+                "patterns (cross product); pass allow_cartesian=True"
+            )
+        acc = acc.join(rel, on=shared, how="inner") if shared else acc.crossJoin(rel)
+        bound |= set(rel.columns)
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
@@ -636,33 +666,68 @@ def bgp_oracle_sql(
     minus: list[list[tuple[str, str, str]]] | None = None,
     allow_cartesian: bool = False,
     filters: list[tuple[str, str, object]] | None = None,
+    paths: list[tuple[str, object, str]] | None = None,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
     JOINs for optional groups, NOT EXISTS for minus groups, FILTER
-    conditions inside every pattern CTE that binds the variable),
-    runnable by DuckDB over the relationally-derived triples CTE — the
-    oracle never touches the Spark plan."""
+    conditions inside every pattern CTE that binds the variable,
+    WITH RECURSIVE closures for property-path patterns), runnable by
+    DuckDB over the relationally-derived triples CTE — the oracle
+    never touches the Spark plan."""
+    paths = paths or []
+    if not patterns and not paths:
+        raise ValueError("empty BGP")
     parsed = [_parse_pattern(p) for p in patterns]
     filters = filters or []
     _check_filters(filters)
-    required = set().union(*(_pattern_vars(p) for p in parsed))
+    required = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     unbound = [v for v, _, _ in filters if v not in required]
     if unbound:
         raise ValueError(
             f"filter variables not bound by required patterns: {unbound}"
         )
-    order = _join_order(parsed, allow_cartesian)
-    ctes = [f"p{i} AS ({_pattern_sql(parsed[i], filters=filters)})" for i in order]
-    joins = [f"p{order[0]}"]
-    bound = _pattern_vars(parsed[order[0]])
-    for i in order[1:]:
-        shared = sorted(bound & _pattern_vars(parsed[i]))
+    path_ctes: list[str] = []
+    counter = [0]
+    if parsed:
+        order = _join_order(parsed, allow_cartesian)
+        ctes = [f"p{i} AS ({_pattern_sql(parsed[i], filters=filters)})" for i in order]
+        joins = [f"p{order[0]}"]
+        bound = _pattern_vars(parsed[order[0]])
+        for i in order[1:]:
+            shared = sorted(bound & _pattern_vars(parsed[i]))
+            if shared:
+                joins.append(f"JOIN p{i} USING ({', '.join(shared)})")
+            else:
+                joins.append(f"CROSS JOIN p{i}")
+            bound |= _pattern_vars(parsed[i])
+    else:
+        ctes, joins, bound = [], [], set()
+    for pi, (s_term, ast, o_term) in enumerate(paths):
+        from jsonld_ex_spark.operators.property_paths import (
+            _parse_term as _path_term,
+        )
+        from jsonld_ex_spark.operators.property_paths import path_pattern_sql
+
+        rel = path_pattern_sql(s_term, ast, o_term, path_ctes, counter)
+        name = f"pth{pi}"
+        ctes.append(f"{name} AS (SELECT * FROM {rel} AS p)")
+        pvars = {v for kind, v in (_path_term(s_term), _path_term(o_term)) if kind == "var"}
+        if not joins:
+            joins, bound = [name], set(pvars)
+            continue
+        shared = sorted(bound & pvars)
         if shared:
-            joins.append(f"JOIN p{i} USING ({', '.join(shared)})")
+            joins.append(f"JOIN {name} USING ({', '.join(shared)})")
+        elif allow_cartesian:
+            joins.append(f"CROSS JOIN {name}")
         else:
-            joins.append(f"CROSS JOIN p{i}")
-        bound |= _pattern_vars(parsed[i])
+            raise ValueError(
+                f"path pattern {pi} shares no variable with the prior "
+                "patterns (cross product); pass allow_cartesian=True"
+            )
+        bound |= pvars
+    ctes = path_ctes + ctes
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
@@ -680,7 +745,7 @@ def bgp_oracle_sql(
         joins.append(f"LEFT JOIN opt{gi} USING ({', '.join(shared)})")
         optional_vars |= gvars - bound
         bound |= gvars
-    filters = []
+    neg_conds = []
     for mi, group in enumerate(minus or []):
         mparsed = [_parse_pattern(p) for p in group]
         mvars = set().union(*(_pattern_vars(p) for p in mparsed))
@@ -699,17 +764,20 @@ def bgp_oracle_sql(
             f"m{mi} AS ({_group_sql(mparsed, _join_order(mparsed, allow_cartesian))})"
         )
         cond = " AND ".join(f"m{mi}.{v} = base.{v}" for v in shared)
-        filters.append(f"NOT EXISTS (SELECT 1 FROM m{mi} WHERE {cond})")
+        neg_conds.append(f"NOT EXISTS (SELECT 1 FROM m{mi} WHERE {cond})")
     proj = ", ".join(project) if project is not None else ", ".join(sorted(bound))
     base = f"SELECT {', '.join(sorted(bound))} FROM {' '.join(joins)}"
-    if not filters:
+    # WITH RECURSIVE needed when a path closure CTE is present (legal
+    # in DuckDB even when some CTEs are non-recursive)
+    with_kw = "WITH RECURSIVE" if path_ctes else "WITH"
+    if not neg_conds:
         return (
-            f"WITH triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
+            f"{with_kw} triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
             f"SELECT {proj} FROM ({base}) base"
         )
-    where = " AND ".join(filters)
+    where = " AND ".join(neg_conds)
     return (
-        f"WITH triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
+        f"{with_kw} triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
         f"SELECT {proj} FROM ({base}) base WHERE {where}"
     )
 

@@ -917,6 +917,34 @@ def kg_path_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_path_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED path + triple-pattern query under the gate — how real
+    SPARQL is written: the property path walks each conversation's
+    @list to its turns, the plain pattern restricts to turns carrying
+    a v:tool literal and binds the tool name:
+
+        ?conv v:turns/rdf:rest*/rdf:first ?turn .
+        ?turn v:tool ?toolname
+
+    The path relation (set semantics) inner-joins the pattern bindings
+    on ?turn inside the one compiled plan; the oracle composes the
+    recursive path CTEs with the pattern CTEs in the same WITH."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.operators.graph_paths import RDF_NS
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}tool>", "?toolname")],
+        project=["conv", "turn", "toolname"],
+        paths=[(
+            "?conv",
+            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
+            "?turn",
+        )],
+    )
+
+
 def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK under the gate (round-3 verdict item #2): one batch
     of named ASKs — a pattern that matches (tool turns mentioning

@@ -264,35 +264,38 @@ def _needs_nodes(path) -> bool:
     return any(_needs_nodes(sub) for sub in path[1:])
 
 
-def path_oracle_sql(triples_sql: str, subj_term: str, path, obj_term: str) -> str:
-    """SQL mirror of :func:`path_select`: WITH RECURSIVE fixpoint for
-    closures (UNION = set semantics), identical term binding rules."""
+def _parse_term(term: str) -> tuple[str, str]:
+    if term.startswith("?") and len(term) > 1:
+        return ("var", term[1:])
+    if term.startswith("<") and term.endswith(">") and len(term) > 2:
+        return ("iri", term[1:-1])
+    raise ValueError(f"bad path term {term!r}: expected ?var or <iri>")
+
+
+def path_pattern_sql(
+    subj_term: str, path, obj_term: str, ctes: list[str], counter: list[int]
+) -> str:
+    """Compile one path triple pattern to a SQL relation whose columns
+    are the pattern's variable names (constants become WHERE filters),
+    appending any closure/node CTEs to ``ctes`` — the reusable piece
+    shared by :func:`path_oracle_sql` and the BGP compiler's mixed
+    path+pattern oracle (operators/bgp.py)."""
     _check(path)
-    ctes: list[str] = []
-    counter = [0]
-    if _needs_nodes(path):
+    if _needs_nodes(path) and not any(c.startswith("pnodes AS") for c in ctes):
         ctes.append(
             "pnodes AS (SELECT DISTINCT subj AS n FROM triples "
             "UNION SELECT DISTINCT obj FROM triples)"
         )
     rel = _sql(path, ctes, counter)
-
-    def parse(term: str):
-        if term.startswith("?") and len(term) > 1:
-            return ("var", term[1:])
-        if term.startswith("<") and term.endswith(">") and len(term) > 2:
-            return ("iri", term[1:-1].replace("'", "''"))
-        raise ValueError(f"bad path term {term!r}: expected ?var or <iri>")
-
-    s_kind, s_val = parse(subj_term)
-    o_kind, o_val = parse(obj_term)
+    s_kind, s_val = _parse_term(subj_term)
+    o_kind, o_val = _parse_term(obj_term)
     conds, cols = [], []
     if s_kind == "iri":
-        conds.append(f"s = '{s_val}'")
+        conds.append(f"s = '{s_val.replace(chr(39), chr(39) * 2)}'")
     else:
         cols.append(f"s AS {s_val}")
     if o_kind == "iri":
-        conds.append(f"o = '{o_val}'")
+        conds.append(f"o = '{o_val.replace(chr(39), chr(39) * 2)}'")
     elif s_kind == "var" and o_val == s_val:
         conds.append("s = o")
         cols = [f"s AS {s_val}"]
@@ -301,6 +304,14 @@ def path_oracle_sql(triples_sql: str, subj_term: str, path, obj_term: str) -> st
     if not cols:
         raise ValueError("path pattern with no variables is not supported")
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
-    body = f"SELECT {', '.join(cols)} FROM {rel} AS rel{where}"
+    return f"(SELECT {', '.join(cols)} FROM {rel} AS rel{where})"
+
+
+def path_oracle_sql(triples_sql: str, subj_term: str, path, obj_term: str) -> str:
+    """SQL mirror of :func:`path_select`: WITH RECURSIVE fixpoint for
+    closures (UNION = set semantics), identical term binding rules."""
+    ctes: list[str] = []
+    counter = [0]
+    body = path_pattern_sql(subj_term, path, obj_term, ctes, counter)
     cte_sql = ",\n".join([f"triples AS ({triples_sql})"] + ctes)
-    return f"WITH RECURSIVE {cte_sql}\n{body}"
+    return f"WITH RECURSIVE {cte_sql}\nSELECT * FROM {body} AS p"

@@ -622,6 +622,21 @@ def kg_path_conv_turns_oracle() -> str:
     )
 
 
+def kg_path_tool_turns_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}tool>", "?toolname")],
+        project=["conv", "turn", "toolname"],
+        paths=[(
+            "?conv",
+            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF}rest>"), f"<{RDF}first>"),
+            "?turn",
+        )],
+    )
+
+
 def kg_bgp_filtered_mentions_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 

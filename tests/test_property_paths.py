@@ -123,3 +123,26 @@ def test_gated_path_equals_list_walk_members(spark):  # noqa: F811
     path = kg_path_conv_turns(spark, SF_DIR)
     assert path.count() == walk.count()
     assert path.exceptAll(walk).count() == 0
+
+
+def test_mixed_path_and_pattern_bgp(tiny):
+    """bgp_select paths= joins a path relation with plain patterns on
+    the shared variable; SQL mirror agrees (WITH RECURSIVE composed
+    with the pattern CTEs)."""
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql, bgp_select
+
+    patterns = [("?y", "<q>", "?z")]
+    paths = [("?x", ("plus", "p"), "?y")]
+    out = bgp_select(tiny, patterns, project=["x", "y", "z"], paths=paths)
+    got = sorted(tuple(r) for r in out.collect())
+    # ?x p+ ?y restricted to y with a q-edge: only a has q→d; a,b,c all reach a
+    assert got == [("a", "a", "d"), ("b", "a", "d"), ("c", "a", "d")]
+    sql = bgp_oracle_sql(_cte(), patterns, project=["x", "y", "z"], paths=paths)
+    assert got == _duck(sql)
+    # path-only BGP (no plain patterns)
+    out2 = bgp_select(tiny, [], paths=paths, project=["x", "y"])
+    sql2 = bgp_oracle_sql(_cte(), [], paths=paths, project=["x", "y"])
+    assert sorted(tuple(r) for r in out2.collect()) == _duck(sql2)
+    # disconnected path rejected
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_select(tiny, [("?a", "<q>", "?b")], paths=[("?m", "p", "?n")])
