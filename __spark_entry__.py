@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_conv_turns": kg_queries.kg_path_conv_turns,
         "kg_bgp_top_entities": kg_queries.kg_bgp_top_entities,
         "kg_path_tool_turns": kg_queries.kg_path_tool_turns,
+        "kg_bgp_values_mentions": kg_queries.kg_bgp_values_mentions,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
         "kg_construct_entity_edges": kg_queries.kg_construct_entity_edges,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_conv_turns": oracles.kg_path_conv_turns_oracle(),
         "kg_bgp_top_entities": oracles.kg_bgp_top_entities_oracle(),
         "kg_path_tool_turns": oracles.kg_path_tool_turns_oracle(),
+        "kg_bgp_values_mentions": oracles.kg_bgp_values_mentions_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),
         "kg_conversation_text": oracles.kg_conversation_text_oracle(),

@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "kg_path_conv_turns",
     "kg_bgp_top_entities",
     "kg_path_tool_turns",
+    "kg_bgp_values_mentions",
     "ann_pq_ivf_topk",
     "ann_pq_ivf_recall",
     "media_wav_pcm_stats",

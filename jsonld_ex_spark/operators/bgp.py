@@ -210,10 +210,18 @@ def bgp_select(
     allow_cartesian: bool = False,
     filters: list[tuple[str, str, object]] | None = None,
     paths: list[tuple[str, object, str]] | None = None,
+    values: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
     semantics, like SPARQL BGP matching).  Column names are the
     variable names; ``project`` selects/orders output variables.
+
+    ``values`` is the SPARQL VALUES clause in its common single-
+    variable form: {var: [value, ...]} restricts that variable's
+    bindings to the listed lexical values (the inline-data join
+    degenerates to an IN filter for one variable; value lists are
+    treated as sets).  VALUES variables must be bound by the required
+    patterns or paths.
 
     ``paths`` is a list of PROPERTY-PATH triple patterns
     (subj_term, path_ast, obj_term) — see operators/property_paths for
@@ -281,6 +289,10 @@ def bgp_select(
             )
         acc = acc.join(rel, on=shared, how="inner") if shared else acc.crossJoin(rel)
         bound |= set(rel.columns)
+    for var, vals in (values or {}).items():
+        if var not in bound:
+            raise ValueError(f"VALUES variable {var!r} not bound by required patterns/paths")
+        acc = acc.filter(F.col(var).isin(list(vals)))
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
@@ -667,6 +679,7 @@ def bgp_oracle_sql(
     allow_cartesian: bool = False,
     filters: list[tuple[str, str, object]] | None = None,
     paths: list[tuple[str, object, str]] | None = None,
+    values: dict[str, list[str]] | None = None,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
@@ -728,6 +741,15 @@ def bgp_oracle_sql(
             )
         bound |= pvars
     ctes = path_ctes + ctes
+    values_conds = []
+    for var, vals in (values or {}).items():
+        if var not in bound:
+            raise ValueError(f"VALUES variable {var!r} not bound by required patterns/paths")
+        lst = ", ".join(_sql_quote(str(v)) for v in vals)
+        # IN on a required-bound column commutes with the LEFT JOINs
+        # below, so the outer WHERE matches bgp_select's pre-optional
+        # filter exactly
+        values_conds.append(f"{var} IN ({lst})")
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
@@ -770,12 +792,13 @@ def bgp_oracle_sql(
     # WITH RECURSIVE needed when a path closure CTE is present (legal
     # in DuckDB even when some CTEs are non-recursive)
     with_kw = "WITH RECURSIVE" if path_ctes else "WITH"
-    if not neg_conds:
+    conds = values_conds + neg_conds
+    if not conds:
         return (
             f"{with_kw} triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
             f"SELECT {proj} FROM ({base}) base"
         )
-    where = " AND ".join(neg_conds)
+    where = " AND ".join(conds)
     return (
         f"{with_kw} triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
         f"SELECT {proj} FROM ({base}) base WHERE {where}"

@@ -945,6 +945,22 @@ def kg_path_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_bgp_values_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES clause under the gate: mention edges restricted to
+    an inline list of three (hot) entity IRIs — the parameterized-query
+    shape every SPARQL endpoint user writes (VALUES ?entity { ... })."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.plans.oracles import BGP_VALUES_ENTITIES
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        project=["turn", "entity"],
+        values={"entity": BGP_VALUES_ENTITIES},
+    )
+
+
 def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK under the gate (round-3 verdict item #2): one batch
     of named ASKs — a pattern that matches (tool turns mentioning

@@ -17,6 +17,8 @@ without angle brackets):
 * ``("plus", p)``        — ``p+``  one-or-more (transitive closure)
 * ``("star", p)``        — ``p*``  zero-or-more
 * ``("opt", p)``         — ``p?``  zero-or-one
+* ``("neg", iri, …)``    — ``!(p1|p2)``  negated property set
+                           (forward-only, IRI leaves)
 
 Semantics: SET semantics at every node (SPARQL defines arbitrary-length
 paths as node-pair reachability, not bags; applying distinct uniformly
@@ -50,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_COMBINATORS = ("inv", "seq", "alt", "plus", "star", "opt")
+_COMBINATORS = ("inv", "seq", "alt", "plus", "star", "opt", "neg")
 
 
 def _iri(term: str) -> str:
@@ -67,6 +69,13 @@ def _check(path) -> None:
         raise ValueError(f"{kind} takes exactly one sub-path")
     if kind in ("seq", "alt") and len(path) < 3:
         raise ValueError(f"{kind} needs at least two sub-paths")
+    if kind == "neg":
+        if len(path) < 2 or not all(isinstance(p, str) for p in path[1:]):
+            raise ValueError(
+                "neg takes one or more IRI predicates (forward-only "
+                "negated property set !(p1|p2|...))"
+            )
+        return
     for sub in path[1:]:
         _check(sub)
 
@@ -115,6 +124,13 @@ def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
             )
         )
     kind = path[0]
+    if kind == "neg":
+        # SPARQL negated property set !(p1|...): any edge whose
+        # predicate is NOT one of the listed IRIs (forward direction)
+        return _dedup(
+            triples.filter(~F.col("pred").isin([_iri(p) for p in path[1:]]))
+            .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+        )
     if kind == "inv":
         inner = _eval(triples, path[1], max_iters)
         return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
@@ -217,6 +233,14 @@ def _sql(path, ctes: list[str], counter: list[int]) -> str:
             f"WHERE pred = '{iri}')"
         )
     kind = path[0]
+    if kind == "neg":
+        iris = ", ".join(
+            "'" + _iri(p).replace("'", "''") + "'" for p in path[1:]
+        )
+        return (
+            f"(SELECT DISTINCT subj AS s, obj AS o FROM triples "
+            f"WHERE pred NOT IN ({iris}))"
+        )
     if kind == "inv":
         inner = _sql(path[1], ctes, counter)
         return f"(SELECT o AS s, s AS o FROM {inner} AS i)"

@@ -637,6 +637,20 @@ def kg_path_tool_turns_oracle() -> str:
     )
 
 
+BGP_VALUES_ENTITIES = [f"{ENTITY_NS}E{i:04d}" for i in range(3)]
+
+
+def kg_bgp_values_mentions_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        project=["turn", "entity"],
+        values={"entity": BGP_VALUES_ENTITIES},
+    )
+
+
 def kg_bgp_filtered_mentions_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 

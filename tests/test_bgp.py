@@ -647,3 +647,21 @@ def test_order_limit_semantics_and_plan(spark):  # noqa: F811
         bgp_order_limit(df, [("n", "down")], 3)
     with pytest.raises(ValueError, match="positive"):
         bgp_order_limit(df, [("n", "asc")], 0)
+
+
+def test_values_clause_semantics_and_mirror(tiny):
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    patterns = [("?t", "<urn:mentions>", "?e")]
+    vals = {"e": ["urn:e1", "urn:zz"]}
+    out = bgp_select(tiny, patterns, project=["t", "e"], values=vals)
+    got = _rows(out)
+    assert got == [("urn:t1", "urn:e1"), ("urn:t2", "urn:e1"), ("urn:t3", "urn:e1")]
+    values_txt = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values_txt + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(cte, patterns, project=["t", "e"], values=vals)
+    assert got == sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    with pytest.raises(ValueError, match="VALUES variable"):
+        bgp_select(tiny, patterns, values={"zz": ["x"]})

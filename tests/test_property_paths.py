@@ -146,3 +146,17 @@ def test_mixed_path_and_pattern_bgp(tiny):
     # disconnected path rejected
     with pytest.raises(ValueError, match="shares no variable"):
         bgp_select(tiny, [("?a", "<q>", "?b")], paths=[("?m", "p", "?n")])
+
+
+def test_negated_property_set(tiny):
+    """!(p) matches every edge whose predicate is not p — forward-only
+    negated property set, mirrored in SQL."""
+    got = _pairs(eval_path(tiny, ("neg", "p")))
+    assert got == [("a", "d")]  # only the q edge survives
+    sql = path_oracle_sql(_cte(), "?s", ("neg", "p"), "?o")
+    assert got == _duck(sql)
+    # composes with closures: !(q)+ == p+ here
+    got2 = _pairs(eval_path(tiny, ("plus", ("neg", "q"))))
+    assert got2 == _pairs(eval_path(tiny, ("plus", "p")))
+    with pytest.raises(ValueError, match="IRI predicates"):
+        eval_path(tiny, ("neg", ("inv", "p")))
