@@ -710,15 +710,22 @@ def _kg_shapes() -> list[dict]:
          "pred": f"{VOCAB}mentions", "is_iri": True},
         {"rule_id": "role_value_set", "rule": "value_in",
          "pred": f"{VOCAB}role", "values": ("user", "assistant", "tool")},
+        {"rule_id": "turn_idx_is_digits", "rule": "pattern",
+         "pred": f"{VOCAB}turn_idx", "regex": "^[0-9]+$"},
+        {"rule_id": "list_cells_link_typed_turns", "rule": "class_range",
+         "pred": "http://www.w3.org/1999/02/22-rdf-syntax-ns#first",
+         "cls": f"{VOCAB}Turn"},
     ]
 
 
 def kg_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SHACL-lite validation of the constructed graph: six shape rules
-    (cardinality / datatype / node-kind / value-set) compiled to
-    aggregations (operators/shapes.py).  The report carries n_checked
-    so a clean graph is a NON-vacuous assertion (large checked counts,
-    zero violations) — planted-violation tests prove each rule fires."""
+    """SHACL-lite validation of the constructed graph: eight shape
+    rules (cardinality / datatype / node-kind / value-set, plus r4's
+    sh:pattern regex and sh:class object-typing) compiled to
+    aggregations and one equi-join (operators/shapes.py).  The report
+    carries n_checked so a clean graph is a NON-vacuous assertion
+    (large checked counts, zero violations) — planted-violation tests
+    prove each rule fires."""
     from jsonld_ex_spark.operators.shapes import validate_shapes
 
     return validate_shapes(_checkpointed_triples(spark, sf_dir), _kg_shapes())

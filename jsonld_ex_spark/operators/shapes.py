@@ -76,11 +76,35 @@ def _rule_value_in(triples, pred, values):
     )
 
 
+def _rule_pattern(triples, pred, regex):
+    """sh:pattern — every pred triple's object lexical form must match
+    the regex (Java/RE2-common syntax, mirrored by regexp_matches)."""
+    return triples.filter(F.col("pred") == pred).select(
+        "subj", (~F.col("obj").rlike(regex)).alias("bad")
+    )
+
+
+def _rule_class_range(triples, pred, cls):
+    """sh:class — every pred triple's object must be a subject typed
+    cls somewhere in the graph.  One equi-join against the (distinct)
+    typed-subject set: at scale this is a broadcast or shuffle join on
+    the object key, never a per-object lookup."""
+    typed = _typed_subjects(triples, cls).select(
+        F.col("subj").alias("obj"), F.lit(True).alias("_typed")
+    )
+    p = triples.filter(F.col("pred") == pred).select("subj", "obj")
+    return p.join(typed, on="obj", how="left").select(
+        "subj", F.col("_typed").isNull().alias("bad")
+    )
+
+
 _RULE_FNS = {
     "cardinality": _rule_cardinality,
     "datatype": _rule_datatype,
     "node_kind": _rule_node_kind,
     "value_in": _rule_value_in,
+    "pattern": _rule_pattern,
+    "class_range": _rule_class_range,
 }
 
 

@@ -415,7 +415,7 @@ pr0 AS (SELECT ent, CAST({PR_SCALE} // n AS BIGINT) AS pr FROM nodes CROSS JOIN 
 
 
 def kg_shape_report_oracle() -> str:
-    """The six shape rules re-expressed as scalar-subquery counts over
+    """The shape rules re-expressed as scalar-subquery counts over
     the relational triple derivation."""
     from jsonld_ex_spark.operators.kg_queries import _kg_shapes
 
@@ -445,6 +445,19 @@ def kg_shape_report_oracle() -> str:
                 f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}' "
                 f"AND obj_is_iri <> {want})"
             )
+        elif s["rule"] == "pattern":
+            checked = f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}')"
+            bad = (
+                f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}' "
+                f"AND NOT regexp_matches(obj, '{s['regex']}'))"
+            )
+        elif s["rule"] == "class_range":
+            checked = f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}')"
+            bad = f"""(SELECT count(*) FROM trip p
+  LEFT JOIN (SELECT DISTINCT subj FROM trip
+             WHERE pred = '{RDF}type' AND obj = '{s['cls']}') t
+    ON t.subj = p.obj
+  WHERE p.pred = '{s['pred']}' AND t.subj IS NULL)"""
         else:  # value_in
             vals = ", ".join(f"'{v}'" for v in s["values"])
             checked = f"(SELECT count(*) FROM trip WHERE pred = '{s['pred']}')"

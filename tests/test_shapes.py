@@ -31,6 +31,8 @@ DIRTY = [
     ("urn:t3", f"{V}ts", "2024-01-01T00:00:01Z", False, XSD_DT),
     ("urn:t3", f"{V}mentions", "not-an-iri", False, "xsd:string"),
     ("urn:t1", f"{V}mentions", "urn:e1", True, None),
+    # e1 is a typed Entity; t3's literal mention target is not
+    ("urn:e1", RDF_TYPE, f"{V}Entity", True, None),
 ]
 
 
@@ -42,6 +44,10 @@ SHAPES = [
      "is_iri": True},
     {"rule_id": "role_vals", "rule": "value_in", "pred": f"{V}role",
      "values": ("user", "assistant", "tool")},
+    {"rule_id": "ts_pattern", "rule": "pattern", "pred": f"{V}ts",
+     "regex": r"^\d{4}-\d{2}-\d{2}T"},
+    {"rule_id": "mentions_typed", "rule": "class_range",
+     "pred": f"{V}mentions", "cls": f"{V}Entity"},
 ]
 
 
@@ -68,6 +74,11 @@ def test_every_rule_fires_on_planted_violations(dirty):
     assert rep["mention_iri"]["n_violations"] == 1     # t3 literal mention
     assert rep["role_vals"]["n_checked"] == 3
     assert rep["role_vals"]["n_violations"] == 1       # 'robot'
+    # t2's ts ('2024-01-01', no time part) breaks the datetime pattern
+    assert rep["ts_pattern"]["n_checked"] == 3
+    assert rep["ts_pattern"]["n_violations"] == 1
+    assert rep["mentions_typed"]["n_checked"] == 2
+    assert rep["mentions_typed"]["n_violations"] == 1  # 'not-an-iri' untyped
     bad = {r["subj"] for r in shape_violation_rows(dirty, SHAPES[0]).collect()}
     assert bad == {"urn:t2", "urn:t3"}
 
@@ -76,7 +87,7 @@ def test_pipeline_graph_is_clean_but_checked(spark):  # noqa: F811
     from jsonld_ex_spark.operators.kg_queries import kg_shape_report
 
     rows = kg_shape_report(spark, SF_DIR).collect()
-    assert len(rows) == 6
+    assert len(rows) == 8
     assert all(r["n_violations"] == 0 for r in rows)
     assert all(r["n_checked"] > 0 for r in rows)  # non-vacuous
 
