@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pagerank": kg_queries.kg_entity_pagerank,
         "kg_entity_triangles": kg_queries.kg_entity_triangles,
         "kg_entity_neighbor_similarity": kg_queries.kg_entity_neighbor_similarity,
+        "kg_entity_components": kg_queries.kg_entity_components,
         "kg_shape_report": kg_queries.kg_shape_report,
         # Incremental maintenance: snapshot-to-snapshot triple delta
         "kg_triples_delta": kg_queries.kg_triples_delta,
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": oracles.kg_entity_pagerank_oracle(),
         "kg_entity_triangles": oracles.kg_entity_triangles_oracle(),
         "kg_entity_neighbor_similarity": oracles.kg_entity_neighbor_similarity_oracle(),
+        "kg_entity_components": oracles.kg_entity_components_oracle(),
         "kg_shape_report": oracles.kg_shape_report_oracle(),
         "kg_triples_delta": oracles.kg_triples_delta_oracle(),
     }

@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "kg_bgp_top_entities",
     "kg_path_tool_turns",
     "kg_bgp_values_mentions",
+    "kg_entity_components",
     "ann_pq_ivf_topk",
     "ann_pq_ivf_recall",
     "media_wav_pcm_stats",

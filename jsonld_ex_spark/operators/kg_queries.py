@@ -989,6 +989,32 @@ def kg_bgp_values_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS of the entity co-occurrence graph — the
+    graph-analytics completion next to PageRank/triangles: component id
+    = min entity label reachable (min-label propagation WITH pointer
+    doubling, O(log diameter) supersteps — dedup_ops.
+    _connected_components, the same kernel that clusters near-dup
+    docs), plus per-component size.  The DuckDB oracle recomputes
+    components via a WITH RECURSIVE reachability closure + min — an
+    independent fixpoint against Spark's label propagation."""
+    from pyspark.sql.window import Window
+
+    from jsonld_ex_spark.functions.dedup_ops import _connected_components
+
+    edges = _cooccur_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    result, _ = _connected_components(labels, edges)
+    w = Window.partitionBy("component")
+    return (
+        result.select(
+            F.col("doc_id").alias("ent"), F.col("cluster_id").alias("component")
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+
+
 def kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK under the gate (round-3 verdict item #2): one batch
     of named ASKs — a pattern that matches (tool turns mentioning

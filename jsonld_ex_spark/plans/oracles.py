@@ -664,6 +664,28 @@ def kg_bgp_values_mentions_oracle() -> str:
     )
 
 
+def kg_entity_components_oracle() -> str:
+    """Components via an independent WITH RECURSIVE reachability
+    closure (UNION = set fixpoint) + min-reachable-label, over the same
+    >=2-convs co-occurrence pair derivation."""
+    return f"""
+WITH RECURSIVE p AS ({kg_entity_cooccurrence_oracle()}),
+e AS (
+  SELECT ent_a AS src, ent_b AS dst FROM p
+  UNION ALL SELECT ent_b, ent_a FROM p
+),
+n AS (SELECT DISTINCT src AS ent FROM e),
+r(ent, reach) AS (
+  SELECT ent, ent FROM n
+  UNION
+  SELECT r.ent, e.dst FROM r JOIN e ON e.src = r.reach
+),
+comp AS (SELECT ent, min(reach) AS component FROM r GROUP BY ent),
+sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+SELECT c.ent, c.component, s.n_members
+FROM comp c JOIN sizes s USING (component)"""
+
+
 def kg_bgp_filtered_mentions_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 
