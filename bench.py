@@ -119,6 +119,8 @@ EXTRA_QUERIES = [
     "ann_pq_codes",
     "ann_pq_topk",
     "sketch_distinct_convs",
+    "cms_entity_registers",
+    "cms_entity_estimates",
     "kg_entity_pagerank",
     "kg_entity_triangles",
     "kg_entity_neighbor_similarity",

@@ -104,9 +104,143 @@ ranked AS (
 SELECT register, max(rank) AS max_rank FROM ranked GROUP BY register"""
 
 
+# --- Count-Min Sketch -------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # columns per row (256 % 64 == 0 → first-md5-byte mod W unbiased)
+
+
+def _cms_col(d_col, key_col):
+    """Column index for hash row d: first byte of md5(d || ':' || key)
+    mod CMS_W — the same cross-engine md5 derivation as HLL."""
+    h = F.md5(F.concat(d_col.cast("string"), F.lit(":"), key_col))
+    return (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % CMS_W).alias("col")
+
+
+def cms_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(d, col, cnt) register table of the COUNT-MIN sketch over the
+    (bag of) key_col values: each item increments one counter per hash
+    row.  Point-query estimate = min over d of register[d, col_d(x)] —
+    always >= the true count (overestimates only, by collisions).
+    Mergeable by element-wise SUM, so per-partition/per-day sketches
+    roll up for free — the heavy-hitter companion to the HLL: one
+    map-side-combined groupBy, CMS_D*CMS_W integers total regardless
+    of corpus size."""
+    k = df.select(F.col(key_col).cast("string").alias("k"))
+    kd = k.select(
+        "k", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
+    )
+    return (
+        kd.select(F.col("d").cast("int").alias("d"), _cms_col(F.col("d"), F.col("k")))
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_entity_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the CMS register table over mention events (each
+    detected mention increments the sketch) — deterministic integers,
+    re-derived bit-exactly by the DuckDB oracle's nibble arithmetic."""
+    from jsonld_ex_spark.operators.kg_queries import kg_mentions
+
+    return cms_registers(kg_mentions(spark, sf_dir), "surface_norm")
+
+
+N_CMS_PROBES = 10  # point-query the first 10 entity surfaces
+
+
+def cms_entity_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: CMS point queries vs TRUE counts for the first
+    N_CMS_PROBES entity surfaces — (surface_norm, true_count,
+    cms_estimate), the estimate being min over hash rows.  Both columns
+    integer-exact in both engines; the overestimate-only property is a
+    pytest invariant."""
+    from jsonld_ex_spark.operators.kg_queries import kg_mentions
+
+    m = kg_mentions(spark, sf_dir)
+    regs = cms_registers(m, "surface_norm")
+    probes = spark.range(N_CMS_PROBES).select(
+        F.format_string("ENT_%04d", F.col("id").cast("int")).alias("k")
+    )
+    pd_ = probes.select(
+        "k", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
+    ).select("k", F.col("d").cast("int").alias("d"), _cms_col(F.col("d"), F.col("k")))
+    est = (
+        pd_.join(regs, on=["d", "col"], how="left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )
+    true = m.groupBy(F.col("surface_norm").alias("k")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return (
+        est.join(true, on="k", how="left")
+        .select(
+            F.col("k").alias("surface_norm"),
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cms_estimate",
+        )
+    )
+
+
+def _cms_mentions_cte() -> str:
+    from jsonld_ex_spark.sources.transcripts import transcripts_oracle_cte
+
+    t = transcripts_oracle_cte("lineitem")
+    return f"""
+t AS ({t}),
+m AS (
+  SELECT DISTINCT conv_id, turn_idx, mm AS k
+  FROM t, unnest(regexp_extract_all(text, 'ENT_[0-9]{{4}}')) AS u(mm)
+),
+d AS (SELECT unnest(range(0, {CMS_D})) AS d),
+cells AS (
+  SELECT CAST(d.d AS INT) AS d,
+         CAST(((strpos('{_HEX}', substr(md5(concat(d.d, ':', m.k)), 1, 1)) - 1) * 16
+             + (strpos('{_HEX}', substr(md5(concat(d.d, ':', m.k)), 2, 1)) - 1)) % {CMS_W} AS INT) AS col
+  FROM m CROSS JOIN d
+),
+regs AS (SELECT d, col, count(*) AS cnt FROM cells GROUP BY d, col)"""
+
+
+def _cms_registers_oracle() -> str:
+    return f"WITH {_cms_mentions_cte()}\nSELECT d, col, cnt FROM regs"
+
+
+def _cms_estimates_oracle() -> str:
+    return f"""
+WITH {_cms_mentions_cte()},
+probes AS (SELECT printf('ENT_%04d', CAST(i AS INT)) AS k
+           FROM unnest(range(0, {N_CMS_PROBES})) AS t2(i)),
+pcells AS (
+  SELECT p.k, CAST(d.d AS INT) AS d,
+         CAST(((strpos('{_HEX}', substr(md5(concat(d.d, ':', p.k)), 1, 1)) - 1) * 16
+             + (strpos('{_HEX}', substr(md5(concat(d.d, ':', p.k)), 2, 1)) - 1)) % {CMS_W} AS INT) AS col
+  FROM probes p CROSS JOIN d
+),
+est AS (
+  SELECT pc.k, CAST(min(COALESCE(r.cnt, 0)) AS BIGINT) AS cms_estimate
+  FROM pcells pc LEFT JOIN regs r ON r.d = pc.d AND r.col = pc.col
+  GROUP BY pc.k
+),
+trues AS (SELECT k, count(*) AS true_count FROM m GROUP BY k)
+SELECT e.k AS surface_norm,
+       CAST(COALESCE(t2.true_count, 0) AS BIGINT) AS true_count,
+       e.cms_estimate
+FROM est e LEFT JOIN trues t2 ON t2.k = e.k"""
+
+
 def queries():
-    return {"sketch_distinct_convs": sketch_distinct_convs}
+    return {
+        "sketch_distinct_convs": sketch_distinct_convs,
+        "cms_entity_registers": cms_entity_registers,
+        "cms_entity_estimates": cms_entity_estimates,
+    }
 
 
 def oracle_sql():
-    return {"sketch_distinct_convs": _sketch_oracle()}
+    return {
+        "sketch_distinct_convs": _sketch_oracle(),
+        "cms_entity_registers": _cms_registers_oracle(),
+        "cms_entity_estimates": _cms_estimates_oracle(),
+    }

@@ -59,3 +59,30 @@ def test_duplicates_do_not_change_sketch(spark):  # noqa: F811
     one = {r["register"]: r["max_rank"] for r in hll_registers(df, "k").collect()}
     three = {r["register"]: r["max_rank"] for r in hll_registers(dup, "k").collect()}
     assert one == three
+
+
+def test_cms_overestimates_only_and_merges_by_sum(spark):  # noqa: F811
+    """CMS point queries can only OVERestimate (collisions add), and
+    the sketch of a union is the element-wise SUM of the parts'
+    sketches (the mergeability that makes it roll up across days)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.functions.sketch_ops import (
+        cms_entity_estimates,
+        cms_registers,
+    )
+
+    est = cms_entity_estimates(spark, SF_DIR).collect()
+    assert len(est) == 10
+    assert all(r["cms_estimate"] >= r["true_count"] for r in est)
+    assert any(r["true_count"] > 0 for r in est)  # non-vacuous
+    # mergeability on a tiny split
+    rows = [(f"k{i % 7}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    a = spark.createDataFrame(rows[:20], "k string")
+    b = spark.createDataFrame(rows[20:], "k string")
+    whole = {(r["d"], r["col"]): r["cnt"] for r in cms_registers(df, "k").collect()}
+    pa = {(r["d"], r["col"]): r["cnt"] for r in cms_registers(a, "k").collect()}
+    pb = {(r["d"], r["col"]): r["cnt"] for r in cms_registers(b, "k").collect()}
+    merged = {key: pa.get(key, 0) + pb.get(key, 0) for key in set(pa) | set(pb)}
+    assert merged == whole
