@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shape_report": kg_queries.kg_shape_report,
         # Incremental maintenance: snapshot-to-snapshot triple delta
         "kg_triples_delta": kg_queries.kg_triples_delta,
+        "kg_triples_delta_snapshot": kg_queries.kg_triples_delta_snapshot,
     }
     from jsonld_ex_spark.operators import entity_linking, jsonld_ops
     from jsonld_ex_spark.streaming import stream_pipeline
@@ -137,6 +138,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_components": oracles.kg_entity_components_oracle(),
         "kg_shape_report": oracles.kg_shape_report_oracle(),
         "kg_triples_delta": oracles.kg_triples_delta_oracle(),
+        # the snapshot-table diff must reproduce the in-memory delta
+        "kg_triples_delta_snapshot": oracles.kg_triples_delta_oracle(),
     }
     from jsonld_ex_spark.operators import jsonld_ops
     from jsonld_ex_spark.streaming import stream_pipeline

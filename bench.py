@@ -130,6 +130,7 @@ EXTRA_QUERIES = [
     "kg_bgp_entity_mention_stats",
     "events_value_percentiles",
     "kg_triples_delta",
+    "kg_triples_delta_snapshot",
     "kg_list_walk",
     # kg_conversation_text is EXCLUDED from the timed extras: it is
     # kg_list_walk's pipeline+walk plus a text aggregate (≈60 s of

@@ -503,6 +503,59 @@ def kg_triples_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_triples_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION incremental-maintenance shape under the gate
+    (kg_triples_delta's docstring promise delivered): yesterday's
+    graph is committed as snapshot v1 of a snapshot table, today's as
+    an OVERWRITE commit v2, and the per-predicate added/removed counts
+    are computed by diffing ``read_snapshot(v1)`` against
+    ``read_snapshot(v2)`` — TIME TRAVEL feeding the anti-join diff, so
+    at 100 TB you diff two persisted snapshots instead of recomputing
+    either graph.  Same deterministic old/new derivation and the SAME
+    oracle as kg_triples_delta: storage round-trip + manifest read
+    path + overwrite semantics all sit under the hash gate."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+    from jsonld_ex_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_triples_snapshot,
+    )
+
+    t = transcripts_df(spark, sf_dir).filter(F.expr(_DELTA_PARTICIPATE))
+    mx = F.max("turn_idx").over(Window.partitionBy("conv_id"))
+    old_t = (
+        t.withColumn("_mx", mx)
+        .filter(~(F.expr(_DELTA_GROWING) & (F.col("turn_idx") == F.col("_mx"))))
+        .drop("_mx")
+    )
+    tdir = tempfile.mkdtemp(prefix="delta_snap_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    write_triples_snapshot(conversation_triples(old_t), tdir, operation="append")
+    write_triples_snapshot(conversation_triples(t), tdir, operation="overwrite")
+    oldk = _delta_key(read_snapshot(spark, tdir, 1))
+    newk = _delta_key(read_snapshot(spark, tdir, 2))
+    added = (
+        newk.join(oldk.select("k"), on="k", how="left_anti")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+    )
+    removed = (
+        oldk.join(newk.select("k"), on="k", how="left_anti")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return added.join(removed, on="pred", how="full").select(
+        "pred",
+        F.coalesce("n_added", F.lit(0).cast("long")).alias("n_added"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+    )
+
+
 def kg_bgp_turn_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with an OPTIONAL group (SPARQL left join): every typed turn
     with its role, plus the tool name when the turn has one — NULL
