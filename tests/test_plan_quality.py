@@ -119,16 +119,16 @@ def test_bucket_construction_is_zero_shuffle(spark):  # noqa: F811
 
 
 def test_frame_tool_turns_plan_shape(spark):  # noqa: F811
-    """Framing over the pipeline keeps the flagship's plan: exactly one
-    conv_id Exchange into ONE MapInPandas stage, no row-at-a-time
-    Python — framing work rides the existing assembly shuffle."""
+    """Framing over the pipeline: ONE MapInPandas stage, no
+    row-at-a-time Python, and NO fresh shuffle — since round 4 the
+    assembly shuffle lives in the shared per-session checkpointed
+    stage (kg_queries._checkpointed_assembled), so the framing plan
+    scans the materialized RDD directly."""
     plan = _plan(kg_queries.kg_frame_tool_turns(spark, SF))
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
-    conv_exchanges = [
-        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "conv_id" in l
-    ]
-    assert len(conv_exchanges) == 1, plan
+    assert "Exchange" not in plan, plan  # rides the shared checkpoint
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_jsonld_doc_triples_is_shuffle_free(spark):  # noqa: F811
