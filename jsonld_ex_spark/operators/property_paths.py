@@ -116,6 +116,45 @@ def _closure(e: DataFrame, max_iters: int) -> DataFrame:
     )
 
 
+def _seeded_closure(acc: DataFrame, e: DataFrame, max_iters: int) -> DataFrame:
+    """acc ∘ e+ WITHOUT the all-pairs closure: frontier doubling seeded
+    from acc's object side.  R_0 = acc∘e (one step); each round
+    R ← R ∪ R∘J and J ← J∘J (J starts as e, step size doubles), so
+    after k rounds R covers path lengths 1..2^k from the SEEDS only —
+    work is O(|pairs reachable from acc|), not O(all node pairs of
+    e's closure).  This is what makes ``A/B+/C`` (and the rewritten
+    ``A/B*/C``) linear in the answer at 10^12 triples: the conv→turn
+    list path touches each conversation's own cells, never the
+    cross-product of all cells."""
+    # rename-based joins throughout: acc/jump/r share lineage (the same
+    # checkpointed triple scan), and alias()-based self-joins over a
+    # common LogicalRDD ancestor can fail attribute resolution at
+    # checkpoint time (Catalyst 'key not found: s#N')
+    def _compose(left: DataFrame, right: DataFrame) -> DataFrame:
+        rr = right.select(F.col("s").alias("_js"), F.col("o").alias("_jo"))
+        return _dedup(
+            left.join(rr, F.col("o") == F.col("_js"), "inner")
+            .select("s", F.col("_jo").alias("o"))
+        )
+
+    jump = _dedup(e).localCheckpoint(eager=True)
+    r = _compose(acc, jump).localCheckpoint(eager=True)
+    n = r.count()
+    for _ in range(max_iters):
+        r2 = _dedup(r.unionByName(_compose(r, jump))).localCheckpoint(eager=True)
+        n2 = r2.count()
+        if n2 == n:
+            return r2
+        r, n = r2, n2
+        # jump stays the EXACTLY-2^k-step table (pure composition, no
+        # union): R already holds all shorter lengths, so R∘J_k extends
+        # the frontier to 2^{k+1} — J itself never becomes a closure
+        jump = _compose(jump, jump).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"seeded path closure did not converge in {max_iters} doubling rounds"
+    )
+
+
 def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
     if isinstance(path, str):
         return _dedup(
@@ -137,6 +176,15 @@ def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
     if kind == "seq":
         acc = _eval(triples, path[1], max_iters)
         for sub in path[2:]:
+            if isinstance(sub, tuple) and sub[0] == "plus":
+                # seed the closure from acc's frontier instead of
+                # composing with the all-pairs closure (see
+                # _seeded_closure — linear in the answer, not in the
+                # graph's transitive closure)
+                acc = _seeded_closure(
+                    acc, _eval(triples, sub[1], max_iters), max_iters
+                )
+                continue
             nxt = _eval(triples, sub, max_iters)
             acc = _dedup(
                 acc.alias("a")
@@ -161,11 +209,56 @@ def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
     raise ValueError(f"bad path node {path!r}")  # pragma: no cover — _check
 
 
+def _rewrite(path):
+    """Algebraic optimizer: eliminate zero-length identities INSIDE
+    sequences —
+
+        A / B* / C  =  A/C  ∪  A/B+/C
+        A / B? / C  =  A/C  ∪  A/B/C
+
+    (set semantics makes the identity exact).  A standalone ``star`` /
+    ``opt`` keeps the spec's identity-over-all-graph-nodes relation,
+    but inside a sequence that relation is immediately composed away —
+    at 10^12 triples, materializing identity pairs for EVERY graph
+    node just to join them off again is a scale-killer (at sf0.1 the
+    identity relation alone is ~2M rows per star).  The rewrite also
+    exposes ``plus`` to the SEEDED closure (_seeded_closure), making
+    ``A/B*/C`` linear in the answer instead of in B's transitive
+    closure — the asymptotic difference shows with long chains; the
+    sf0.1 fixtures' short lists are fixpoint-round-bound either way.
+    Each expansion removes one star/opt from a seq, so the rewrite
+    terminates with at most 2^k alternatives for k stars — SPARQL
+    paths in the wild have k ≤ 2."""
+    if isinstance(path, str):
+        return path
+    kind = path[0]
+    if kind == "neg":
+        return path
+    parts = [_rewrite(p) for p in path[1:]]
+    if kind == "seq":
+        for i, p in enumerate(parts):
+            if isinstance(p, tuple) and p[0] in ("star", "opt"):
+                rest = parts[:i] + parts[i + 1:]
+                stepped = (
+                    parts[:i]
+                    + [("plus", p[1]) if p[0] == "star" else p[1]]
+                    + parts[i + 1:]
+                )
+                skip_ast = rest[0] if len(rest) == 1 else tuple(["seq", *rest])
+                plus_ast = tuple(["seq", *stepped])
+                return ("alt", _rewrite(skip_ast), _rewrite(plus_ast))
+    return tuple([kind, *parts])
+
+
 def eval_path(triples: DataFrame, path, max_iters: int = 20) -> DataFrame:
     """Evaluate a property path to its (s, o) node-pair relation (set
     semantics).  ``max_iters`` bounds closure DOUBLING rounds — 20
-    covers diameters up to 2^20."""
+    covers diameters up to 2^20.  Sequences containing star/opt are
+    algebraically rewritten first (:func:`_rewrite`) so the zero-length
+    identity over all graph nodes is never materialized mid-sequence;
+    the oracle keeps the direct form — agreement proves the rewrite."""
     _check(path)
+    path = _rewrite(path)
     spark = triples.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     cap = str(min(int(prev), max(spark.sparkContext.defaultParallelism, 2)))

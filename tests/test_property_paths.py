@@ -160,3 +160,22 @@ def test_negated_property_set(tiny):
     assert got2 == _pairs(eval_path(tiny, ("plus", "p")))
     with pytest.raises(ValueError, match="IRI predicates"):
         eval_path(tiny, ("neg", ("inv", "p")))
+
+
+def test_seq_star_rewrite_equivalence(tiny):
+    """The seq-star/opt identity-elimination rewrite must be invisible:
+    Spark (rewritten) vs DuckDB (direct form) on multi-star sequences,
+    and the rewriter's output shape is as derived."""
+    from jsonld_ex_spark.operators.property_paths import _rewrite
+
+    assert _rewrite(("seq", "q", ("star", "p"))) == (
+        "alt", "q", ("seq", "q", ("plus", "p")))
+    assert _rewrite(("seq", "a", ("opt", "b"), "c")) == (
+        "alt", ("seq", "a", "c"), ("seq", "a", "b", "c"))
+    for path in [
+        ("seq", ("star", "p"), "q", ("star", "p")),
+        ("seq", ("opt", "p"), ("star", "q")),
+        ("seq", "q", ("star", ("alt", "p", "q"))),
+    ]:
+        got = _pairs(path_select(tiny, "?s", path, "?o"))
+        assert got == _duck(path_oracle_sql(_cte(), "?s", path, "?o")), path
