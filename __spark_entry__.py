@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_top_entities": kg_queries.kg_bgp_top_entities,
         "kg_path_tool_turns": kg_queries.kg_path_tool_turns,
         "kg_bgp_values_mentions": kg_queries.kg_bgp_values_mentions,
+        # round-5 SPARQL-surface completions: path-bound FILTER +
+        # NOT EXISTS, persisted-table property paths, BIND projection
+        "kg_path_filtered_nontool_turns": kg_queries.kg_path_filtered_nontool_turns,
+        "kg_path_persisted_tool_turns": kg_queries.kg_path_persisted_tool_turns,
+        "kg_bgp_bind_mention_labels": kg_queries.kg_bgp_bind_mention_labels,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
         "kg_construct_entity_edges": kg_queries.kg_construct_entity_edges,
@@ -129,6 +134,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_top_entities": oracles.kg_bgp_top_entities_oracle(),
         "kg_path_tool_turns": oracles.kg_path_tool_turns_oracle(),
         "kg_bgp_values_mentions": oracles.kg_bgp_values_mentions_oracle(),
+        "kg_path_filtered_nontool_turns": oracles.kg_path_filtered_nontool_turns_oracle(),
+        # the persisted-table path query must reproduce the in-memory
+        # path+pattern oracle
+        "kg_path_persisted_tool_turns": oracles.kg_path_tool_turns_oracle(),
+        "kg_bgp_bind_mention_labels": oracles.kg_bgp_bind_mention_labels_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),
         "kg_conversation_text": oracles.kg_conversation_text_oracle(),

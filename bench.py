@@ -137,6 +137,13 @@ EXTRA_QUERIES = [
     # near-duplicate wall-clock per bench run); its correctness sits in
     # the gate at all three scales
     "kg_construct_entity_edges",
+    # round-5 SPARQL-surface completions (GRAPH quads, path FILTER +
+    # NOT EXISTS, persisted paths, BIND)
+    "kg_bgp_graph_doc_chars",
+    "kg_bgp_graph_scoped_names",
+    "kg_path_filtered_nontool_turns",
+    "kg_path_persisted_tool_turns",
+    "kg_bgp_bind_mention_labels",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",
@@ -270,7 +277,14 @@ def main() -> None:
         secs, _ = run_query(spark, qmap[name], sf_dir, runs=1)
         extra[name] = round(secs, 3)
 
-    print(json.dumps({
+    # Driver contract (round-5 fix): the driver captures only the LAST
+    # ~2,000 chars of stdout, and the round-4 line (headline + persisted
+    # + 40 extras) overgrew that and was truncated mid-line → BENCH_r04
+    # recorded "parsed": null.  So the single stdout line now carries
+    # ONLY the headline contract fields + the 25 comparable queries
+    # (~1.1 KB); the full record (extras, persisted, counts) goes to
+    # BENCH/BENCH_FULL_latest.json for the repo/judge.
+    full = {
         "metric": "kg-pipeline+trainingdata-ops elapsed",
         "value": total,
         "unit": "sec",
@@ -281,8 +295,39 @@ def main() -> None:
         "turns": turns,
         "turns_per_sec_kg_triples": round(turns / kg_secs, 1),
         "triples": res["counts"]["kg_triples"],
-    }))
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BENCH_FULL_latest.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(headline_line(
+        total, res["timings"], float(sf), turns,
+        round(turns / kg_secs, 1), res["counts"]["kg_triples"],
+    ))
     spark.stop()
+
+
+def headline_line(
+    total: float, timings: dict, sf: float, turns: int,
+    turns_per_sec: float, triples: int,
+) -> str:
+    """The ONE stdout contract line, guaranteed to fit the driver's
+    ~2,000-char tail capture (round-4 lesson: the full record with 40
+    extras overgrew it and BENCH_r04 recorded parsed:null)."""
+    line = json.dumps({
+        "metric": "kg-pipeline+trainingdata-ops elapsed",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": turns,
+        "turns_per_sec_kg_triples": turns_per_sec,
+        "triples": triples,
+        "extras_file": "BENCH/BENCH_FULL_latest.json",
+    }, separators=(",", ":"))
+    assert len(line) < 1900, f"bench contract line too long: {len(line)}"
+    return line
 
 
 if __name__ == "__main__":

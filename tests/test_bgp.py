@@ -665,3 +665,267 @@ def test_values_clause_semantics_and_mirror(tiny):
     assert got == sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     with pytest.raises(ValueError, match="VALUES variable"):
         bgp_select(tiny, patterns, values={"zz": ["x"]})
+
+
+def test_numeric_filter_fractional_lexicals_agree_cross_engine(spark):  # noqa: F811
+    """Round-5 advice (medium): without the strict-integer guard Spark
+    try_cast('12.5' as long) → NULL (row dropped) while DuckDB
+    TRY_CAST('12.5' AS BIGINT) rounds to 13 (row kept).  Both engines
+    must now drop every non-strict-integer lexical form identically."""
+    triples = [
+        ("urn:a", "urn:idx", "12.5", False),   # fractional → dropped
+        ("urn:b", "urn:idx", "13", False),     # integer > 12 → kept
+        ("urn:c", "urn:idx", "12.9e1", False), # scientific → dropped
+        ("urn:d", "urn:idx", "-3", False),     # integer, fails gt
+        ("urn:e", "urn:idx", "nan", False),    # non-numeric → dropped
+    ]
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    patterns = [("?t", "<urn:idx>", "?i")]
+    for op, val, expect in [
+        ("gt", 12, [("urn:b", "13")]),
+        ("le", 13, [("urn:b", "13"), ("urn:d", "-3")]),
+        ("ne", 13, [("urn:d", "-3")]),
+    ]:
+        filters = [("i", op, val)]
+        out = bgp_select(df, patterns, project=["t", "i"], filters=filters)
+        assert _rows(out) == sorted(expect), (op, val)
+        values = ", ".join(
+            f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in triples
+        )
+        cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+        sql = bgp_oracle_sql(cte, patterns, project=["t", "i"], filters=filters)
+        duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+        assert duck == _rows(out), (op, val)
+
+
+# --- round-5 surface: GRAPH quads, EXISTS/NOT EXISTS, BIND, path filters ---
+
+QUAD_TRIPLES = [
+    ("urn:t1", "urn:role", "tool", False, "urn:g1"),
+    ("urn:t2", "urn:role", "tool", False, "urn:g2"),
+    ("urn:t3", "urn:role", "assistant", False, None),  # default graph
+    ("urn:t1", "urn:mentions", "urn:e1", True, "urn:g1"),
+    ("urn:t2", "urn:mentions", "urn:e2", True, "urn:g2"),
+    ("urn:t3", "urn:mentions", "urn:e1", True, None),
+    ("urn:t1", "urn:idx", "7", False, "urn:g1"),
+    ("urn:t2", "urn:idx", "12", False, "urn:g2"),
+]
+
+
+@pytest.fixture()
+def quads(spark):  # noqa: F811
+    return spark.createDataFrame(
+        QUAD_TRIPLES,
+        "subj string, pred string, obj string, obj_is_iri boolean, graph string",
+    )
+
+
+def _quads_cte() -> str:
+    values = ", ".join(
+        "('%s','%s','%s',%s,%s)"
+        % (s, p, o, str(i).lower(), "NULL" if g is None else f"'{g}'")
+        for s, p, o, i, g in QUAD_TRIPLES
+    )
+    return (
+        "SELECT * FROM (VALUES " + values
+        + ") AS v(subj, pred, obj, obj_is_iri, graph)"
+    )
+
+
+def _both(quads, **kw):
+    out = sorted(tuple(r) for r in bgp_select(quads, **kw).collect())
+    sql = bgp_oracle_sql(_quads_cte(), **kw)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert out == duck
+    return out
+
+
+def test_graph_variable_binds_named_graphs_only(quads):
+    """GRAPH ?g never ranges over the default graph (NULL): t3's
+    default-graph role triple must not match."""
+    got = _both(quads, patterns=[("?t", "<urn:role>", "?r", "?g")], project=["t", "r", "g"])
+    assert got == [("urn:t1", "tool", "urn:g1"), ("urn:t2", "tool", "urn:g2")]
+
+
+def test_graph_constant_scopes_pattern(quads):
+    got = _both(quads, patterns=[("?t", "<urn:mentions>", "?e", "<urn:g2>")], project=["t", "e"])
+    assert got == [("urn:t2", "urn:e2")]
+
+
+def test_graph_variable_joins_across_patterns(quads):
+    """?g shared between two quad patterns co-locates them in the SAME
+    named graph, like SPARQL GRAPH ?g { p1 . p2 }."""
+    got = _both(
+        quads,
+        patterns=[("?t", "<urn:role>", '"tool"', "?g"),
+                  ("?t", "<urn:mentions>", "?e", "?g")],
+        project=["t", "e", "g"],
+    )
+    assert got == [("urn:t1", "urn:e1", "urn:g1"), ("urn:t2", "urn:e2", "urn:g2")]
+
+
+def test_triple_patterns_keep_union_graph_semantics(quads):
+    """A 3-tuple matches across ALL graphs including the default —
+    the pre-quad behavior is unchanged."""
+    got = _both(quads, patterns=[("?t", "<urn:mentions>", "?e")], project=["t"])
+    assert got == [("urn:t1",), ("urn:t2",), ("urn:t3",)]
+
+
+def test_quad_validation(quads):
+    with pytest.raises(ValueError, match="literal graph"):
+        bgp_select(quads, [("?t", "<urn:role>", "?r", '"g"')])
+    with pytest.raises(ValueError, match="3- or 4-tuple"):
+        bgp_select(quads, [("?t", "<urn:role>")])
+
+
+def test_exists_and_not_exists_groups(quads):
+    got = _both(
+        quads, patterns=[("?t", "<urn:mentions>", "?e")], project=["t", "e"],
+        exists=[[("?t", "<urn:role>", '"tool"')]],
+    )
+    assert got == [("urn:t1", "urn:e1"), ("urn:t2", "urn:e2")]
+    got = _both(
+        quads, patterns=[("?t", "<urn:mentions>", "?e")], project=["t", "e"],
+        not_exists=[[("?t", "<urn:role>", '"tool"')]],
+    )
+    assert got == [("urn:t3", "urn:e1")]
+    # semi-join must not multiply solutions when the group matches twice
+    got = _both(
+        quads, patterns=[("?t", "<urn:role>", '"tool"')], project=["t"],
+        exists=[[("?t", "<urn:idx>", "?i")]],
+    )
+    assert got == [("urn:t1",), ("urn:t2",)]
+
+
+def test_exists_validation(quads):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_select(
+            quads, [("?t", "<urn:role>", '"tool"')],
+            exists=[[("?x", "<urn:idx>", "?i")]],
+        )
+
+
+def test_bind_expressions_match_oracle(quads):
+    got = _both(
+        quads,
+        patterns=[("?t", "<urn:idx>", "?i"), ("?t", "<urn:mentions>", "?e")],
+        project=["t", "ename", "i2", "lbl", "elen"],
+        bind={
+            "ename": ("localname", "e"),
+            "i2": ("add", ("mul", "i", 10), 5),
+            "lbl": ("concat", ("lit", "m:"), ("localname", "e"), ("lit", "@"), "t"),
+            "elen": ("strlen", "e"),
+        },
+    )
+    assert got == [
+        ("urn:t1", "urn:e1", 75, "m:urn:e1@urn:t1", 6),
+        ("urn:t2", "urn:e2", 125, "m:urn:e2@urn:t2", 6),
+    ]
+
+
+def test_bind_numeric_guard_nulls_non_integer(quads):
+    """Arithmetic over a non-integer lexical form yields NULL in both
+    engines (strict-integer guard, same as numeric FILTERs)."""
+    got = _both(
+        quads, patterns=[("?t", "<urn:role>", "?r")], project=["t", "n"],
+        bind={"n": ("add", "r", 1)},
+    )
+    assert all(n is None for _, n in got)
+
+
+def test_bind_validation(quads):
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_select(quads, [("?t", "<urn:idx>", "?i")], bind={"i": ("strlen", "t")})
+    with pytest.raises(ValueError, match="unbound variable"):
+        bgp_select(quads, [("?t", "<urn:idx>", "?i")], bind={"x": ("strlen", "zz")})
+    with pytest.raises(ValueError, match="bad BIND"):
+        bgp_select(quads, [("?t", "<urn:idx>", "?i")], bind={"x": ("exp", "i")})
+
+
+def test_filter_on_path_bound_variable(quads):
+    """Round-4 verdict item 3: FILTERs now apply to variables bound
+    only by property paths (post-join), mirrored in the oracle's outer
+    WHERE."""
+    paths = [("?t", ("seq", "urn:mentions", ("opt", "urn:sameAs")), "?e")]
+    filters = [("e", "regex", "e1$")]
+    out = sorted(
+        tuple(r)
+        for r in bgp_select(quads, [], paths=paths, filters=filters,
+                            project=["t", "e"]).collect()
+    )
+    sql = bgp_oracle_sql(_quads_cte(), [], paths=paths, filters=filters,
+                         project=["t", "e"])
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert out == duck
+    assert out == [("urn:t1", "urn:e1"), ("urn:t3", "urn:e1")]
+    # mixed: plain-pattern filter still pushes, path filter post-joins
+    out2 = sorted(
+        tuple(r)
+        for r in bgp_select(
+            quads, [("?t", "<urn:idx>", "?i")], paths=paths,
+            filters=[("i", "gt", 5), ("e", "regex", "e1$")],
+            project=["t", "i", "e"],
+        ).collect()
+    )
+    sql2 = bgp_oracle_sql(
+        _quads_cte(), [("?t", "<urn:idx>", "?i")], paths=paths,
+        filters=[("i", "gt", 5), ("e", "regex", "e1$")],
+        project=["t", "i", "e"],
+    )
+    duck2 = sorted(tuple(r) for r in duckdb.connect().execute(sql2).fetchall())
+    assert out2 == duck2 == [("urn:t1", "7", "urn:e1")]
+
+
+def test_constant_graph_filter_pushed_to_scan(spark, tmp_path):  # noqa: F811
+    """Round-4 verdict item 2 'done' criterion: a constant graph term
+    must reach the persisted quad table's parquet scan as a PushedFilter
+    (on a graph-partitioned layout this prunes files)."""
+    from jsonld_ex_spark.operators.bgp import bgp_over_table
+
+    df = spark.createDataFrame(
+        QUAD_TRIPLES,
+        "subj string, pred string, obj string, obj_is_iri boolean, graph string",
+    )
+    path = str(tmp_path / "quads")
+    df.write.parquet(path)
+    out = bgp_over_table(
+        spark, path,
+        [("?t", "<urn:mentions>", "?e", "<urn:g2>")],
+        project=["t", "e"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "urn:g2" in plan  # the graph constant reached the scan
+    assert _rows(out) == [("urn:t2", "urn:e2")]
+    # ?g variable: IsNotNull(graph) must also be pushed
+    out2 = bgp_over_table(
+        spark, path, [("?t", "<urn:role>", "?r", "?g")], project=["t", "g"]
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "IsNotNull(graph)" in plan2
+
+
+def test_bgp_over_table_forwards_paths(spark, tmp_path):  # noqa: F811
+    """Round-4 verdict item 4: the persisted-table form must evaluate
+    property paths over the same pruned scans (it previously dropped
+    paths= entirely)."""
+    from jsonld_ex_spark.operators.bgp import bgp_over_table
+
+    df = spark.createDataFrame(
+        QUAD_TRIPLES,
+        "subj string, pred string, obj string, obj_is_iri boolean, graph string",
+    )
+    path = str(tmp_path / "quads")
+    df.write.parquet(path)
+    out = bgp_over_table(
+        spark, path,
+        [("?t", "<urn:idx>", "?i")],
+        project=["t", "i", "e"],
+        paths=[("?t", ("seq", "urn:mentions", ("opt", "urn:sameAs")), "?e")],
+    )
+    assert _rows(out) == [
+        ("urn:t1", "7", "urn:e1"),
+        ("urn:t2", "12", "urn:e2"),
+    ]

