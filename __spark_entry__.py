@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_filtered_nontool_turns": kg_queries.kg_path_filtered_nontool_turns,
         "kg_path_persisted_tool_turns": kg_queries.kg_path_persisted_tool_turns,
         "kg_bgp_bind_mention_labels": kg_queries.kg_bgp_bind_mention_labels,
+        "kg_bgp_entity_idx_sum": kg_queries.kg_bgp_entity_idx_sum,
+        "kg_describe_convs": kg_queries.kg_describe_convs,
+        "kg_bgp_turn_entity_lists": kg_queries.kg_bgp_turn_entity_lists,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
         "kg_construct_entity_edges": kg_queries.kg_construct_entity_edges,
@@ -139,6 +142,9 @@ def oracle_sql() -> dict[str, str]:
         # path+pattern oracle
         "kg_path_persisted_tool_turns": oracles.kg_path_tool_turns_oracle(),
         "kg_bgp_bind_mention_labels": oracles.kg_bgp_bind_mention_labels_oracle(),
+        "kg_bgp_entity_idx_sum": oracles.kg_bgp_entity_idx_sum_oracle(),
+        "kg_describe_convs": oracles.kg_describe_convs_oracle(),
+        "kg_bgp_turn_entity_lists": oracles.kg_bgp_turn_entity_lists_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),
         "kg_conversation_text": oracles.kg_conversation_text_oracle(),

@@ -144,6 +144,9 @@ EXTRA_QUERIES = [
     "kg_path_filtered_nontool_turns",
     "kg_path_persisted_tool_turns",
     "kg_bgp_bind_mention_labels",
+    "kg_bgp_entity_idx_sum",
+    "kg_bgp_turn_entity_lists",
+    "kg_describe_convs",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

@@ -10,10 +10,12 @@ table — the production deployment of the BGP layer.
         [--optional '?turn <https://sparkld.dev/vocab#tool> ?toolname'] \
         [--construct '?entity <https://sparkld.dev/vocab#mentionedBy> ?turn'] \
         [--filter 'idx gt 5'] [--filter 'entity regex E00..$'] \
+    [--exists '?turn <...#tool> ?tn'] [--not-exists '?turn <...#tool> ?tn'] \
         [--order-by 'entity asc' --limit 100]
 
-Each --pattern/--optional/--construct is one whitespace-separated
-triple pattern (?var, <iri>, "literal" terms; literals must not contain
+Each --pattern/--optional/--exists/--not-exists/--construct is one
+whitespace-separated triple pattern — or QUAD pattern with a 4th graph
+term (<iri> scopes to a named graph, ?g binds it) (?var, <iri>, "literal" terms; literals must not contain
 spaces — use the Python API for arbitrary literals).  --filter is
 'var op value' with op in gt/ge/lt/le/eq/ne/regex (an all-digit value
 compares numerically).  --order-by 'col asc|desc' (repeatable; must be
@@ -34,11 +36,14 @@ import json
 import time
 
 
-def parse_pattern(text: str) -> tuple[str, str, str]:
+def parse_pattern(text: str) -> tuple[str, ...]:
     parts = text.split()
-    if len(parts) != 3:
-        raise SystemExit(f"pattern must have 3 whitespace-separated terms: {text!r}")
-    return (parts[0], parts[1], parts[2])
+    if len(parts) not in (3, 4):
+        raise SystemExit(
+            f"pattern must have 3 (triple) or 4 (quad: s p o g — SPARQL "
+            f"GRAPH clause) whitespace-separated terms: {text!r}"
+        )
+    return tuple(parts)
 
 
 def main() -> None:
@@ -47,6 +52,10 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--pattern", action="append", required=True)
     p.add_argument("--optional", action="append", default=[])
+    p.add_argument("--exists", action="append", default=[],
+                   help="FILTER EXISTS pattern (semi-join; repeatable)")
+    p.add_argument("--not-exists", action="append", default=[], dest="not_exists",
+                   help="FILTER NOT EXISTS pattern (anti-join; repeatable)")
     p.add_argument("--construct", action="append", default=[])
     p.add_argument("--filter", action="append", default=[], dest="filters",
                    help="'var op value' (gt/ge/lt/le/eq/ne/regex; digits compare numerically)")
@@ -73,6 +82,8 @@ def main() -> None:
 
     patterns = [parse_pattern(t) for t in args.pattern]
     optional = [[parse_pattern(t)] for t in args.optional]
+    exists = [[parse_pattern(t)] for t in args.exists]
+    not_exists = [[parse_pattern(t)] for t in args.not_exists]
 
     def parse_filter(text: str) -> tuple[str, str, object]:
         import re
@@ -104,8 +115,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     triples = spark.read.parquet(args.triples)
-    if args.construct and (filters or order_by):
-        raise SystemExit("--filter/--order-by apply to SELECT queries, not --construct")
+    if args.construct and (filters or order_by or exists or not_exists):
+        raise SystemExit(
+            "--filter/--order-by/--exists/--not-exists apply to SELECT "
+            "queries, not --construct"
+        )
     if args.construct:
         template = [parse_pattern(t) for t in args.construct]
         out = bgp_construct(triples, patterns, template, optional=optional or None)
@@ -116,7 +130,8 @@ def main() -> None:
         kind = "constructed_triples"
     else:
         out = bgp_select(
-            triples, patterns, optional=optional or None, filters=filters
+            triples, patterns, optional=optional or None, filters=filters,
+            exists=exists or None, not_exists=not_exists or None,
         )
         if order_by:
             out = bgp_order_limit(out, order_by, args.limit)

@@ -553,24 +553,43 @@ def bgp_select(
     return acc
 
 
-_AGG_FNS = {"count", "count_distinct", "min", "max"}
+_AGG_FNS = {"count", "count_distinct", "min", "max", "sum", "group_concat"}
+
+# GROUP_CONCAT separator — fixed so the Spark plan and the SQL oracle
+# can never drift; elements are SORTED first (SPARQL leaves solution
+# order undefined, so an order-sensitive aggregate must impose one to
+# be deterministic/oracle-checkable)
+GROUP_CONCAT_SEP = "|"
 
 
 def bgp_aggregate(
     triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
+    patterns: list[tuple[str, ...]],
     group_by: list[str],
     aggs: dict[str, tuple[str, str | None]],
-    optional: list[list[tuple[str, str, str]]] | None = None,
-    minus: list[list[tuple[str, str, str]]] | None = None,
+    optional: list[list[tuple[str, ...]]] | None = None,
+    minus: list[list[tuple[str, ...]]] | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
+    paths: list[tuple[str, object, str]] | None = None,
 ) -> DataFrame:
     """SPARQL SELECT-with-GROUP-BY over BGP bindings: ``aggs`` maps
-    output column -> (fn, var), fn in {count, count_distinct, min,
-    max}; ``("count", None)`` counts solutions.  Numeric SUM/AVG over
-    lexical forms is deliberately out of scope (the triple model's
-    objects are strings; cast in a downstream select if the datatype
-    warrants it)."""
-    b = bgp_select(triples, patterns, optional=optional, minus=minus)
+    output column -> (fn, var), fn in {count, count_distinct, min, max,
+    sum, group_concat}; ``("count", None)`` counts solutions.
+    ``filters``/``paths`` forward to :func:`bgp_select` (aggregation
+    over FILTERed or path-traversed bindings).
+
+    ``sum`` numeric-sums lexical forms under the strict-integer guard
+    (non-integer bindings contribute NULL = skipped, identically in
+    both engines — see _filter_cond_spark); the result is BIGINT.
+    ``group_concat`` joins the group's values SORTED with
+    GROUP_CONCAT_SEP (deterministic; mirrors SQL string_agg ORDER BY).
+    AVG is deliberately out of scope: a fractional result cannot be
+    rendered engine-identically (compute sum+count and divide
+    downstream, or use integer ppm)."""
+    b = bgp_select(
+        triples, patterns, optional=optional, minus=minus,
+        filters=filters, paths=paths,
+    )
     cols = []
     for out, (fn, var) in aggs.items():
         if fn not in _AGG_FNS:
@@ -580,12 +599,17 @@ def bgp_aggregate(
             continue
         if var is None or var not in b.columns:
             raise ValueError(f"aggregate {out}: variable {var!r} not bound")
+        c = F.col(var)
         cols.append(
             {
-                "count": F.count(F.col(var)),
-                "count_distinct": F.countDistinct(F.col(var)),
-                "min": F.min(F.col(var)),
-                "max": F.max(F.col(var)),
+                "count": F.count(c),
+                "count_distinct": F.countDistinct(c),
+                "min": F.min(c),
+                "max": F.max(c),
+                "sum": F.sum(F.when(c.rlike(_INT_LEXICAL_RE), c.try_cast("long"))),
+                "group_concat": F.concat_ws(
+                    GROUP_CONCAT_SEP, F.array_sort(F.collect_list(c))
+                ),
             }[fn].alias(out)
         )
     return b.groupBy(*group_by).agg(*cols)
@@ -596,12 +620,17 @@ def bgp_aggregate_oracle_sql(
     patterns: list[tuple[str, str, str]],
     group_by: list[str],
     aggs: dict[str, tuple[str, str | None]],
-    optional: list[list[tuple[str, str, str]]] | None = None,
-    minus: list[list[tuple[str, str, str]]] | None = None,
+    optional: list[list[tuple[str, ...]]] | None = None,
+    minus: list[list[tuple[str, ...]]] | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
+    paths: list[tuple[str, object, str]] | None = None,
 ) -> str:
     """SQL mirror of :func:`bgp_aggregate` (counts CAST to BIGINT so
     DuckDB's types render identically to Spark's longs)."""
-    inner = bgp_oracle_sql(triples_sql, patterns, optional=optional, minus=minus)
+    inner = bgp_oracle_sql(
+        triples_sql, patterns, optional=optional, minus=minus,
+        filters=filters, paths=paths,
+    )
     parts = []
     for out, (fn, var) in aggs.items():
         if fn not in _AGG_FNS:
@@ -612,6 +641,19 @@ def bgp_aggregate_oracle_sql(
             parts.append(f"CAST(count({var}) AS BIGINT) AS {out}")
         elif fn == "count_distinct":
             parts.append(f"CAST(count(DISTINCT {var}) AS BIGINT) AS {out}")
+        elif fn == "sum":
+            # outer CAST: DuckDB sum(BIGINT) yields HUGEINT → float64 in
+            # .df() → rendered '1051.0' vs Spark's '1051'
+            parts.append(
+                f"CAST(sum(CASE WHEN regexp_matches({var}, "
+                f"{_sql_quote(_INT_LEXICAL_RE)}) THEN TRY_CAST({var} AS BIGINT) "
+                f"END) AS BIGINT) AS {out}"
+            )
+        elif fn == "group_concat":
+            parts.append(
+                f"string_agg({var}, {_sql_quote(GROUP_CONCAT_SEP)} "
+                f"ORDER BY {var}) AS {out}"
+            )
         else:
             parts.append(f"{fn}({var}) AS {out}")
     sel = ", ".join(group_by + parts)
@@ -1083,6 +1125,89 @@ def bgp_oracle_sql(
         f"{with_kw} triples AS ({triples_sql}),\n" + ",\n".join(ctes) + "\n"
         f"SELECT {proj} FROM ({base}) base WHERE {where}"
     )
+
+
+def bgp_describe(
+    triples: DataFrame,
+    roots,
+    max_iters: int = 20,
+) -> DataFrame:
+    """SPARQL DESCRIBE as a Concise Bounded Description (CBD — the
+    de-facto standard DESCRIBE semantics): for each described node,
+    every triple whose subject is the node, plus — transitively — every
+    triple whose subject is a BLANK NODE reached through an included
+    triple's object (blank nodes have no global identity, so their
+    description belongs to the node that owns them; IRIs are NOT
+    followed, they can be DESCRIBEd themselves).
+
+    ``roots`` is a list of IRIs or a single-column DataFrame of node
+    IRIs (the DESCRIBE ?x WHERE {...} form: bind the variable with
+    bgp_select, pass the projected column).  Returns (root, subj, pred,
+    obj, obj_is_iri) with set semantics — ``root`` attributes each
+    triple to the described node whose closure pulled it in.
+
+    Scale shape: the bnode closure is the SEEDED pointer-doubling
+    closure (property_paths._seeded_closure) over the bnode-object edge
+    relation — O(log depth) supersteps even for rdf:list chains (a
+    conversation's CBD includes its whole @list spine), never
+    one-hop-per-level, and work proportional to the described nodes'
+    own closures, not the graph's."""
+    from jsonld_ex_spark.operators.property_paths import _seeded_closure
+
+    if isinstance(roots, DataFrame):
+        if len(roots.columns) != 1:
+            raise ValueError("roots DataFrame must have exactly one column")
+        root_df = roots.toDF("root").dropDuplicates()
+    else:
+        if not roots:
+            raise ValueError("empty DESCRIBE")
+        root_df = triples.sparkSession.createDataFrame(
+            [(r,) for r in roots], "root string"
+        )
+    spark = triples.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = str(min(int(prev), max(spark.sparkContext.defaultParallelism, 2)))
+    spark.conf.set("spark.sql.shuffle.partitions", cap)
+    try:
+        bnode_edges = (
+            triples.filter(F.col("obj_is_iri") & F.col("obj").startswith("_:"))
+            .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+        )
+        seed = root_df.select(F.col("root").alias("s"), F.col("root").alias("o"))
+        closure = _seeded_closure(seed, bnode_edges, max_iters)
+        reach = (
+            seed.unionByName(closure)
+            .select(F.col("s").alias("root"), F.col("o").alias("node"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        reach.join(triples, reach["node"] == triples["subj"], "inner")
+        .select("root", "subj", "pred", "obj", "obj_is_iri")
+        .dropDuplicates()
+    )
+
+
+def bgp_describe_oracle_sql(
+    triples_sql: str, roots_sql: str
+) -> str:
+    """SQL mirror of :func:`bgp_describe`: WITH RECURSIVE bnode-object
+    closure from the described nodes (UNION = set semantics).
+    ``roots_sql`` is a query producing one column ``root``."""
+    return f"""
+WITH RECURSIVE triples AS ({triples_sql}),
+roots AS ({roots_sql}),
+reach(root, node) AS (
+  SELECT root, root FROM roots
+  UNION
+  SELECT reach.root, t.obj FROM reach
+  JOIN triples t ON t.subj = reach.node
+  WHERE t.obj_is_iri AND t.obj LIKE '_:%'
+)
+SELECT DISTINCT reach.root AS root, t.subj, t.pred, t.obj, t.obj_is_iri
+FROM reach JOIN triples t ON t.subj = reach.node"""
 
 
 def bgp_ask(

@@ -358,6 +358,62 @@ def _checkpointed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_PATH_REL_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PERSISTED_DIR_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _conv_turn_path_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``?conv v:turns/rdf:rest*/rdf:first ?turn`` node-pair
+    relation, evaluated ONCE per (session, sf_dir): three gated path
+    queries traverse this exact closure, and a closure is a pure
+    function of the (already memoized) triple table — re-running the
+    fixpoint per query is the same waste the shared checkpointed
+    triples eliminated in round 4.  eval_path returns an eager
+    localCheckpoint, so consumers scan a materialized (s, o) table.
+    Production form: persist the closure next to the triple table and
+    let every traversal query scan it (path_select accepts the
+    precomputed relation)."""
+    from jsonld_ex_spark.operators.graph_paths import RDF_NS
+    from jsonld_ex_spark.operators.property_paths import eval_path
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rel = _PATH_REL_MEMO.get(key)
+    if rel is None:
+        for k in [k for k in _PATH_REL_MEMO if k[0] != key[0]]:
+            del _PATH_REL_MEMO[k]
+        rel = eval_path(
+            _checkpointed_triples(spark, sf_dir),
+            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
+        )
+        _PATH_REL_MEMO[key] = rel
+    return rel
+
+
+def _persisted_triples_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once persisted triple table per (session, sf_dir): both
+    persisted-form gate queries (kg_bgp_persisted_tool_mentions,
+    kg_path_persisted_tool_turns) scan ONE salted subject-bucketed
+    table instead of each writing its own copy — the write is the
+    one-time deployment cost, exactly like production."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.triples import write_triples
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tdir = _PERSISTED_DIR_MEMO.get(key)
+    if tdir is None:
+        for k in [k for k in _PERSISTED_DIR_MEMO if k[0] != key[0]]:
+            del _PERSISTED_DIR_MEMO[k]
+        tdir = tempfile.mkdtemp(prefix="bgp_tbl_") + "/triples"
+        write_triples(_checkpointed_triples(spark, sf_dir), tdir, mode="overwrite")
+        atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+        _PERSISTED_DIR_MEMO[key] = tdir
+    return tdir
+
+
 def _list_heads(triples: DataFrame) -> DataFrame:
     """(head, cell) rows for every conversation's rdf:list entry."""
     from jsonld_ex_spark.sources.transcripts import VOCAB
@@ -792,17 +848,10 @@ def kg_bgp_persisted_tool_mentions(spark: SparkSession, sf_dir: str) -> DataFram
     (plan-asserted in tests/test_bgp.py).  Must hash-equal the same
     oracle as the in-memory kg_bgp_tool_mentions — proving the
     write→scan→query path is lossless, not just the in-memory one."""
-    import atexit
-    import shutil
-    import tempfile
-
     from jsonld_ex_spark.operators.bgp import bgp_over_table
-    from jsonld_ex_spark.operators.triples import write_triples
     from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
 
-    tdir = tempfile.mkdtemp(prefix="bgp_tbl_") + "/triples"
-    write_triples(_checkpointed_triples(spark, sf_dir), tdir, mode="overwrite")
-    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    tdir = _persisted_triples_dir(spark, sf_dir)
     return bgp_over_table(
         spark, tdir, BGP_TOOL_MENTIONS_PATTERNS, project=["turn", "entity"]
     )
@@ -986,14 +1035,12 @@ def kg_path_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     and set-semantics dedup; the DuckDB oracle evaluates the SAME path
     AST with a WITH RECURSIVE fixpoint — two independent engines'
     closures must agree pair-for-pair."""
-    from jsonld_ex_spark.operators.graph_paths import RDF_NS
     from jsonld_ex_spark.operators.property_paths import path_select
-    from jsonld_ex_spark.sources.transcripts import VOCAB
 
     return path_select(
         _checkpointed_triples(spark, sf_dir),
         "?conv",
-        ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
+        _conv_turn_path_rel(spark, sf_dir),
         "?turn",
     )
 
@@ -1011,18 +1058,13 @@ def kg_path_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ?turn inside the one compiled plan; the oracle composes the
     recursive path CTEs with the pattern CTEs in the same WITH."""
     from jsonld_ex_spark.operators.bgp import bgp_select
-    from jsonld_ex_spark.operators.graph_paths import RDF_NS
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
     return bgp_select(
         _checkpointed_triples(spark, sf_dir),
         [("?turn", f"<{VOCAB}tool>", "?toolname")],
         project=["conv", "turn", "toolname"],
-        paths=[(
-            "?conv",
-            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
-            "?turn",
-        )],
+        paths=[("?conv", _conv_turn_path_rel(spark, sf_dir), "?turn")],
     )
 
 
@@ -1110,18 +1152,13 @@ def kg_path_filtered_nontool_turns(spark: SparkSession, sf_dir: str) -> DataFram
     turns with no tool attachment (left-anti join; the oracle compiles
     the same group to a NOT EXISTS subquery)."""
     from jsonld_ex_spark.operators.bgp import bgp_select
-    from jsonld_ex_spark.operators.graph_paths import RDF_NS
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
     return bgp_select(
         _checkpointed_triples(spark, sf_dir),
         [("?turn", f"<{VOCAB}role>", "?role")],
         project=["conv", "turn", "role"],
-        paths=[(
-            "?conv",
-            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
-            "?turn",
-        )],
+        paths=[("?conv", _conv_turn_path_rel(spark, sf_dir), "?turn")],
         filters=[("conv", "regex", "[0-4]$")],
         not_exists=[[("?turn", f"<{VOCAB}tool>", "?tname")]],
     )
@@ -1136,18 +1173,11 @@ def kg_path_persisted_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters; the path closure reads the same persisted scan.  Must
     hash-equal kg_path_tool_turns' oracle — the write→scan→traverse
     path is lossless."""
-    import atexit
-    import shutil
-    import tempfile
-
     from jsonld_ex_spark.operators.bgp import bgp_over_table
     from jsonld_ex_spark.operators.graph_paths import RDF_NS
-    from jsonld_ex_spark.operators.triples import write_triples
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
-    tdir = tempfile.mkdtemp(prefix="bgp_path_tbl_") + "/triples"
-    write_triples(_checkpointed_triples(spark, sf_dir), tdir, mode="overwrite")
-    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    tdir = _persisted_triples_dir(spark, sf_dir)
     return bgp_over_table(
         spark, tdir,
         [("?turn", f"<{VOCAB}tool>", "?toolname")],
@@ -1171,6 +1201,69 @@ def kg_bgp_bind_mention_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.plans.oracles import BGP_BIND_MENTION_ARGS
 
     return bgp_select(_checkpointed_triples(spark, sf_dir), **BGP_BIND_MENTION_ARGS)
+
+
+def kg_describe_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE under the gate (round-5 — completes the query-
+    form family next to SELECT/ASK/CONSTRUCT): Concise Bounded
+    Description of every conversation whose IRI ends in '00' (a
+    deterministic ~1% sample).  Each conversation's CBD pulls its own
+    triples plus — through the blank-node closure — its ENTIRE rdf:list
+    spine (rest/first cells are blank nodes), so the description is the
+    full reassembly a SPARQL client expects; the closure runs the
+    pointer-doubled seeded frontier, O(log list-length) supersteps.
+    The DuckDB oracle recomputes the same CBD with a WITH RECURSIVE
+    bnode walk."""
+    from jsonld_ex_spark.operators.bgp import bgp_describe
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    t = _checkpointed_triples(spark, sf_dir)
+    roots = (
+        t.filter((F.col("pred") == f"{VOCAB}turns") & F.col("subj").rlike("00$"))
+        .select("subj")
+        .dropDuplicates()
+    )
+    return bgp_describe(t, roots)
+
+
+def kg_bgp_entity_idx_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SUM aggregate under the gate (round-5): per-entity sum of
+    the mentioning turns' turn_idx lexicals — numeric aggregation over
+    string-typed objects, safe cross-engine ONLY under the
+    strict-integer guard (Spark try_cast vs DuckDB TRY_CAST diverge on
+    fractional forms) with the oracle's outer CAST defeating DuckDB's
+    sum→HUGEINT→float64 rendering."""
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_aggregate(
+        _checkpointed_triples(spark, sf_dir),
+        [
+            ("?turn", f"<{VOCAB}mentions>", "?entity"),
+            ("?turn", f"<{VOCAB}turn_idx>", "?idx"),
+        ],
+        group_by=["entity"],
+        aggs={"n_mentions": ("count", None), "idx_sum": ("sum", "idx")},
+    )
+
+
+def kg_bgp_turn_entity_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT under the gate (round-5): each turn's
+    mentioned entities joined SORTED with a fixed separator — the
+    order-sensitive aggregate made deterministic (SPARQL leaves
+    solution order undefined), mirrored by string_agg ... ORDER BY in
+    the oracle.  Groups are per-turn (a few elements each), never
+    per-entity — a hot entity's million-mention concat would be a
+    driver-killing string at 10^12 triples."""
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_aggregate(
+        _checkpointed_triples(spark, sf_dir),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        group_by=["turn"],
+        aggs={"n_mentions": ("count", None), "entities": ("group_concat", "entity")},
+    )
 
 
 def kg_bgp_entity_mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -348,8 +348,21 @@ def path_select(
 
     Terms are ``?var`` or ``<iri>`` (literal terms are rejected — see
     module docstring).  Returns one column per variable; with two
-    identical variables the relation is filtered to s = o."""
-    rel = eval_path(triples, path, max_iters, allow_full_closure)
+    identical variables the relation is filtered to s = o.
+
+    ``path`` may also be a PRECOMPUTED (s, o) relation (a DataFrame) —
+    the production reuse shape: a closure evaluated once (eval_path,
+    typically localCheckpointed) serves every query that traverses the
+    same path, instead of re-running the fixpoint per query (the same
+    write-once economics as the checkpointed triple table)."""
+    if isinstance(path, DataFrame):
+        if set(path.columns) != {"s", "o"}:
+            raise ValueError(
+                f"precomputed path relation must have columns (s, o), got {path.columns}"
+            )
+        rel = path
+    else:
+        rel = eval_path(triples, path, max_iters, allow_full_closure)
 
     def parse(term: str, col: str):
         if term.startswith("?") and len(term) > 1:

@@ -726,6 +726,41 @@ def kg_bgp_bind_mention_labels_oracle() -> str:
     return bgp_oracle_sql(kg_triples_oracle(), **BGP_BIND_MENTION_ARGS)
 
 
+def kg_describe_convs_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_describe_oracle_sql
+
+    return bgp_describe_oracle_sql(
+        kg_triples_oracle(),
+        f"SELECT DISTINCT subj AS root FROM triples "
+        f"WHERE pred = '{VOCAB}turns' AND subj LIKE '%00'",
+    )
+
+
+def kg_bgp_entity_idx_sum_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate_oracle_sql
+
+    return bgp_aggregate_oracle_sql(
+        kg_triples_oracle(),
+        [
+            ("?turn", f"<{VOCAB}mentions>", "?entity"),
+            ("?turn", f"<{VOCAB}turn_idx>", "?idx"),
+        ],
+        group_by=["entity"],
+        aggs={"n_mentions": ("count", None), "idx_sum": ("sum", "idx")},
+    )
+
+
+def kg_bgp_turn_entity_lists_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate_oracle_sql
+
+    return bgp_aggregate_oracle_sql(
+        kg_triples_oracle(),
+        [("?turn", f"<{VOCAB}mentions>", "?entity")],
+        group_by=["turn"],
+        aggs={"n_mentions": ("count", None), "entities": ("group_concat", "entity")},
+    )
+
+
 def kg_bgp_filtered_mentions_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 

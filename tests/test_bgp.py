@@ -929,3 +929,91 @@ def test_bgp_over_table_forwards_paths(spark, tmp_path):  # noqa: F811
         ("urn:t1", "7", "urn:e1"),
         ("urn:t2", "12", "urn:e2"),
     ]
+
+
+def test_sum_and_group_concat_aggregates(quads):
+    """Round-5 aggregate extensions: SUM over strict-integer-guarded
+    lexical forms (BIGINT both engines) and deterministic sorted
+    GROUP_CONCAT, both mirrored in SQL."""
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_aggregate_oracle_sql,
+    )
+
+    kw = dict(
+        patterns=[("?t", "<urn:mentions>", "?e")],
+        group_by=["t"],
+        aggs={"n": ("count", None), "ents": ("group_concat", "e")},
+    )
+    out = sorted(tuple(r) for r in bgp_aggregate(quads, **kw).collect())
+    sql = bgp_aggregate_oracle_sql(_quads_cte(), **kw)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert out == duck
+    assert out == [
+        ("urn:t1", 1, "urn:e1"),
+        ("urn:t2", 1, "urn:e2"),
+        ("urn:t3", 1, "urn:e1"),
+    ]
+    # SUM: integer lexicals sum; non-integer lexicals (role strings)
+    # contribute NULL = skipped in both engines
+    kw2 = dict(
+        patterns=[("?t", "<urn:idx>", "?i"), ("?t", "<urn:role>", "?r")],
+        group_by=["r"],
+        aggs={"total": ("sum", "i"), "bogus": ("sum", "r")},
+    )
+    out2 = sorted(tuple(r) for r in bgp_aggregate(quads, **kw2).collect())
+    sql2 = bgp_aggregate_oracle_sql(_quads_cte(), **kw2)
+    duck2 = sorted(tuple(r) for r in duckdb.connect().execute(sql2).fetchall())
+    assert out2 == duck2 == [("tool", 19, None)]
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        bgp_aggregate(quads, [("?t", "<urn:idx>", "?i")], ["t"], {"a": ("avg", "i")})
+
+
+DESCRIBE_TRIPLES = [
+    ("urn:c1", "urn:turns", "_:a", True),
+    ("_:a", "urn:first", "urn:t1", True),
+    ("_:a", "urn:rest", "_:b", True),
+    ("_:b", "urn:first", "urn:t2", True),
+    ("_:b", "urn:rest", "urn:nil", True),
+    ("urn:c2", "urn:turns", "_:c", True),
+    ("_:c", "urn:first", "urn:t3", True),
+    ("urn:t1", "urn:role", "tool", False),
+]
+
+
+def test_describe_cbd_follows_bnodes_not_iris(spark):  # noqa: F811
+    """DESCRIBE = Concise Bounded Description: the described node's
+    triples plus the transitive closure through BLANK-NODE objects
+    (the rdf:list spine), never through IRI objects (urn:t1's own
+    triples stay out of c1's description)."""
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_describe,
+        bgp_describe_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        DESCRIBE_TRIPLES, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    out = sorted(tuple(r) for r in bgp_describe(df, ["urn:c1"]).collect())
+    assert out == sorted([
+        ("urn:c1", "urn:c1", "urn:turns", "_:a", True),
+        ("urn:c1", "_:a", "urn:first", "urn:t1", True),
+        ("urn:c1", "_:a", "urn:rest", "_:b", True),
+        ("urn:c1", "_:b", "urn:first", "urn:t2", True),
+        ("urn:c1", "_:b", "urn:rest", "urn:nil", True),
+    ])
+    # DataFrame-roots form + oracle equivalence over both roots
+    roots = df.filter(F.col("pred") == "urn:turns").select("subj").dropDuplicates()
+    got = sorted(tuple(r) for r in bgp_describe(df, roots).collect())
+    values = ", ".join(
+        f"('{s}', '{p}', '{o}', {str(i).lower()})" for s, p, o, i in DESCRIBE_TRIPLES
+    )
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_describe_oracle_sql(
+        cte, "SELECT DISTINCT subj AS root FROM triples WHERE pred = 'urn:turns'"
+    )
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == duck
+    assert ("urn:c2", "_:c", "urn:first", "urn:t3", True) in got
+    with pytest.raises(ValueError, match="empty DESCRIBE"):
+        bgp_describe(df, [])
