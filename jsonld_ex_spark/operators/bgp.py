@@ -139,7 +139,11 @@ _POS_COLS = ("subj", "pred", "obj", "graph")
 # matches Java/RE2-common syntax via rlike (Spark) / regexp_matches
 # (DuckDB).
 _FILTER_SQL_OPS = {"gt": ">", "ge": ">=", "lt": "<", "le": "<=", "eq": "=", "ne": "<>"}
-_INT_LEXICAL_RE = "^-?[0-9]+$"
+# \A/\z, not ^/$: Java's '$' (Spark rlike) matches BEFORE a trailing
+# line terminator, so '7\n' would pass the guard in Spark (try_cast
+# trims it) while RE2's '$' (DuckDB) rejects it — \A/\z mean
+# end-of-TEXT in both engines (round-5 review finding)
+_INT_LEXICAL_RE = r"\A-?[0-9]+\z"
 
 
 def _check_filters(filters) -> None:
@@ -606,7 +610,17 @@ def bgp_aggregate(
                 "count_distinct": F.countDistinct(c),
                 "min": F.min(c),
                 "max": F.max(c),
-                "sum": F.sum(F.when(c.rlike(_INT_LEXICAL_RE), c.try_cast("long"))),
+                # COALESCE to 0: SPARQL Sum over an empty sequence is 0,
+                # and a NULL in a BIGINT result column would downcast
+                # DuckDB's whole .df() column to float64 ('1051.0' vs
+                # '1051' — the rendering class CLAUDE.md flags)
+                "sum": F.coalesce(
+                    F.sum(F.when(c.rlike(_INT_LEXICAL_RE), c.try_cast("long"))),
+                    F.lit(0).cast("long"),
+                ),
+                # concat_ws of an empty collect_list is '' — exactly
+                # SPARQL's GROUP_CONCAT of the empty sequence; the SQL
+                # mirror COALESCEs string_agg's NULL to '' to match
                 "group_concat": F.concat_ws(
                     GROUP_CONCAT_SEP, F.array_sort(F.collect_list(c))
                 ),
@@ -643,16 +657,21 @@ def bgp_aggregate_oracle_sql(
             parts.append(f"CAST(count(DISTINCT {var}) AS BIGINT) AS {out}")
         elif fn == "sum":
             # outer CAST: DuckDB sum(BIGINT) yields HUGEINT → float64 in
-            # .df() → rendered '1051.0' vs Spark's '1051'
+            # .df() → rendered '1051.0' vs Spark's '1051'; COALESCE 0 =
+            # SPARQL empty-sum semantics AND keeps the column NULL-free
+            # (one NULL downcasts the whole pandas column to float64)
             parts.append(
-                f"CAST(sum(CASE WHEN regexp_matches({var}, "
+                f"CAST(COALESCE(sum(CASE WHEN regexp_matches({var}, "
                 f"{_sql_quote(_INT_LEXICAL_RE)}) THEN TRY_CAST({var} AS BIGINT) "
-                f"END) AS BIGINT) AS {out}"
+                f"END), 0) AS BIGINT) AS {out}"
             )
         elif fn == "group_concat":
+            # COALESCE '': string_agg of an all-NULL group is NULL, but
+            # SPARQL's GROUP_CONCAT of the empty sequence (and Spark's
+            # concat_ws over an empty list) is ''
             parts.append(
-                f"string_agg({var}, {_sql_quote(GROUP_CONCAT_SEP)} "
-                f"ORDER BY {var}) AS {out}"
+                f"COALESCE(string_agg({var}, {_sql_quote(GROUP_CONCAT_SEP)} "
+                f"ORDER BY {var}), '') AS {out}"
             )
         else:
             parts.append(f"{fn}({var}) AS {out}")
@@ -1204,7 +1223,7 @@ reach(root, node) AS (
   UNION
   SELECT reach.root, t.obj FROM reach
   JOIN triples t ON t.subj = reach.node
-  WHERE t.obj_is_iri AND t.obj LIKE '_:%'
+  WHERE t.obj_is_iri AND substr(t.obj, 1, 2) = '_:'
 )
 SELECT DISTINCT reach.root AS root, t.subj, t.pred, t.obj, t.obj_is_iri
 FROM reach JOIN triples t ON t.subj = reach.node"""

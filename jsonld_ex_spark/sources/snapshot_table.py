@@ -142,12 +142,25 @@ def commit_snapshot(
             "operation": operation,
             "files": files,
         }
+        # atomic claim: write the manifest COMPLETE to a temp file, then
+        # os.link it into place — link(2) fails with EEXIST if another
+        # committer claimed the version, and a crash at any point leaves
+        # either no claim or a fully-written one, never a torn JSON that
+        # would brick every later _read_manifest (round-5 review: the
+        # previous open('x') + json.dump exposed a mid-write window)
+        mtmp = os.path.join(
+            table_dir, _MANIFEST_DIR, f".claim.{uuid.uuid4().hex}.tmp"
+        )
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            # O_EXCL: exactly one committer can claim this version
-            with open(_manifest_path(table_dir, snap), "x") as f:
-                json.dump(manifest, f)
+            os.link(mtmp, _manifest_path(table_dir, snap))
         except FileExistsError:
             continue  # lost the race — re-read parent and retry
+        finally:
+            os.unlink(mtmp)
         tmp = os.path.join(table_dir, f"{_CURRENT}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(snap))
@@ -190,8 +203,15 @@ def expire_snapshots(
     # committed here: commit_snapshot builds on the highest CLAIMED id,
     # so GC'ing such a manifest's data while the manifest survives
     # would hand a future committer a parent referencing deleted dirs
-    cur = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
+    current = current_snapshot_id(table_dir)
+    cur = max(current, _max_claimed_id(table_dir))
     keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+    # CURRENT must ALWAYS survive, even when a claimed-but-unswapped
+    # head pushes the keep window past it (round-5 review: keep_last=1
+    # with a crashed v5 claim would otherwise expire v4 — the snapshot
+    # CURRENT still points at — and break every default read)
+    if current >= 1:
+        keep.add(current)
     live: set[str] = set()
     for i in keep:
         live |= set(_read_manifest(table_dir, i)["files"])

@@ -964,7 +964,9 @@ def test_sum_and_group_concat_aggregates(quads):
     out2 = sorted(tuple(r) for r in bgp_aggregate(quads, **kw2).collect())
     sql2 = bgp_aggregate_oracle_sql(_quads_cte(), **kw2)
     duck2 = sorted(tuple(r) for r in duckdb.connect().execute(sql2).fetchall())
-    assert out2 == duck2 == [("tool", 19, None)]
+    # SPARQL Sum over an empty (no valid integer) sequence is 0 — and
+    # NULL-free columns avoid DuckDB's float64 .df() downcast
+    assert out2 == duck2 == [("tool", 19, 0)]
     with pytest.raises(ValueError, match="unsupported aggregate"):
         bgp_aggregate(quads, [("?t", "<urn:idx>", "?i")], ["t"], {"a": ("avg", "i")})
 
@@ -978,6 +980,11 @@ DESCRIBE_TRIPLES = [
     ("urn:c2", "urn:turns", "_:c", True),
     ("_:c", "urn:first", "urn:t3", True),
     ("urn:t1", "urn:role", "tool", False),
+    # single-char-scheme IRI: SQL LIKE '_:%' would wrongly treat it as
+    # a blank node ('_' is the single-char wildcard) — the oracle must
+    # use a literal prefix test (round-5 review finding)
+    ("urn:c1", "urn:ref", "n:123", True),
+    ("n:123", "urn:x", "y", False),
 ]
 
 
@@ -997,11 +1004,12 @@ def test_describe_cbd_follows_bnodes_not_iris(spark):  # noqa: F811
     out = sorted(tuple(r) for r in bgp_describe(df, ["urn:c1"]).collect())
     assert out == sorted([
         ("urn:c1", "urn:c1", "urn:turns", "_:a", True),
+        ("urn:c1", "urn:c1", "urn:ref", "n:123", True),
         ("urn:c1", "_:a", "urn:first", "urn:t1", True),
         ("urn:c1", "_:a", "urn:rest", "_:b", True),
         ("urn:c1", "_:b", "urn:first", "urn:t2", True),
         ("urn:c1", "_:b", "urn:rest", "urn:nil", True),
-    ])
+    ])  # n:123's own triples excluded: an IRI object is never followed
     # DataFrame-roots form + oracle equivalence over both roots
     roots = df.filter(F.col("pred") == "urn:turns").select("subj").dropDuplicates()
     got = sorted(tuple(r) for r in bgp_describe(df, roots).collect())
@@ -1017,3 +1025,51 @@ def test_describe_cbd_follows_bnodes_not_iris(spark):  # noqa: F811
     assert ("urn:c2", "_:c", "urn:first", "urn:t3", True) in got
     with pytest.raises(ValueError, match="empty DESCRIBE"):
         bgp_describe(df, [])
+
+
+def test_int_guard_rejects_trailing_newline_both_engines(spark):  # noqa: F811
+    """Round-5 review: Java's '$' matches before a trailing newline, so
+    with ^...$ anchors Spark kept '7\\n' (try_cast trims it) while
+    DuckDB's RE2 dropped it.  The \\A/\\z anchors must reject it in
+    BOTH engines."""
+    triples = [
+        ("urn:a", "urn:idx", "7\n", False),
+        ("urn:b", "urn:idx", "7", False),
+    ]
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    patterns = [("?t", "<urn:idx>", "?i")]
+    filters = [("i", "ge", 7)]
+    out = bgp_select(df, patterns, project=["t"], filters=filters)
+    assert _rows(out) == [("urn:b",)]
+    values = "('urn:a', 'urn:idx', '7' || chr(10), false), ('urn:b', 'urn:idx', '7', false)"
+    cte = "SELECT * FROM (VALUES " + values + ") AS v(subj, pred, obj, obj_is_iri)"
+    sql = bgp_oracle_sql(cte, patterns, project=["t"], filters=filters)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert duck == [("urn:b",)]
+
+
+def test_aggregate_empty_group_semantics(quads):
+    """SPARQL empty-sequence aggregates: Sum({}) = 0, GROUP_CONCAT({})
+    = '' — and neither engine may emit NULL (one NULL downcasts
+    DuckDB's whole BIGINT .df() column to float64, diverging every
+    other row's rendering)."""
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_aggregate_oracle_sql,
+    )
+
+    # group by role; sum/concat over ?tn bound only by an OPTIONAL that
+    # never matches for 'assistant' (no urn:idx triple on t3)
+    kw = dict(
+        patterns=[("?t", "<urn:role>", "?r")],
+        optional=[[("?t", "<urn:idx>", "?i")]],
+        group_by=["r"],
+        aggs={"total": ("sum", "i"), "vals": ("group_concat", "i")},
+    )
+    out = sorted(tuple(r) for r in bgp_aggregate(quads, **kw).collect())
+    sql = bgp_aggregate_oracle_sql(_quads_cte(), **kw)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert out == duck
+    assert out == [("assistant", 0, ""), ("tool", 19, "12|7")]

@@ -149,3 +149,37 @@ def test_crashed_claim_rolls_forward_instead_of_wedging(spark, tmp_path):  # noq
     got = sorted(r["id"] for r in read_snapshot(spark, t).collect())
     assert got == list(range(10))  # v1 + crashed v2 + v3 data all visible
     assert json.loads(open(os.path.join(t, "manifests", "v00003.json")).read())["parent"] == 2
+
+
+def test_expire_never_drops_current_despite_claimed_head(spark, tmp_path):  # noqa: F811
+    """Round-5 review: with a crashed claimed-but-unswapped head (v3
+    claimed, CURRENT=2), expire_snapshots(keep_last=1) must still keep
+    the CURRENT snapshot readable — the keep window anchored at the
+    claimed head would otherwise expire CURRENT's manifest."""
+    from jsonld_ex_spark.sources.snapshot_table import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t, "append")     # v1
+    commit_snapshot(_df(spark, 5, 8), t, "append")     # v2, CURRENT=2
+    commit_snapshot(_df(spark, 8, 9), t, "append")     # v3
+    with open(os.path.join(t, "CURRENT"), "w") as f:
+        f.write("2")  # simulate crash before the v3 pointer swap
+    out = expire_snapshots(t, keep_last=1, min_orphan_age_s=0.0)
+    assert 2 not in out["expired_snapshots"]
+    # default read (CURRENT=2) still works and sees v1+v2 data
+    got = sorted(r["id"] for r in read_snapshot(spark, t).collect())
+    assert got == list(range(8))
+    # the claimed head also survives (a future commit builds on it)
+    assert 3 in out["kept"] and 2 in out["kept"]
+
+
+def test_manifest_claim_is_atomic_no_temp_left(spark, tmp_path):  # noqa: F811
+    """The claim is tmp-write + fsync + os.link: a committed table has
+    fully-written manifests only and no .claim temp residue."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t, "append")
+    commit_snapshot(_df(spark, 3, 5), t, "append")
+    names = os.listdir(os.path.join(t, "manifests"))
+    assert sorted(names) == ["v00001.json", "v00002.json"]
+    for n in names:
+        json.load(open(os.path.join(t, "manifests", n)))  # parseable
