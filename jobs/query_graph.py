@@ -46,11 +46,34 @@ def parse_pattern(text: str) -> tuple[str, ...]:
     return tuple(parts)
 
 
+def parse_filter(text: str) -> tuple[str, str, object]:
+    import re
+
+    parts = text.split(None, 2)
+    if len(parts) != 3:
+        raise SystemExit(f"filter must be 'var op value': {text!r}")
+    var, op, value = parts
+    if op != "regex":
+        # quoting opts into LEXICAL comparison against an all-digit
+        # literal: --filter 'idx eq "7"' compares strings
+        if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
+            return (var, op, value[1:-1])
+        # strict integer only ('--5'.lstrip('-').isdigit() was true
+        # but int('--5') raised an unhandled traceback)
+        if re.fullmatch(r"-?[0-9]+", value):
+            return (var, op, int(value))
+    return (var, op, value)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--triples", required=True, help="persisted triple table (write_triples output)")
     p.add_argument("--output", required=True)
-    p.add_argument("--pattern", action="append", required=True)
+    p.add_argument("--pattern", action="append", default=[])
+    p.add_argument("--describe", action="append", default=[],
+                   help="DESCRIBE mode: a root IRI (repeatable), or ONE "
+                        "?var bound by --pattern (CBD: the node's triples "
+                        "+ its blank-node closure)")
     p.add_argument("--optional", action="append", default=[])
     p.add_argument("--exists", action="append", default=[],
                    help="FILTER EXISTS pattern (semi-join; repeatable)")
@@ -76,32 +99,17 @@ def main() -> None:
 
     from jsonld_ex_spark.operators.bgp import (
         bgp_construct,
+        bgp_describe,
         bgp_order_limit,
         bgp_select,
     )
 
+    if not args.pattern and not args.describe:
+        raise SystemExit("need --pattern (SELECT/CONSTRUCT) or --describe")
     patterns = [parse_pattern(t) for t in args.pattern]
     optional = [[parse_pattern(t)] for t in args.optional]
     exists = [[parse_pattern(t)] for t in args.exists]
     not_exists = [[parse_pattern(t)] for t in args.not_exists]
-
-    def parse_filter(text: str) -> tuple[str, str, object]:
-        import re
-
-        parts = text.split(None, 2)
-        if len(parts) != 3:
-            raise SystemExit(f"filter must be 'var op value': {text!r}")
-        var, op, value = parts
-        if op != "regex":
-            # quoting opts into LEXICAL comparison against an all-digit
-            # literal: --filter 'idx eq "7"' compares strings
-            if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
-                return (var, op, value[1:-1])
-            # strict integer only ('--5'.lstrip('-').isdigit() was true
-            # but int('--5') raised an unhandled traceback)
-            if re.fullmatch(r"-?[0-9]+", value):
-                return (var, op, int(value))
-        return (var, op, value)
 
     filters = [parse_filter(t) for t in args.filters] or None
     order_by = []
@@ -120,7 +128,30 @@ def main() -> None:
             "--filter/--order-by/--exists/--not-exists apply to SELECT "
             "queries, not --construct"
         )
-    if args.construct:
+    if args.describe:
+        if args.construct or order_by:
+            raise SystemExit("--describe is incompatible with --construct/--order-by")
+        vars_ = [d for d in args.describe if d.startswith("?")]
+        if vars_ and (len(args.describe) != 1 or not patterns):
+            raise SystemExit(
+                "--describe takes either root IRIs or exactly ONE ?var "
+                "bound by --pattern"
+            )
+        if vars_:
+            roots = bgp_select(
+                triples, patterns, project=[vars_[0][1:]],
+                optional=optional or None, filters=filters,
+                exists=exists or None, not_exists=not_exists or None,
+            ).dropDuplicates()
+            out = bgp_describe(triples, roots)
+        else:
+            iris = [d[1:-1] if d.startswith("<") and d.endswith(">") else d
+                    for d in args.describe]
+            out = bgp_describe(triples, iris)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        kind = "description"
+    elif args.construct:
         template = [parse_pattern(t) for t in args.construct]
         out = bgp_construct(triples, patterns, template, optional=optional or None)
         from jsonld_ex_spark.operators.triples import write_triples

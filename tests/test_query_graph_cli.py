@@ -1,0 +1,35 @@
+"""Pure-Python parsing tests for the query_graph spark-submit job (the
+end-to-end CLI is smoke-tested via spark-submit — see CLAUDE.md); the
+execution paths it feeds are covered by tests/test_bgp.py."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/jobs")
+from query_graph import parse_filter, parse_pattern  # noqa: E402
+
+
+def test_parse_pattern_triple_and_quad():
+    assert parse_pattern("?s <urn:p> ?o") == ("?s", "<urn:p>", "?o")
+    assert parse_pattern("?s <urn:p> ?o ?g") == ("?s", "<urn:p>", "?o", "?g")
+    assert parse_pattern("?s <urn:p> ?o <urn:g>") == ("?s", "<urn:p>", "?o", "<urn:g>")
+    with pytest.raises(SystemExit):
+        parse_pattern("?s <urn:p>")
+    with pytest.raises(SystemExit):
+        parse_pattern("?s <urn:p> ?o ?g extra")
+
+
+def test_cli_filter_parsing_rules():
+    # strict-integer numeric detection + quoted lexical opt-out
+    # (round-5 advice item)
+    assert parse_filter("idx gt 5") == ("idx", "gt", 5)
+    assert parse_filter("idx gt -5") == ("idx", "gt", -5)
+    # '--5' previously crashed with an unhandled int() ValueError
+    assert parse_filter("idx eq --5") == ("idx", "eq", "--5")
+    # quoting forces lexical comparison against an all-digit literal
+    assert parse_filter('idx eq "7"') == ("idx", "eq", "7")
+    assert isinstance(parse_filter("idx eq 7")[2], int)
+    assert parse_filter("e regex 7") == ("e", "regex", "7")
