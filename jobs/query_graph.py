@@ -11,6 +11,7 @@ table — the production deployment of the BGP layer.
         [--construct '?entity <https://sparkld.dev/vocab#mentionedBy> ?turn'] \
         [--filter 'idx gt 5'] [--filter 'entity regex E00..$'] \
     [--exists '?turn <...#tool> ?tn'] [--not-exists '?turn <...#tool> ?tn'] \
+    [--describe '<iri>' ... | --describe '?var'] \
         [--order-by 'entity asc' --limit 100]
 
 Each --pattern/--optional/--exists/--not-exists/--construct is one
@@ -25,6 +26,13 @@ into new triples and written via write_triples (subject-bucketed,
 ready to be queried again); otherwise the binding table is written as
 parquet.  Pattern constants AND filters reach the triple scan as
 pushed predicates below the joins (tests/test_bgp.py).
+
+--describe switches to SPARQL DESCRIBE (Concise Bounded Description:
+the node's triples plus its blank-node closure — an rdf:list spine
+comes back whole), written as parquet rows (root, subj, pred, obj,
+obj_is_iri).  Roots are IRIs (repeatable; no other query flags apply)
+or exactly one ?var bound by --pattern (then --filter/--optional/
+--exists/--not-exists restrict which nodes get described).
 
 Prints ONE JSON metrics line.
 """
@@ -138,13 +146,24 @@ def main() -> None:
                 "bound by --pattern"
             )
         if vars_:
+            # bgp_describe dedupes the roots itself — no CLI-side
+            # dropDuplicates (an adjacent Deduplicate pair costs an
+            # extra shuffle Catalyst does not collapse)
             roots = bgp_select(
                 triples, patterns, project=[vars_[0][1:]],
                 optional=optional or None, filters=filters,
                 exists=exists or None, not_exists=not_exists or None,
-            ).dropDuplicates()
+            )
             out = bgp_describe(triples, roots)
         else:
+            if patterns or filters or optional or exists or not_exists:
+                # the IRI form has nothing to apply them to — rejecting
+                # beats silently writing a superset of what was asked
+                raise SystemExit(
+                    "--describe with root IRIs takes no --pattern/--filter/"
+                    "--optional/--exists/--not-exists (use --describe '?var' "
+                    "to describe pattern-bound nodes)"
+                )
             iris = [d[1:-1] if d.startswith("<") and d.endswith(">") else d
                     for d in args.describe]
             out = bgp_describe(triples, iris)

@@ -144,29 +144,52 @@ def commit_snapshot(
         }
         # atomic claim: write the manifest COMPLETE to a temp file, then
         # os.link it into place — link(2) fails with EEXIST if another
-        # committer claimed the version, and a crash at any point leaves
-        # either no claim or a fully-written one, never a torn JSON that
-        # would brick every later _read_manifest (round-5 review: the
-        # previous open('x') + json.dump exposed a mid-write window)
+        # committer claimed the version, and a process crash at any
+        # point leaves either no claim or a fully-written one, never a
+        # torn JSON that would brick every later _read_manifest
+        # (round-5 review: the previous open('x') + json.dump exposed a
+        # mid-write window).  Directory fsyncs after the link and the
+        # CURRENT swap make the claim/pointer durable against POWER
+        # loss too, not just process death; temp residue from crashes
+        # is reclaimed by expire_snapshots.
         mtmp = os.path.join(
             table_dir, _MANIFEST_DIR, f".claim.{uuid.uuid4().hex}.tmp"
         )
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(mtmp, _manifest_path(table_dir, snap))
-        except FileExistsError:
-            continue  # lost the race — re-read parent and retry
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(mtmp, _manifest_path(table_dir, snap))
+            except FileExistsError:
+                continue  # lost the race — re-read parent and retry
         finally:
-            os.unlink(mtmp)
+            try:
+                os.unlink(mtmp)
+            except FileNotFoundError:
+                pass
+        _fsync_dir(os.path.join(table_dir, _MANIFEST_DIR))
         tmp = os.path.join(table_dir, f"{_CURRENT}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(snap))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(table_dir, _CURRENT))  # atomic swap
+        _fsync_dir(table_dir)
         return snap
     raise RuntimeError(f"lost {max_retries} commit races on {table_dir!r}")
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-created/renamed entry survives power
+    loss (dirent updates in different directories have no ordering
+    guarantee otherwise)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def read_snapshot(
@@ -225,8 +248,30 @@ def expire_snapshots(
         except FileNotFoundError:
             continue  # already expired
     removed_dirs: list[str] = []
-    data_root = os.path.join(table_dir, _DATA_DIR)
     now = _time.time()
+    # reclaim crashed writers' temp residue (.claim.*.tmp in manifests/,
+    # CURRENT.*.tmp in the table root) — age-guarded like orphan data
+    # dirs so an IN-FLIGHT commit's temps survive
+    for d, prefix in (
+        (os.path.join(table_dir, _MANIFEST_DIR), ".claim."),
+        (table_dir, f"{_CURRENT}."),
+    ):
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            continue
+        for name in names:
+            full = os.path.join(d, name)
+            if (
+                name.startswith(prefix)
+                and name.endswith(".tmp")
+                and now - os.path.getmtime(full) >= min_orphan_age_s
+            ):
+                try:
+                    os.unlink(full)
+                except FileNotFoundError:
+                    pass
+    data_root = os.path.join(table_dir, _DATA_DIR)
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
             rel = os.path.join(_DATA_DIR, d)

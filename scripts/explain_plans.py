@@ -177,6 +177,13 @@ COMMENT = {
         "are pure JVM projections above the binding join — zero extra "
         "shuffles, whole-stage-codegen'd."
     ),
+    "kg_describe_convs": (
+        "DESCRIBE/CBD (round 5): the bnode closure is materialized by "
+        "the seeded pointer-doubling loop BEFORE this plan (scan of a "
+        "checkpointed reach table); what remains is one equi-join of "
+        "reach against the triple table + set-dedup. O(log list-depth) "
+        "supersteps, work bounded by the described nodes' closures."
+    ),
 }
 
 QUERIES = list(COMMENT.keys())

@@ -4,11 +4,12 @@ execution paths it feeds are covered by tests/test_bgp.py."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/jobs")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "jobs"))
 from query_graph import parse_filter, parse_pattern  # noqa: E402
 
 

@@ -183,3 +183,24 @@ def test_manifest_claim_is_atomic_no_temp_left(spark, tmp_path):  # noqa: F811
     assert sorted(names) == ["v00001.json", "v00002.json"]
     for n in names:
         json.load(open(os.path.join(t, "manifests", n)))  # parseable
+
+
+def test_expire_reclaims_crashed_temp_residue(spark, tmp_path):  # noqa: F811
+    """Crashed writers' .claim.*.tmp / CURRENT.*.tmp residue is GC'd by
+    expire_snapshots (age-guarded), so long-lived tables don't
+    accumulate unbounded orphan temps."""
+    from jsonld_ex_spark.sources.snapshot_table import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t, "append")
+    stale_claim = os.path.join(t, "manifests", ".claim.deadbeef.tmp")
+    stale_cur = os.path.join(t, "CURRENT.deadbeef.tmp")
+    open(stale_claim, "w").write("{}")
+    open(stale_cur, "w").write("1")
+    # young temps survive (possibly an in-flight commit)
+    expire_snapshots(t, keep_last=1, min_orphan_age_s=3600.0)
+    assert os.path.exists(stale_claim) and os.path.exists(stale_cur)
+    expire_snapshots(t, keep_last=1, min_orphan_age_s=0.0)
+    assert not os.path.exists(stale_claim) and not os.path.exists(stale_cur)
+    # the table itself is untouched
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == [0, 1, 2]
