@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_bind_mention_labels": kg_queries.kg_bgp_bind_mention_labels,
         "kg_bgp_entity_idx_sum": kg_queries.kg_bgp_entity_idx_sum,
         "kg_describe_convs": kg_queries.kg_describe_convs,
+        "kg_update_tool_redaction": kg_queries.kg_update_tool_redaction,
         "kg_bgp_turn_entity_lists": kg_queries.kg_bgp_turn_entity_lists,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_bind_mention_labels": oracles.kg_bgp_bind_mention_labels_oracle(),
         "kg_bgp_entity_idx_sum": oracles.kg_bgp_entity_idx_sum_oracle(),
         "kg_describe_convs": oracles.kg_describe_convs_oracle(),
+        "kg_update_tool_redaction": oracles.kg_update_tool_redaction_oracle(),
         "kg_bgp_turn_entity_lists": oracles.kg_bgp_turn_entity_lists_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),

@@ -147,6 +147,7 @@ EXTRA_QUERIES = [
     "kg_bgp_entity_idx_sum",
     "kg_bgp_turn_entity_lists",
     "kg_describe_convs",
+    "kg_update_tool_redaction",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

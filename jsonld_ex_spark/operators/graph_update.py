@@ -1,0 +1,119 @@
+"""SPARQL-Update-style graph mutation over the snapshot triple store —
+the WRITE side of the query stack (operators/bgp.py is the read side).
+
+The reference ecosystem treats the RDF store as updatable (SPARQL 1.1
+Update: INSERT DATA / DELETE WHERE / DELETE-INSERT-WHERE); this module
+expresses those forms Spark-first over the manifest-committed snapshot
+table (sources/snapshot_table.py), so every mutation is an ATOMIC
+snapshot commit — readers see the pre- or post-update graph, never a
+torn state, and time travel keeps the pre-update snapshot readable
+(the audit trail a 100 TB KG pipeline needs).
+
+Semantics and the 100-TB shape:
+
+* ``insert_data``       — INSERT DATA: append-commit new triples.  A
+  metadata-only commit of one new data directory; the existing table
+  is untouched.
+* ``delete_where``      — DELETE WHERE { P }: bind P against the
+  CURRENT snapshot, instantiate P with every solution (the same
+  machinery as CONSTRUCT), and commit the graph minus those triples.
+  The removal is ONE left-anti hash equi-join on the matching key —
+  never a per-solution loop.
+* ``delete_insert``     — DELETE { D } INSERT { I } WHERE { W }: one
+  binding pass over W feeds both template instantiations; removal
+  anti-join plus insertion union in a single overwrite commit (the
+  SPARQL "modify" operation — both halves see the PRE-update graph,
+  per spec).
+
+Matching key: (subj, pred, obj) — the BGP layer binds LEXICAL forms
+(its documented data model) and a CONSTRUCT-instantiated template
+cannot know a bound object's IRI-ness, so deletion matches every term
+(IRI or literal, any datatype/language) sharing the lexical triple;
+exact-term deletion of typed literals is out of scope, like
+typed-literal matching in the read-side patterns.
+
+Deletion rewrites (an overwrite commit references only the surviving
+rows); at 10^12 triples you would partition the anti-join by the same
+subject buckets as the sink layout so only buckets containing matches
+rewrite — the subject-bucketed layout (operators/triples.py) is what
+makes that pruning possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MATCH_KEY = ["subj", "pred", "obj"]
+_TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"]
+
+
+def _current_triples(spark: SparkSession, table_dir: str) -> DataFrame:
+    from jsonld_ex_spark.sources.snapshot_table import read_snapshot
+
+    return read_snapshot(spark, table_dir).select(*_TRIPLE_COLS)
+
+
+def insert_data(triples: DataFrame, table_dir: str) -> int:
+    """SPARQL INSERT DATA: atomically append ``triples`` (standard
+    triple schema) as a new snapshot.  Returns the snapshot id."""
+    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
+
+    return write_triples_snapshot(
+        triples.select(*_TRIPLE_COLS), table_dir, operation="append"
+    )
+
+
+def _matched_triples(
+    triples: DataFrame,
+    template: list[tuple[str, ...]],
+    where: list[tuple[str, ...]],
+) -> DataFrame:
+    """Instantiate ``template`` with every solution of ``where`` —
+    the triples a DELETE clause names (bgp_construct's instantiation,
+    set semantics)."""
+    from jsonld_ex_spark.operators.bgp import bgp_construct
+
+    return bgp_construct(triples, where, template, distinct=True)
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, patterns: list[tuple[str, ...]]
+) -> int:
+    """SPARQL DELETE WHERE { P }: P is both the match and the delete
+    template.  Commits the surviving graph as an overwrite snapshot
+    and returns its id (the pre-update snapshot stays readable)."""
+    return delete_insert(spark, table_dir, patterns, [], patterns)
+
+
+def delete_insert(
+    spark: SparkSession,
+    table_dir: str,
+    delete_template: list[tuple[str, ...]],
+    insert_template: list[tuple[str, ...]],
+    where: list[tuple[str, ...]],
+) -> int:
+    """SPARQL DELETE/INSERT WHERE (the "modify" operation): one binding
+    pass over ``where`` against the CURRENT snapshot instantiates both
+    templates; both see the PRE-update graph (per spec — the delete
+    cannot hide bindings from the insert).  Inserted triples carry
+    null datatype/language (IRI or plain-literal objects, stated per
+    template term like CONSTRUCT); the whole mutation is ONE atomic
+    overwrite commit."""
+    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
+
+    if not delete_template and not insert_template:
+        raise ValueError("delete_insert with neither template is a no-op")
+    current = _current_triples(spark, table_dir)
+    remaining = current
+    if delete_template:
+        doomed = _matched_triples(current, delete_template, where).select(*_MATCH_KEY)
+        remaining = current.join(doomed, on=_MATCH_KEY, how="left_anti")
+    if insert_template:
+        inserted = _matched_triples(current, insert_template, where)
+        # an RDF graph is a set: do not duplicate triples the surviving
+        # graph already holds (matching-key granularity, as above)
+        inserted = inserted.join(
+            remaining.select(*_MATCH_KEY), on=_MATCH_KEY, how="left_anti"
+        ).select(*_TRIPLE_COLS)
+        remaining = remaining.select(*_TRIPLE_COLS).unionByName(inserted)
+    return write_triples_snapshot(remaining, table_dir, operation="overwrite")

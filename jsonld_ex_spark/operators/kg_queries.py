@@ -1203,6 +1203,47 @@ def kg_bgp_bind_mention_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bgp_select(_checkpointed_triples(spark, sf_dir), **BGP_BIND_MENTION_ARGS)
 
 
+def kg_update_tool_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE under the gate (round-5 — the WRITE side of the
+    query stack): stage the triple graph as snapshot v1, run ONE atomic
+    DELETE/INSERT-WHERE modify —
+
+        DELETE { ?turn v:tool ?tn }
+        INSERT { ?turn v:redacted "true" }
+        WHERE  { ?turn v:tool ?tn }
+
+    (the tool-redaction pass a training-data pipeline runs before
+    export) — and aggregate per-predicate stats over the CURRENT
+    snapshot.  Exercises binding-driven template instantiation, the
+    anti-join removal, insert dedup against the surviving graph, and
+    the atomic overwrite commit; the pre-update snapshot remains
+    time-travel readable.  The DuckDB oracle applies the same mutation
+    relationally to the independently-derived triple relation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.graph_update import delete_insert
+    from jsonld_ex_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_triples_snapshot,
+    )
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    tdir = tempfile.mkdtemp(prefix="kg_update_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    write_triples_snapshot(
+        _checkpointed_triples(spark, sf_dir), tdir, operation="append"
+    )
+    delete_insert(
+        spark, tdir,
+        delete_template=[("?turn", f"<{VOCAB}tool>", "?tn")],
+        insert_template=[("?turn", f"<{VOCAB}redacted>", '"true"')],
+        where=[("?turn", f"<{VOCAB}tool>", "?tn")],
+    )
+    return _triple_stats(read_snapshot(spark, tdir).select("pred", "subj"))
+
+
 def kg_describe_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE under the gate (round-5 — completes the query-
     form family next to SELECT/ASK/CONSTRUCT): Concise Bounded

@@ -726,6 +726,22 @@ def kg_bgp_bind_mention_labels_oracle() -> str:
     return bgp_oracle_sql(kg_triples_oracle(), **BGP_BIND_MENTION_ARGS)
 
 
+def kg_update_tool_redaction_oracle() -> str:
+    """The DELETE/INSERT-WHERE mutation applied relationally: drop
+    tool-pred rows, add one redacted marker per formerly-tool-attached
+    turn, then the standard per-pred stats."""
+    return f"""
+WITH t AS ({kg_triples_oracle()}),
+final AS (
+  SELECT subj, pred FROM t WHERE pred <> '{VOCAB}tool'
+  UNION ALL
+  SELECT DISTINCT subj, '{VOCAB}redacted' AS pred FROM t
+  WHERE pred = '{VOCAB}tool'
+)
+SELECT pred, count(*) AS n, count(DISTINCT subj) AS n_subj
+FROM final GROUP BY pred"""
+
+
 def kg_describe_convs_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_describe_oracle_sql
 

@@ -1,0 +1,112 @@
+"""SPARQL-Update-style mutation over the snapshot store: atomicity,
+time travel of the pre-update graph, literal-object deletion, insert
+dedup, and the one-binding-pass modify semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from jsonld_ex_spark.operators.graph_update import (
+    delete_insert,
+    delete_where,
+    insert_data,
+)
+from jsonld_ex_spark.sources.snapshot_table import (
+    current_snapshot_id,
+    read_snapshot,
+    write_triples_snapshot,
+)
+from tests.spark_fixtures import spark  # noqa: F401
+
+_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_iri boolean, "
+    "obj_dt string, obj_lang string, graph string"
+)
+
+
+def _seed(spark):  # noqa: F811
+    rows = [
+        ("urn:t1", "urn:role", "tool", False, None, None, None),
+        ("urn:t1", "urn:tool", "kb_search", False, None, None, None),
+        ("urn:t2", "urn:role", "user", False, None, None, None),
+        ("urn:t2", "urn:mentions", "urn:e1", True, None, None, None),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _triples(spark, tdir, snapshot_id=None):  # noqa: F811
+    return sorted(
+        tuple(r)
+        for r in read_snapshot(spark, tdir, snapshot_id)
+        .select("subj", "pred", "obj")
+        .collect()
+    )
+
+
+def test_delete_where_removes_literal_object_triples(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")
+    snap = delete_where(spark, t, [("?turn", "<urn:tool>", "?tn")])
+    assert snap == 2 and current_snapshot_id(t) == 2
+    got = _triples(spark, t)
+    assert ("urn:t1", "urn:tool", "kb_search") not in got
+    assert len(got) == 3
+    # time travel: the pre-update snapshot still holds the tool triple
+    assert ("urn:t1", "urn:tool", "kb_search") in _triples(spark, t, 1)
+
+
+def test_delete_insert_modify_is_one_atomic_commit(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")
+    delete_insert(
+        spark, t,
+        delete_template=[("?turn", "<urn:tool>", "?tn")],
+        insert_template=[("?turn", "<urn:redacted>", '"true"')],
+        where=[("?turn", "<urn:tool>", "?tn")],
+    )
+    got = _triples(spark, t)
+    assert ("urn:t1", "urn:redacted", "true") in got
+    assert ("urn:t1", "urn:tool", "kb_search") not in got
+    assert current_snapshot_id(t) == 2  # delete+insert = ONE commit
+    # the inserted marker is a plain literal
+    row = (
+        read_snapshot(spark, t)
+        .filter("pred = 'urn:redacted'")
+        .select("obj_is_iri")
+        .first()
+    )
+    assert row["obj_is_iri"] is False
+
+
+def test_insert_dedups_against_surviving_graph(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")
+    # insert a triple that already exists: the graph is a set
+    delete_insert(
+        spark, t,
+        delete_template=[],
+        insert_template=[("?turn", "<urn:role>", '"user"')],
+        where=[("?turn", "<urn:role>", '"user"')],
+    )
+    got = _triples(spark, t)
+    assert got.count(("urn:t2", "urn:role", "user")) == 1
+    assert len(got) == 4  # nothing added, nothing removed
+
+
+def test_insert_data_appends_without_rewrite(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")
+    new = spark.createDataFrame(
+        [("urn:t3", "urn:role", "assistant", False, None, None, None)], _SCHEMA
+    )
+    insert_data(new, t)
+    assert len(_triples(spark, t)) == 5
+    assert len(_triples(spark, t, 1)) == 4
+
+
+def test_no_op_modify_rejected(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")
+    with pytest.raises(ValueError, match="no-op"):
+        delete_insert(spark, t, [], [], [("?s", "<urn:role>", "?r")])
