@@ -61,7 +61,11 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    before = read_snapshot(spark, args.table).count()
+    # a fresh table (bootstrap INSERT DATA) has no snapshot to count
+    before = (
+        read_snapshot(spark, args.table).count()
+        if current_snapshot_id(args.table) else 0
+    )
     if args.insert_parquet:
         if args.delete or args.insert or args.where:
             raise SystemExit("--insert-parquet takes no patterns (INSERT DATA)")
@@ -71,6 +75,14 @@ def main() -> None:
         delete = [parse_pattern(t) for t in args.delete]
         insert = [parse_pattern(t) for t in args.insert]
         where = [parse_pattern(t) for t in args.where]
+        for p in delete + insert + where:
+            if len(p) != 4:
+                continue
+            raise SystemExit(
+                f"update patterns are triples, not quads: {' '.join(p)!r} "
+                "(graph-scoped update is out of scope — deletion matches "
+                "the lexical triple across all graphs)"
+            )
         if not delete and not insert:
             raise SystemExit("need --delete and/or --insert (or --insert-parquet)")
         if not where:

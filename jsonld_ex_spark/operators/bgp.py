@@ -808,10 +808,11 @@ def bgp_over_table(
 
 def bgp_construct(
     triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
-    template: list[tuple[str, str, str]],
-    optional: list[list[tuple[str, str, str]]] | None = None,
+    patterns: list[tuple[str, ...]],
+    template: list[tuple[str, ...]],
+    optional: list[list[tuple[str, ...]]] | None = None,
     distinct: bool = True,
+    bindings: DataFrame | None = None,
 ) -> DataFrame:
     """SPARQL-style CONSTRUCT: evaluate the BGP, then instantiate each
     template pattern once per binding, emitting rows in the standard
@@ -824,13 +825,20 @@ def bgp_construct(
     OPTIONAL group that didn't match) is simply not instantiated for
     that solution — never emitted with NULL terms.  The output feeds
     straight back into write_triples / bgp_select, closing the
-    query→enrichment loop."""
-    bindings = bgp_select(triples, patterns, optional=optional)
-    if len(template) > 1:
-        # each template pattern projects the same binding relation;
-        # materialize it once instead of re-running the BGP join per
-        # union branch
-        bindings = bindings.localCheckpoint(eager=False)
+    query→enrichment loop.
+
+    ``bindings``: a PRECOMPUTED solution relation (bgp_select output,
+    ideally localCheckpointed) to instantiate from instead of
+    evaluating ``patterns`` — the reuse shape for callers that feed one
+    binding pass into several template instantiations (SPARQL
+    DELETE/INSERT — operators/graph_update.py)."""
+    if bindings is None:
+        bindings = bgp_select(triples, patterns, optional=optional)
+        if len(template) > 1:
+            # each template pattern projects the same binding relation;
+            # materialize it once instead of re-running the BGP join
+            # per union branch
+            bindings = bindings.localCheckpoint(eager=False)
     null_s = F.lit(None).cast("string")
 
     def term_col(term: str, position: str):

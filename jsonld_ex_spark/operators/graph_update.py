@@ -53,9 +53,25 @@ def _current_triples(spark: SparkSession, table_dir: str) -> DataFrame:
     return read_snapshot(spark, table_dir).select(*_TRIPLE_COLS)
 
 
+def _check_update_patterns(patterns, what: str) -> None:
+    for p in patterns:
+        if len(p) != 3:
+            raise ValueError(
+                f"{what} takes TRIPLE patterns only, got {p!r}: graph-scoped "
+                "update (quads) is out of scope — the matching key is the "
+                "lexical (subj, pred, obj) triple across all graphs"
+            )
+
+
 def insert_data(triples: DataFrame, table_dir: str) -> int:
     """SPARQL INSERT DATA: atomically append ``triples`` (standard
-    triple schema) as a new snapshot.  Returns the snapshot id."""
+    triple schema) as a new snapshot.  Returns the snapshot id.
+
+    This is the O(1)-metadata append — the existing table is neither
+    read nor rewritten, so rows already present are NOT deduplicated
+    (dedup requires a full-scan anti-join; run dedup_triples before
+    calling, or use delete_insert whose insertion dedupes against the
+    surviving graph)."""
     from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
 
     return write_triples_snapshot(
@@ -67,13 +83,15 @@ def _matched_triples(
     triples: DataFrame,
     template: list[tuple[str, ...]],
     where: list[tuple[str, ...]],
+    bindings: DataFrame | None = None,
 ) -> DataFrame:
     """Instantiate ``template`` with every solution of ``where`` —
-    the triples a DELETE clause names (bgp_construct's instantiation,
-    set semantics)."""
+    the triples a DELETE/INSERT clause names (bgp_construct's
+    instantiation, set semantics) — from a shared precomputed binding
+    relation when given (one pass feeds both templates)."""
     from jsonld_ex_spark.operators.bgp import bgp_construct
 
-    return bgp_construct(triples, where, template, distinct=True)
+    return bgp_construct(triples, where, template, distinct=True, bindings=bindings)
 
 
 def delete_where(
@@ -92,28 +110,59 @@ def delete_insert(
     insert_template: list[tuple[str, ...]],
     where: list[tuple[str, ...]],
 ) -> int:
-    """SPARQL DELETE/INSERT WHERE (the "modify" operation): one binding
-    pass over ``where`` against the CURRENT snapshot instantiates both
-    templates; both see the PRE-update graph (per spec — the delete
-    cannot hide bindings from the insert).  Inserted triples carry
-    null datatype/language (IRI or plain-literal objects, stated per
-    template term like CONSTRUCT); the whole mutation is ONE atomic
-    overwrite commit."""
-    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
+    """SPARQL DELETE/INSERT WHERE (the "modify" operation): ONE binding
+    pass over ``where`` against the CURRENT snapshot (the solution
+    relation is localCheckpointed and instantiates BOTH templates);
+    both see the PRE-update graph (per spec — the delete cannot hide
+    bindings from the insert).  The whole mutation is ONE atomic
+    overwrite commit VALIDATED against the snapshot it read
+    (require_parent): a concurrent commit between read and write
+    raises SnapshotConflictError instead of silently clobbering it
+    (Iceberg's conflict model) — re-read and re-run the update.
+
+    Inserted triples carry null datatype/language; each insert-template
+    OBJECT must state its term kind (``<iri>`` or ``"literal"``) or be
+    a variable — and a bare-variable object is REJECTED, because the
+    binding relation carries lexical forms only: the instantiated term
+    kind would be a guess, persisted forever (acceptable for transient
+    CONSTRUCT output, not for the write side).  Delete templates may
+    use variable objects freely (the matching key ignores term kind)."""
+    from jsonld_ex_spark.operators.bgp import _parse_term, bgp_select
+    from jsonld_ex_spark.sources.snapshot_table import (
+        current_snapshot_id,
+        write_triples_snapshot,
+    )
 
     if not delete_template and not insert_template:
         raise ValueError("delete_insert with neither template is a no-op")
+    _check_update_patterns(delete_template, "delete_template")
+    _check_update_patterns(insert_template, "insert_template")
+    _check_update_patterns(where, "where")
+    for _s, _p, o in insert_template:
+        if _parse_term(o)[0] == "var":
+            raise ValueError(
+                f"insert template object {o!r} is a bare variable: the "
+                "binding relation carries lexical forms only, so the "
+                "persisted term kind would be a guess — state it with "
+                "<...> / \"...\" in the template"
+            )
+    parent = current_snapshot_id(table_dir)
     current = _current_triples(spark, table_dir)
+    bindings = bgp_select(current, where).localCheckpoint(eager=False)
     remaining = current
     if delete_template:
-        doomed = _matched_triples(current, delete_template, where).select(*_MATCH_KEY)
+        doomed = _matched_triples(
+            current, delete_template, where, bindings
+        ).select(*_MATCH_KEY)
         remaining = current.join(doomed, on=_MATCH_KEY, how="left_anti")
     if insert_template:
-        inserted = _matched_triples(current, insert_template, where)
+        inserted = _matched_triples(current, insert_template, where, bindings)
         # an RDF graph is a set: do not duplicate triples the surviving
         # graph already holds (matching-key granularity, as above)
         inserted = inserted.join(
             remaining.select(*_MATCH_KEY), on=_MATCH_KEY, how="left_anti"
         ).select(*_TRIPLE_COLS)
         remaining = remaining.select(*_TRIPLE_COLS).unionByName(inserted)
-    return write_triples_snapshot(remaining, table_dir, operation="overwrite")
+    return write_triples_snapshot(
+        remaining, table_dir, operation="overwrite", require_parent=parent
+    )

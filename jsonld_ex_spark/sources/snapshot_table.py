@@ -47,6 +47,15 @@ _DATA_DIR = "data"
 _CURRENT = "CURRENT"
 
 
+class SnapshotConflictError(RuntimeError):
+    """A commit that REQUIRED a specific parent lost to a concurrent
+    committer: the table advanced past the snapshot the caller's
+    read-modify-write was derived from.  Blindly retrying would
+    clobber the concurrent commit (lost update) — the caller must
+    re-read CURRENT and re-derive the change (Iceberg's validation-
+    conflict model)."""
+
+
 def _manifest_path(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{snapshot_id:05d}.json")
 
@@ -103,6 +112,7 @@ def commit_snapshot(
     table_dir: str,
     operation: str = "append",
     max_retries: int = 10,
+    require_parent: int | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot and atomically commit it.
 
@@ -118,7 +128,15 @@ def commit_snapshot(
     (and the next successful swap rolls CURRENT past it), instead of
     colliding on the orphaned version forever.  Losers back off
     (linear + jitter) so a live concurrent committer cannot burn every
-    retry inside the winner's claim→swap window."""
+    retry inside the winner's claim→swap window.
+
+    ``require_parent``: optimistic-concurrency validation for
+    READ-MODIFY-WRITE commits (SPARQL Update's overwrite of "current
+    minus deleted plus inserted"): raise :class:`SnapshotConflictError`
+    instead of retrying when the observed parent differs — a blind
+    retry would commit state derived from a stale snapshot and
+    silently discard the concurrent commit (lost update).  Plain
+    appends (INSERT DATA) need no validation and keep the retry loop."""
     import random
     import time as _time
 
@@ -131,6 +149,12 @@ def commit_snapshot(
         if attempt:
             _time.sleep(0.02 * attempt + random.uniform(0, 0.02))
         parent = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
+        if require_parent is not None and parent != require_parent:
+            raise SnapshotConflictError(
+                f"commit requires parent snapshot {require_parent} but the "
+                f"table is at {parent}: a concurrent commit landed — re-read "
+                "and re-derive the update"
+            )
         files = []
         if operation == "append" and parent:
             files = list(_read_manifest(table_dir, parent)["files"])
@@ -300,11 +324,14 @@ def compact_snapshot(spark: SparkSession, table_dir: str) -> int:
 
 
 def write_triples_snapshot(
-    triples: DataFrame, table_dir: str, operation: str = "append", n_buckets: int = 64
+    triples: DataFrame, table_dir: str, operation: str = "append",
+    n_buckets: int = 64, require_parent: int | None = None,
 ) -> int:
     """Triple-table snapshot sink: identical salted/subject-bucketed
     layout to operators.triples.write_triples, committed atomically."""
     from jsonld_ex_spark.operators.triples import bucket_clustered
 
     w = bucket_clustered(triples, n_buckets)
-    return commit_snapshot(w, table_dir, operation=operation)
+    return commit_snapshot(
+        w, table_dir, operation=operation, require_parent=require_parent
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
+pytestmark = pytest.mark.spark
+
 from jsonld_ex_spark.operators.graph_update import (
     delete_insert,
     delete_where,
@@ -110,3 +112,43 @@ def test_no_op_modify_rejected(spark, tmp_path):  # noqa: F811
     write_triples_snapshot(_seed(spark), t, "append")
     with pytest.raises(ValueError, match="no-op"):
         delete_insert(spark, t, [], [], [("?s", "<urn:role>", "?r")])
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):  # noqa: F811
+    """Round-5 review: a read-modify-write update whose base snapshot
+    was advanced by a concurrent committer must raise
+    SnapshotConflictError, never silently clobber the other commit
+    (lost update)."""
+    from jsonld_ex_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        commit_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")   # v1
+    # writer A reads v1 ... meanwhile writer B lands v2
+    base = read_snapshot(spark, t)
+    commit_snapshot(
+        spark.createDataFrame(
+            [("urn:t9", "urn:role", "user", False, None, None, None)], _SCHEMA
+        ),
+        t, "append",
+    )
+    with pytest.raises(SnapshotConflictError, match="concurrent commit"):
+        commit_snapshot(base, t, "overwrite", require_parent=1)
+    # B's commit survives untouched
+    assert ("urn:t9", "urn:role", "user") in _triples(spark, t)
+
+
+def test_update_rejects_quads_and_bare_var_insert_objects(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_seed(spark), t, "append")
+    with pytest.raises(ValueError, match="TRIPLE patterns only"):
+        delete_where(spark, t, [("?s", "<urn:p>", "?o", "?g")])
+    with pytest.raises(ValueError, match="bare variable"):
+        delete_insert(
+            spark, t,
+            delete_template=[],
+            insert_template=[("?turn", "<urn:backup>", "?tn")],
+            where=[("?turn", "<urn:tool>", "?tn")],
+        )
