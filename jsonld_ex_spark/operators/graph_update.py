@@ -109,6 +109,10 @@ def delete_insert(
     delete_template: list[tuple[str, ...]],
     insert_template: list[tuple[str, ...]],
     where: list[tuple[str, ...]],
+    filters: list[tuple[str, str, object]] | None = None,
+    paths: list[tuple[str, object, str]] | None = None,
+    exists: list[list[tuple[str, ...]]] | None = None,
+    not_exists: list[list[tuple[str, ...]]] | None = None,
 ) -> int:
     """SPARQL DELETE/INSERT WHERE (the "modify" operation): ONE binding
     pass over ``where`` against the CURRENT snapshot (the solution
@@ -126,7 +130,13 @@ def delete_insert(
     binding relation carries lexical forms only: the instantiated term
     kind would be a guess, persisted forever (acceptable for transient
     CONSTRUCT output, not for the write side).  Delete templates may
-    use variable objects freely (the matching key ignores term kind)."""
+    use variable objects freely (the matching key ignores term kind).
+
+    ``filters``/``paths``/``exists``/``not_exists`` refine the WHERE
+    clause with the full read-side surface (bgp_select semantics) —
+    DELETE WHERE with a FILTER or an EXISTS guard is the everyday
+    SPARQL Update shape ("remove mentions from late turns that have no
+    tool attachment")."""
     from jsonld_ex_spark.operators.bgp import _parse_term, bgp_select
     from jsonld_ex_spark.sources.snapshot_table import (
         current_snapshot_id,
@@ -148,7 +158,10 @@ def delete_insert(
             )
     parent = current_snapshot_id(table_dir)
     current = _current_triples(spark, table_dir)
-    bindings = bgp_select(current, where).localCheckpoint(eager=False)
+    bindings = bgp_select(
+        current, where, filters=filters, paths=paths,
+        exists=exists, not_exists=not_exists,
+    ).localCheckpoint(eager=False)
     remaining = current
     if delete_template:
         doomed = _matched_triples(

@@ -152,3 +152,29 @@ def test_update_rejects_quads_and_bare_var_insert_objects(spark, tmp_path):  # n
             insert_template=[("?turn", "<urn:backup>", "?tn")],
             where=[("?turn", "<urn:tool>", "?tn")],
         )
+
+
+def test_where_refinements_filter_the_mutation(spark, tmp_path):  # noqa: F811
+    """DELETE WHERE with FILTER + NOT EXISTS: only bindings surviving
+    the refinements are deleted — the everyday SPARQL Update shape."""
+    t = str(tmp_path / "tbl")
+    rows = [
+        ("urn:t1", "urn:idx", "3", False, None, None, None),
+        ("urn:t2", "urn:idx", "9", False, None, None, None),
+        ("urn:t3", "urn:idx", "12", False, None, None, None),
+        ("urn:t3", "urn:tool", "kb", False, None, None, None),
+    ]
+    write_triples_snapshot(spark.createDataFrame(rows, _SCHEMA), t, "append")
+    # delete idx triples of turns with idx > 5 that have NO tool: only t2
+    delete_insert(
+        spark, t,
+        delete_template=[("?turn", "<urn:idx>", "?i")],
+        insert_template=[],
+        where=[("?turn", "<urn:idx>", "?i")],
+        filters=[("i", "gt", 5)],
+        not_exists=[[("?turn", "<urn:tool>", "?tn")]],
+    )
+    got = _triples(spark, t)
+    assert ("urn:t2", "urn:idx", "9") not in got
+    assert ("urn:t1", "urn:idx", "3") in got     # fails the filter
+    assert ("urn:t3", "urn:idx", "12") in got    # has a tool (NOT EXISTS fails)
