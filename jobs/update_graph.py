@@ -75,14 +75,13 @@ def main() -> None:
         delete = [parse_pattern(t) for t in args.delete]
         insert = [parse_pattern(t) for t in args.insert]
         where = [parse_pattern(t) for t in args.where]
-        for p in delete + insert + where:
-            if len(p) != 4:
-                continue
-            raise SystemExit(
-                f"update patterns are triples, not quads: {' '.join(p)!r} "
-                "(graph-scoped update is out of scope — deletion matches "
-                "the lexical triple across all graphs)"
-            )
+        for pat in delete + insert + where:
+            if len(pat) == 4:
+                raise SystemExit(
+                    f"update patterns are triples, not quads: {' '.join(pat)!r} "
+                    "(graph-scoped update is out of scope — deletion matches "
+                    "the lexical triple across all graphs)"
+                )
         if not delete and not insert:
             raise SystemExit("need --delete and/or --insert (or --insert-parquet)")
         if not where:

@@ -79,21 +79,6 @@ def insert_data(triples: DataFrame, table_dir: str) -> int:
     )
 
 
-def _matched_triples(
-    triples: DataFrame,
-    template: list[tuple[str, ...]],
-    where: list[tuple[str, ...]],
-    bindings: DataFrame | None = None,
-) -> DataFrame:
-    """Instantiate ``template`` with every solution of ``where`` —
-    the triples a DELETE/INSERT clause names (bgp_construct's
-    instantiation, set semantics) — from a shared precomputed binding
-    relation when given (one pass feeds both templates)."""
-    from jsonld_ex_spark.operators.bgp import bgp_construct
-
-    return bgp_construct(triples, where, template, distinct=True, bindings=bindings)
-
-
 def delete_where(
     spark: SparkSession, table_dir: str, patterns: list[tuple[str, ...]]
 ) -> int:
@@ -137,9 +122,15 @@ def delete_insert(
     DELETE WHERE with a FILTER or an EXISTS guard is the everyday
     SPARQL Update shape ("remove mentions from late turns that have no
     tool attachment")."""
-    from jsonld_ex_spark.operators.bgp import _parse_term, bgp_select
+    from jsonld_ex_spark.operators.bgp import (
+        _parse_term,
+        bgp_construct,
+        bgp_select,
+    )
     from jsonld_ex_spark.sources.snapshot_table import (
+        _max_claimed_id,
         current_snapshot_id,
+        read_snapshot,
         write_triples_snapshot,
     )
 
@@ -156,20 +147,32 @@ def delete_insert(
                 "persisted term kind would be a guess — state it with "
                 "<...> / \"...\" in the template"
             )
-    parent = current_snapshot_id(table_dir)
-    current = _current_triples(spark, table_dir)
+    # the parent we read from, validate against, and commit onto must
+    # be ONE snapshot id, derived exactly as commit_snapshot derives it
+    # (max of CURRENT and the highest CLAIMED manifest — a crashed
+    # writer's claimed-but-unswapped head is a valid parent; deriving
+    # from CURRENT alone would livelock every validated commit behind
+    # such an orphan) and the data read PINNED to it (re-resolving
+    # CURRENT at read time could observe a different snapshot than the
+    # one validation certifies — round-5 review)
+    parent = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
+    current = read_snapshot(spark, table_dir, snapshot_id=parent).select(*_TRIPLE_COLS)
     bindings = bgp_select(
         current, where, filters=filters, paths=paths,
         exists=exists, not_exists=not_exists,
     ).localCheckpoint(eager=False)
     remaining = current
     if delete_template:
-        doomed = _matched_triples(
-            current, delete_template, where, bindings
+        # bindings= overrides the pattern args in bgp_construct: the
+        # shared relation instantiates both templates (one WHERE pass)
+        doomed = bgp_construct(
+            current, where, delete_template, distinct=True, bindings=bindings
         ).select(*_MATCH_KEY)
         remaining = current.join(doomed, on=_MATCH_KEY, how="left_anti")
     if insert_template:
-        inserted = _matched_triples(current, insert_template, where, bindings)
+        inserted = bgp_construct(
+            current, where, insert_template, distinct=True, bindings=bindings
+        )
         # an RDF graph is a set: do not duplicate triples the surviving
         # graph already holds (matching-key granularity, as above)
         inserted = inserted.join(

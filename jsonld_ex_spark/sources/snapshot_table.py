@@ -199,8 +199,17 @@ def commit_snapshot(
             f.write(str(snap))
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(table_dir, _CURRENT))  # atomic swap
-        _fsync_dir(table_dir)
+        # only-advance guard: a committer that stalled between its claim
+        # and this swap must not regress CURRENT past a newer committed
+        # snapshot (the check-then-replace window is best-effort — a
+        # regression slipping through is healed by the next commit's
+        # max-claimed roll-forward, and validated commits pin their
+        # reads to the max-claimed parent, not CURRENT)
+        if current_snapshot_id(table_dir) < snap:
+            os.replace(tmp, os.path.join(table_dir, _CURRENT))  # atomic swap
+            _fsync_dir(table_dir)
+        else:
+            os.unlink(tmp)
         return snap
     raise RuntimeError(f"lost {max_retries} commit races on {table_dir!r}")
 
@@ -314,12 +323,18 @@ def expire_snapshots(
 
 
 def compact_snapshot(spark: SparkSession, table_dir: str) -> int:
-    """Rewrite the CURRENT snapshot's (possibly many) data directories
+    """Rewrite the newest snapshot's (possibly many) data directories
     as ONE overwrite commit — the small-file compaction every
     append-heavy table needs.  Prior snapshots remain readable until
-    expire_snapshots reclaims them."""
+    expire_snapshots reclaims them.  Read-modify-write: the read is
+    PINNED to the parent the commit validates (require_parent), so a
+    concurrent append landing mid-compaction raises
+    SnapshotConflictError instead of being silently dropped from the
+    compacted overwrite (round-5 review)."""
+    parent = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
     return commit_snapshot(
-        read_snapshot(spark, table_dir), table_dir, operation="overwrite"
+        read_snapshot(spark, table_dir, snapshot_id=parent),
+        table_dir, operation="overwrite", require_parent=parent,
     )
 
 

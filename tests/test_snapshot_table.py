@@ -204,3 +204,72 @@ def test_expire_reclaims_crashed_temp_residue(spark, tmp_path):  # noqa: F811
     assert not os.path.exists(stale_claim) and not os.path.exists(stale_cur)
     # the table itself is untouched
     assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == [0, 1, 2]
+
+
+def test_stalled_committer_does_not_regress_current(spark, tmp_path, monkeypatch):  # noqa: F811
+    """Round-5 review: a committer that stalls between its manifest
+    claim and the CURRENT swap must not move CURRENT BACKWARD past a
+    newer committed snapshot.  Simulated by making the guard's
+    CURRENT read observe a concurrent advance (the parent derivation,
+    which runs before the claim, sees the real value)."""
+    from jsonld_ex_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t, "append")  # v1, CURRENT=1
+    real = st.current_snapshot_id
+
+    def observed_advance(table_dir):
+        # after OUR claim of v2 exists, pretend a faster committer
+        # already swapped CURRENT to a later snapshot
+        if os.path.exists(os.path.join(table_dir, "manifests", "v00002.json")):
+            return 5
+        return real(table_dir)
+
+    monkeypatch.setattr(st, "current_snapshot_id", observed_advance)
+    snap = commit_snapshot(_df(spark, 3, 6), t, "append")
+    monkeypatch.setattr(st, "current_snapshot_id", real)
+    assert snap == 2  # the snapshot itself committed (manifest exists)
+    # ...but the stalled swap was skipped: CURRENT not regressed, no temp residue
+    assert open(os.path.join(t, "CURRENT")).read().strip() == "1"
+    assert not [n for n in os.listdir(t) if n.startswith("CURRENT.")]
+    # the next commit heals: builds on the claimed head and rolls CURRENT forward
+    s3 = commit_snapshot(_df(spark, 6, 8), t, "append")
+    assert s3 == 3 and current_snapshot_id(t) == 3
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(8))
+
+
+def test_compact_conflicts_with_concurrent_append(spark, tmp_path, monkeypatch):  # noqa: F811
+    """Round-5 review: compaction is read-modify-write — an append that
+    lands between compaction's pinned read and its overwrite commit
+    must raise SnapshotConflictError, never be silently dropped."""
+    from jsonld_ex_spark.sources import snapshot_table as st
+    from jsonld_ex_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        compact_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t, "append")  # v1
+    real_read = st.read_snapshot
+
+    def read_then_concurrent_append(spark_, table_dir, snapshot_id=None):
+        df = real_read(spark_, table_dir, snapshot_id)
+        commit_snapshot(_df(spark_, 100, 102), table_dir, "append")  # v2 lands mid-compaction
+        return df
+
+    monkeypatch.setattr(st, "read_snapshot", read_then_concurrent_append)
+    with pytest.raises(SnapshotConflictError):
+        compact_snapshot(spark, t)
+    monkeypatch.setattr(st, "read_snapshot", real_read)
+    # the concurrent append survived; nothing was lost
+    assert current_snapshot_id(t) == 2
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 3, 100, 101,
+    ]
+    # a clean retry compacts BOTH commits into one data dir
+    snap = compact_snapshot(spark, t)
+    m = json.load(open(os.path.join(t, "manifests", f"v{snap:05d}.json")))
+    assert len(m["files"]) == 1
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 3, 100, 101,
+    ]
