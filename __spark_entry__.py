@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_persisted_tool_turns": kg_queries.kg_path_persisted_tool_turns,
         "kg_bgp_bind_mention_labels": kg_queries.kg_bgp_bind_mention_labels,
         "kg_bgp_entity_idx_sum": kg_queries.kg_bgp_entity_idx_sum,
+        "kg_bgp_avg_idx_having": kg_queries.kg_bgp_avg_idx_having,
         "kg_describe_convs": kg_queries.kg_describe_convs,
         "kg_update_tool_redaction": kg_queries.kg_update_tool_redaction,
         "kg_bgp_turn_entity_lists": kg_queries.kg_bgp_turn_entity_lists,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_persisted_tool_turns": oracles.kg_path_tool_turns_oracle(),
         "kg_bgp_bind_mention_labels": oracles.kg_bgp_bind_mention_labels_oracle(),
         "kg_bgp_entity_idx_sum": oracles.kg_bgp_entity_idx_sum_oracle(),
+        "kg_bgp_avg_idx_having": oracles.kg_bgp_avg_idx_having_oracle(),
         "kg_describe_convs": oracles.kg_describe_convs_oracle(),
         "kg_update_tool_redaction": oracles.kg_update_tool_redaction_oracle(),
         "kg_bgp_turn_entity_lists": oracles.kg_bgp_turn_entity_lists_oracle(),

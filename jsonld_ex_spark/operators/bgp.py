@@ -557,7 +557,15 @@ def bgp_select(
     return acc
 
 
-_AGG_FNS = {"count", "count_distinct", "min", "max", "sum", "group_concat"}
+_AGG_FNS = {
+    "count", "count_distinct", "min", "max", "sum", "group_concat",
+    "avg", "sample",
+}
+
+# HAVING comparison operators over the (typed) aggregate outputs —
+# unlike pattern FILTERs these need no lexical guard: the compared
+# column is already BIGINT/STRING in BOTH engines
+_HAVING_OPS = {"eq": "=", "ne": "<>", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
 
 # GROUP_CONCAT separator — fixed so the Spark plan and the SQL oracle
 # can never drift; elements are SORTED first (SPARQL leaves solution
@@ -575,26 +583,39 @@ def bgp_aggregate(
     minus: list[list[tuple[str, ...]]] | None = None,
     filters: list[tuple[str, str, object]] | None = None,
     paths: list[tuple[str, object, str]] | None = None,
+    having: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """SPARQL SELECT-with-GROUP-BY over BGP bindings: ``aggs`` maps
     output column -> (fn, var), fn in {count, count_distinct, min, max,
-    sum, group_concat}; ``("count", None)`` counts solutions.
-    ``filters``/``paths`` forward to :func:`bgp_select` (aggregation
-    over FILTERed or path-traversed bindings).
+    sum, avg, sample, group_concat}; ``("count", None)`` counts
+    solutions.  ``filters``/``paths`` forward to :func:`bgp_select`
+    (aggregation over FILTERed or path-traversed bindings).
+    ``having`` filters the GROUPS post-aggregation:
+    [(output_column, op, value)] with op in {eq,ne,gt,ge,lt,le} — the
+    SPARQL HAVING clause (comparisons are on the typed aggregate
+    outputs, so no lexical guard is needed).
 
     ``sum`` numeric-sums lexical forms under the strict-integer guard
     (non-integer bindings contribute NULL = skipped, identically in
     both engines — see _filter_cond_spark); the result is BIGINT.
+    ``avg`` is the integer PER-MILLE floor — floor(1000 * sum / n) as
+    BIGINT over the same guarded lexicals (0 when no binding is a
+    strict integer): a fractional average cannot be rendered
+    engine-identically (Spark DOUBLE vs DuckDB's .df() float64 differ
+    in trailing digits), but the quantized form is exact in both.  The
+    floor uses the portable exact-multiple rewrite ((s - ((s%n)+n)%n)
+    div n) because Spark ``div`` truncates while DuckDB ``//`` floors.
+    ``sample`` is SPARQL SAMPLE made deterministic: the spec allows ANY
+    value from the group, this implementation always picks the minimum
+    (so results are stable and oracle-checkable).
     ``group_concat`` joins the group's values SORTED with
-    GROUP_CONCAT_SEP (deterministic; mirrors SQL string_agg ORDER BY).
-    AVG is deliberately out of scope: a fractional result cannot be
-    rendered engine-identically (compute sum+count and divide
-    downstream, or use integer ppm)."""
+    GROUP_CONCAT_SEP (deterministic; mirrors SQL string_agg ORDER BY)."""
     b = bgp_select(
         triples, patterns, optional=optional, minus=minus,
         filters=filters, paths=paths,
     )
     cols = []
+    avg_outs: list[str] = []
     for out, (fn, var) in aggs.items():
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported aggregate {fn!r}")
@@ -604,12 +625,22 @@ def bgp_aggregate(
         if var is None or var not in b.columns:
             raise ValueError(f"aggregate {out}: variable {var!r} not bound")
         c = F.col(var)
+        if fn == "avg":
+            # two internal aggregates; the quotient is projected below
+            guarded = F.when(c.rlike(_INT_LEXICAL_RE), c.try_cast("long"))
+            cols.append(
+                F.coalesce(F.sum(guarded), F.lit(0).cast("long")).alias(f"__{out}_s")
+            )
+            cols.append(F.count(guarded).alias(f"__{out}_n"))
+            avg_outs.append(out)
+            continue
         cols.append(
             {
                 "count": F.count(c),
                 "count_distinct": F.countDistinct(c),
                 "min": F.min(c),
                 "max": F.max(c),
+                "sample": F.min(c),  # deterministic SAMPLE (see docstring)
                 # COALESCE to 0: SPARQL Sum over an empty sequence is 0,
                 # and a NULL in a BIGINT result column would downcast
                 # DuckDB's whole .df() column to float64 ('1051.0' vs
@@ -626,7 +657,32 @@ def bgp_aggregate(
                 ),
             }[fn].alias(out)
         )
-    return b.groupBy(*group_by).agg(*cols)
+    g = b.groupBy(*group_by).agg(*cols)
+    if avg_outs:
+        proj = list(group_by)
+        for out, (fn, _var) in aggs.items():
+            if out in avg_outs:
+                s, n = f"(1000 * __{out}_s)", f"__{out}_n"
+                proj.append(F.expr(
+                    f"CASE WHEN {n} = 0 THEN CAST(0 AS BIGINT) "
+                    f"ELSE CAST(({s} - ((({s} % {n}) + {n}) % {n})) div {n} "
+                    f"AS BIGINT) END"
+                ).alias(out))
+            else:
+                proj.append(F.col(out))
+        g = g.select(*proj)
+    for out, op, value in having or ():
+        if op not in _HAVING_OPS:
+            raise ValueError(f"unsupported HAVING op {op!r}")
+        lit = F.lit(value)
+        col = F.col(out)
+        g = g.filter(
+            {
+                "eq": col == lit, "ne": col != lit, "gt": col > lit,
+                "ge": col >= lit, "lt": col < lit, "le": col <= lit,
+            }[op]
+        )
+    return g
 
 
 def bgp_aggregate_oracle_sql(
@@ -638,6 +694,7 @@ def bgp_aggregate_oracle_sql(
     minus: list[list[tuple[str, ...]]] | None = None,
     filters: list[tuple[str, str, object]] | None = None,
     paths: list[tuple[str, object, str]] | None = None,
+    having: list[tuple[str, str, object]] | None = None,
 ) -> str:
     """SQL mirror of :func:`bgp_aggregate` (counts CAST to BIGINT so
     DuckDB's types render identically to Spark's longs)."""
@@ -655,6 +712,24 @@ def bgp_aggregate_oracle_sql(
             parts.append(f"CAST(count({var}) AS BIGINT) AS {out}")
         elif fn == "count_distinct":
             parts.append(f"CAST(count(DISTINCT {var}) AS BIGINT) AS {out}")
+        elif fn == "avg":
+            # per-mille floor over the guarded integer lexicals — the
+            # exact-multiple rewrite makes DuckDB's flooring // equal
+            # Spark's truncating div (CLAUDE.md portable floor division)
+            guard = (
+                f"CASE WHEN regexp_matches({var}, "
+                f"{_sql_quote(_INT_LEXICAL_RE)}) THEN TRY_CAST({var} AS "
+                f"BIGINT) END"
+            )
+            s = f"(1000 * CAST(COALESCE(sum({guard}), 0) AS BIGINT))"
+            n = f"CAST(count({guard}) AS BIGINT)"
+            parts.append(
+                f"CASE WHEN {n} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST(({s} - ((({s} % {n}) + {n}) % {n})) // {n} "
+                f"AS BIGINT) END AS {out}"
+            )
+        elif fn == "sample":
+            parts.append(f"min({var}) AS {out}")
         elif fn == "sum":
             # outer CAST: DuckDB sum(BIGINT) yields HUGEINT → float64 in
             # .df() → rendered '1051.0' vs Spark's '1051'; COALESCE 0 =
@@ -676,10 +751,22 @@ def bgp_aggregate_oracle_sql(
         else:
             parts.append(f"{fn}({var}) AS {out}")
     sel = ", ".join(group_by + parts)
-    return (
+    agg_sql = (
         f"WITH bindings AS ({inner})\n"
         f"SELECT {sel} FROM bindings GROUP BY {', '.join(group_by)}"
     )
+    if not having:
+        return agg_sql
+    conds = []
+    for out, op, value in having:
+        if op not in _HAVING_OPS:
+            raise ValueError(f"unsupported HAVING op {op!r}")
+        lit = _sql_quote(value) if isinstance(value, str) else str(value)
+        conds.append(f"{out} {_HAVING_OPS[op]} {lit}")
+    # an outer WHERE over the aggregate relation IS the HAVING clause,
+    # and (unlike HAVING proper) it compares the ALIASED typed outputs
+    # identically in both engines
+    return f"SELECT * FROM ({agg_sql}) grouped WHERE {' AND '.join(conds)}"
 
 
 def bgp_order_limit(

@@ -1288,6 +1288,34 @@ def kg_bgp_entity_idx_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_bgp_avg_idx_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL AVG + SAMPLE + HAVING under the gate (round-5 late): the
+    per-entity mean mention position as an integer per-mille floor (the
+    only engine-exact rendering of a fractional mean — Spark DOUBLE and
+    DuckDB float64 render differently), a deterministic SAMPLE witness
+    turn (always the minimum — a legal SPARQL SAMPLE choice), and
+    HAVING n_mentions >= 3 filtering the groups post-aggregation.
+    Completes the SPARQL aggregate family next to COUNT/COUNT
+    DISTINCT/MIN/MAX/SUM/GROUP_CONCAT (operators/bgp.py)."""
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return bgp_aggregate(
+        _checkpointed_triples(spark, sf_dir),
+        [
+            ("?turn", f"<{VOCAB}mentions>", "?entity"),
+            ("?turn", f"<{VOCAB}turn_idx>", "?idx"),
+        ],
+        group_by=["entity"],
+        aggs={
+            "n_mentions": ("count", None),
+            "idx_avg_pm": ("avg", "idx"),
+            "witness_turn": ("sample", "turn"),
+        },
+        having=[("n_mentions", "ge", 3)],
+    )
+
+
 def kg_bgp_turn_entity_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GROUP_CONCAT under the gate (round-5): each turn's
     mentioned entities joined SORTED with a fixed separator — the

@@ -766,6 +766,25 @@ def kg_bgp_entity_idx_sum_oracle() -> str:
     )
 
 
+def kg_bgp_avg_idx_having_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_aggregate_oracle_sql
+
+    return bgp_aggregate_oracle_sql(
+        kg_triples_oracle(),
+        [
+            ("?turn", f"<{VOCAB}mentions>", "?entity"),
+            ("?turn", f"<{VOCAB}turn_idx>", "?idx"),
+        ],
+        group_by=["entity"],
+        aggs={
+            "n_mentions": ("count", None),
+            "idx_avg_pm": ("avg", "idx"),
+            "witness_turn": ("sample", "turn"),
+        },
+        having=[("n_mentions", "ge", 3)],
+    )
+
+
 def kg_bgp_turn_entity_lists_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_aggregate_oracle_sql
 

@@ -505,7 +505,7 @@ def test_bgp_aggregate_semantics_and_mirror(tiny):
     duck = {r[0]: tuple(r[1:]) for r in duckdb.connect().execute(sql).fetchall()}
     assert duck == out
     with pytest.raises(ValueError, match="unsupported aggregate"):
-        bgp_aggregate(tiny, patterns, ["e"], {"x": ("avg", "t")})
+        bgp_aggregate(tiny, patterns, ["e"], {"x": ("median", "t")})
     with pytest.raises(ValueError, match="not bound"):
         bgp_aggregate(tiny, patterns, ["e"], {"x": ("min", "zz")})
 
@@ -968,7 +968,75 @@ def test_sum_and_group_concat_aggregates(quads):
     # NULL-free columns avoid DuckDB's float64 .df() downcast
     assert out2 == duck2 == [("tool", 19, 0)]
     with pytest.raises(ValueError, match="unsupported aggregate"):
-        bgp_aggregate(quads, [("?t", "<urn:idx>", "?i")], ["t"], {"a": ("avg", "i")})
+        bgp_aggregate(quads, [("?t", "<urn:idx>", "?i")], ["t"], {"a": ("median", "i")})
+
+
+def test_avg_sample_and_having(quads):
+    """Round-5 late aggregates: AVG as integer per-mille floor (the
+    only engine-exact rendering of a fractional mean), deterministic
+    SAMPLE (= min), and the HAVING clause over typed aggregate
+    outputs — all mirrored in SQL."""
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_aggregate_oracle_sql,
+    )
+
+    # both tool turns carry an idx (7, 12): avg = 9.5 → 9500 per-mille;
+    # a group whose var never parses as an integer (role lexicals)
+    # averages to 0, not NULL
+    kw = dict(
+        patterns=[("?t", "<urn:idx>", "?i"), ("?t", "<urn:role>", "?r")],
+        group_by=["r"],
+        aggs={
+            "idx_avg_pm": ("avg", "i"),
+            "bogus_avg_pm": ("avg", "r"),
+            "a_turn": ("sample", "t"),
+        },
+    )
+    out = sorted(tuple(r) for r in bgp_aggregate(quads, **kw).collect())
+    sql = bgp_aggregate_oracle_sql(_quads_cte(), **kw)
+    duck = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert out == duck == [("tool", 9500, 0, "urn:t1")]
+    # negative sum path: floor(-19/2 * 1000) = -9500 exactly; floor of
+    # -19/3 would be -6334 (floor) not -6333 (truncate) — use a 3-row
+    # group to prove the floor rewrite, not just truncation agreement
+    import pyspark.sql.functions as SF
+    with_neg = quads.union(
+        quads.sparkSession.createDataFrame(
+            [("urn:t4", "urn:idx", "-33", False, None),
+             ("urn:t4", "urn:role", "tool", False, None)],
+            quads.schema,
+        )
+    ).withColumn("obj", SF.when(SF.col("obj") == "7", "-5").otherwise(SF.col("obj")))
+    neg_cte = _quads_cte().replace("'7'", "'-5'") + (
+        " UNION ALL SELECT 'urn:t4','urn:idx','-33',false,NULL"
+        " UNION ALL SELECT 'urn:t4','urn:role','tool',false,NULL"
+    )
+    kw2 = dict(
+        patterns=[("?t", "<urn:idx>", "?i"), ("?t", "<urn:role>", "?r")],
+        group_by=["r"],
+        aggs={"idx_avg_pm": ("avg", "i")},
+    )
+    out2 = sorted(tuple(r) for r in bgp_aggregate(with_neg, **kw2).collect())
+    sql2 = bgp_aggregate_oracle_sql(neg_cte, **kw2)
+    duck2 = sorted(tuple(r) for r in duckdb.connect().execute(sql2).fetchall())
+    # (-5 + 12 - 33) / 3 = -26/3 → floor(-8666.67) = -8667 (truncation
+    # would give -8666)
+    assert out2 == duck2 == [("tool", -8667)]
+    # HAVING: keep only groups with 2+ mentions
+    kw3 = dict(
+        patterns=[("?t", "<urn:mentions>", "?e")],
+        group_by=["e"],
+        aggs={"n": ("count", None)},
+        having=[("n", "ge", 2)],
+    )
+    out3 = sorted(tuple(r) for r in bgp_aggregate(quads, **kw3).collect())
+    sql3 = bgp_aggregate_oracle_sql(_quads_cte(), **kw3)
+    duck3 = sorted(tuple(r) for r in duckdb.connect().execute(sql3).fetchall())
+    assert out3 == duck3 == [("urn:e1", 2)]
+    with pytest.raises(ValueError, match="unsupported HAVING"):
+        bgp_aggregate(quads, [("?t", "<urn:mentions>", "?e")], ["e"],
+                      {"n": ("count", None)}, having=[("n", "like", 2)])
 
 
 DESCRIBE_TRIPLES = [
