@@ -11,9 +11,15 @@ triple table — the production deployment of operators/graph_update.
 Forms:
 * --delete/--insert/--where   — DELETE { D } INSERT { I } WHERE { W }
   (either template may be omitted; omitting --where with only --delete
-  runs DELETE WHERE { D }, the SPARQL shorthand).
+  runs DELETE WHERE { D }, the SPARQL shorthand).  Patterns may be
+  QUADS ('?s <p> ?o <graph-iri>' / '... ?g') for graph-scoped
+  matching; --with-graph IRI scopes every TRIPLE pattern to that
+  named graph (SPARQL WITH).
 * --insert-parquet PATH       — INSERT DATA from a parquet triple table
   (standard 7-column schema); no patterns allowed.
+* --clear-graph IRI|DEFAULT   — SPARQL CLEAR GRAPH (DROP: identical).
+* --copy/--move/--add-graph 'SRC DST' (IRI or DEFAULT) — SPARQL
+  COPY/MOVE/ADD graph management.
 
 Every mutation is ONE atomic snapshot commit (sources/snapshot_table):
 readers see the pre- or post-update graph, never a torn state, and the
@@ -38,6 +44,16 @@ def main() -> None:
     p.add_argument("--insert", action="append", default=[])
     p.add_argument("--where", action="append", default=[])
     p.add_argument("--insert-parquet", default=None, dest="insert_parquet")
+    p.add_argument("--with-graph", default=None, dest="with_graph",
+                   help="scope triple patterns to this named graph (SPARQL WITH)")
+    p.add_argument("--clear-graph", default=None, dest="clear_graph",
+                   help="CLEAR GRAPH <iri> (or DEFAULT)")
+    p.add_argument("--copy-graph", default=None, dest="copy_graph",
+                   help="'SRC DST' — COPY SRC TO DST (IRI or DEFAULT)")
+    p.add_argument("--move-graph", default=None, dest="move_graph",
+                   help="'SRC DST' — MOVE SRC TO DST (IRI or DEFAULT)")
+    p.add_argument("--add-graph", default=None, dest="add_graph",
+                   help="'SRC DST' — ADD SRC TO DST (IRI or DEFAULT)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,22 +67,53 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from jsonld_ex_spark.operators.graph_update import (
+        add_graph,
+        clear_graph,
+        copy_graph,
         delete_insert,
         delete_where,
         insert_data,
+        move_graph,
     )
     from jsonld_ex_spark.sources.snapshot_table import (
         current_snapshot_id,
         read_snapshot,
     )
 
+    def graph_arg(tok: str) -> str | None:
+        return None if tok == "DEFAULT" else tok
+
+    def src_dst(flag: str, val: str) -> tuple[str | None, str | None]:
+        parts = val.split()
+        if len(parts) != 2:
+            raise SystemExit(f"{flag} takes 'SRC DST' (IRI or DEFAULT), got {val!r}")
+        return graph_arg(parts[0]), graph_arg(parts[1])
+
+    mgmt = [f for f in (args.clear_graph, args.copy_graph,
+                        args.move_graph, args.add_graph) if f is not None]
     t0 = time.perf_counter()
     # a fresh table (bootstrap INSERT DATA) has no snapshot to count
     before = (
         read_snapshot(spark, args.table).count()
         if current_snapshot_id(args.table) else 0
     )
-    if args.insert_parquet:
+    if mgmt:
+        if len(mgmt) > 1 or args.delete or args.insert or args.where \
+                or args.insert_parquet or args.with_graph:
+            raise SystemExit("graph management takes exactly ONE operation and no patterns")
+        if args.clear_graph is not None:
+            snap = clear_graph(spark, args.table, graph_arg(args.clear_graph))
+            kind = "clear_graph"
+        elif args.copy_graph is not None:
+            snap = copy_graph(spark, args.table, *src_dst("--copy-graph", args.copy_graph))
+            kind = "copy_graph"
+        elif args.move_graph is not None:
+            snap = move_graph(spark, args.table, *src_dst("--move-graph", args.move_graph))
+            kind = "move_graph"
+        else:
+            snap = add_graph(spark, args.table, *src_dst("--add-graph", args.add_graph))
+            kind = "add_graph"
+    elif args.insert_parquet:
         if args.delete or args.insert or args.where:
             raise SystemExit("--insert-parquet takes no patterns (INSERT DATA)")
         snap = insert_data(spark.read.parquet(args.insert_parquet), args.table)
@@ -75,22 +122,18 @@ def main() -> None:
         delete = [parse_pattern(t) for t in args.delete]
         insert = [parse_pattern(t) for t in args.insert]
         where = [parse_pattern(t) for t in args.where]
-        for pat in delete + insert + where:
-            if len(pat) == 4:
-                raise SystemExit(
-                    f"update patterns are triples, not quads: {' '.join(pat)!r} "
-                    "(graph-scoped update is out of scope — deletion matches "
-                    "the lexical triple across all graphs)"
-                )
         if not delete and not insert:
             raise SystemExit("need --delete and/or --insert (or --insert-parquet)")
         if not where:
             if insert:
                 raise SystemExit("--insert requires --where (bindings drive the template)")
-            snap = delete_where(spark, args.table, delete)
+            snap = delete_where(spark, args.table, delete, with_graph=args.with_graph)
             kind = "delete_where"
         else:
-            snap = delete_insert(spark, args.table, delete, insert, where)
+            snap = delete_insert(
+                spark, args.table, delete, insert, where,
+                with_graph=args.with_graph,
+            )
             kind = "modify"
     after = read_snapshot(spark, args.table).count()
     print(

@@ -914,6 +914,12 @@ def bgp_construct(
     straight back into write_triples / bgp_select, closing the
     query→enrichment loop.
 
+    QUAD templates ``(s, p, o, g)`` (g a ``<graph-iri>`` constant or a
+    variable bound by a quad WHERE pattern) emit into that NAMED graph
+    — the instantiation side of GRAPH-scoped INSERT (SPARQL Update
+    quad templates); triple templates emit graph NULL (the default
+    graph), as before.
+
     ``bindings``: a PRECOMPUTED solution relation (bgp_select output,
     ideally localCheckpointed) to instantiate from instead of
     evaluating ``patterns`` — the reuse shape for callers that feed one
@@ -939,7 +945,16 @@ def bgp_construct(
         return F.lit(val), kind, None
 
     out = None
-    for s, p, o in template:
+    for tpl in template:
+        if len(tpl) == 4:
+            s, p, o, g = tpl
+            gkind, _gval = _parse_term(g)
+            if gkind == _LIT:
+                raise ValueError(f"template graph term {g!r} must be an IRI or variable")
+            gc, _, gvar = term_col(g, "graph")
+        else:
+            s, p, o = tpl
+            gc, gvar = null_s, None
         sc, _, svar = term_col(s, "subj")
         pc, _, pvar = term_col(p, "pred")
         oc, okind, ovar = term_col(o, "obj")
@@ -950,7 +965,7 @@ def bgp_construct(
         # per template pattern via <>/""; bare variables default to IRI
         is_iri = F.lit(okind != _LIT)
         src = bindings
-        for var in (svar, pvar, ovar):
+        for var in (svar, pvar, ovar, gvar):
             if var is not None:
                 src = src.filter(F.col(var).isNotNull())
         row = src.select(
@@ -960,7 +975,7 @@ def bgp_construct(
             is_iri.alias("obj_is_iri"),
             null_s.alias("obj_dt"),
             null_s.alias("obj_lang"),
-            null_s.alias("graph"),
+            gc.alias("graph"),
         )
         out = row if out is None else out.unionByName(row)
     if out is None:
@@ -987,7 +1002,16 @@ def bgp_construct_oracle_sql(
         return _sql_quote(val), kind
 
     parts = []
-    for s, p, o in template:
+    for tpl in template:
+        if len(tpl) == 4:
+            s, p, o, g = tpl
+            gkind, _gval = _parse_term(g)
+            if gkind == _LIT:
+                raise ValueError(f"template graph term {g!r} must be an IRI or variable")
+            gsql, gkind = term_sql(g, "graph")
+        else:
+            s, p, o = tpl
+            gsql, gkind = "CAST(NULL AS VARCHAR)", None
         ssql, skind = term_sql(s, "subj")
         psql, pkind = term_sql(p, "pred")
         osql, okind = term_sql(o, "obj")
@@ -996,14 +1020,16 @@ def bgp_construct_oracle_sql(
         # unbound (same rule as the DataFrame side)
         notnull = [
             f"{sql} IS NOT NULL"
-            for sql, kind in ((ssql, skind), (psql, pkind), (osql, okind))
+            for sql, kind in (
+                (ssql, skind), (psql, pkind), (osql, okind), (gsql, gkind),
+            )
             if kind == _VAR
         ]
         where = " WHERE " + " AND ".join(notnull) if notnull else ""
         parts.append(
             f"SELECT {ssql} AS subj, {psql} AS pred, {osql} AS obj, "
             f"{is_iri} AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_dt, "
-            "CAST(NULL AS VARCHAR) AS obj_lang, CAST(NULL AS VARCHAR) AS graph "
+            f"CAST(NULL AS VARCHAR) AS obj_lang, {gsql} AS graph "
             f"FROM bindings{where}"
         )
     body = " UNION ALL ".join(parts)

@@ -54,13 +54,29 @@ def _current_triples(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def _check_update_patterns(patterns, what: str) -> None:
+    from jsonld_ex_spark.operators.bgp import _parse_term
+
     for p in patterns:
-        if len(p) != 3:
+        if len(p) not in (3, 4):
             raise ValueError(
-                f"{what} takes TRIPLE patterns only, got {p!r}: graph-scoped "
-                "update (quads) is out of scope — the matching key is the "
-                "lexical (subj, pred, obj) triple across all graphs"
+                f"{what} patterns are triples or (s, p, o, graph) quads, "
+                f"got {p!r}"
             )
+        if len(p) == 4 and _parse_term(p[3])[0] == "lit":
+            raise ValueError(
+                f"{what} graph term {p[3]!r} must be a <graph-iri> or a "
+                "variable"
+            )
+
+
+def _scope_to_graph(
+    patterns: list[tuple[str, ...]], graph_iri: str
+) -> list[tuple[str, ...]]:
+    """SPARQL ``WITH <g>``: every TRIPLE pattern is scoped to graph g;
+    explicit quads keep their own graph term (the spec's GRAPH-clause
+    override)."""
+    g = f"<{graph_iri}>"
+    return [p if len(p) == 4 else (*p, g) for p in patterns]
 
 
 def insert_data(triples: DataFrame, table_dir: str) -> int:
@@ -80,12 +96,17 @@ def insert_data(triples: DataFrame, table_dir: str) -> int:
 
 
 def delete_where(
-    spark: SparkSession, table_dir: str, patterns: list[tuple[str, ...]]
+    spark: SparkSession,
+    table_dir: str,
+    patterns: list[tuple[str, ...]],
+    with_graph: str | None = None,
 ) -> int:
     """SPARQL DELETE WHERE { P }: P is both the match and the delete
     template.  Commits the surviving graph as an overwrite snapshot
     and returns its id (the pre-update snapshot stays readable)."""
-    return delete_insert(spark, table_dir, patterns, [], patterns)
+    return delete_insert(
+        spark, table_dir, patterns, [], patterns, with_graph=with_graph
+    )
 
 
 def delete_insert(
@@ -98,6 +119,7 @@ def delete_insert(
     paths: list[tuple[str, object, str]] | None = None,
     exists: list[list[tuple[str, ...]]] | None = None,
     not_exists: list[list[tuple[str, ...]]] | None = None,
+    with_graph: str | None = None,
 ) -> int:
     """SPARQL DELETE/INSERT WHERE (the "modify" operation): ONE binding
     pass over ``where`` against the CURRENT snapshot (the solution
@@ -121,7 +143,21 @@ def delete_insert(
     clause with the full read-side surface (bgp_select semantics) —
     DELETE WHERE with a FILTER or an EXISTS guard is the everyday
     SPARQL Update shape ("remove mentions from late turns that have no
-    tool attachment")."""
+    tool attachment").
+
+    GRAPH SCOPE: templates and WHERE patterns may be ``(s, p, o, g)``
+    QUADS (g a ``<graph-iri>`` constant or a variable bound by a quad
+    WHERE pattern).  A quad DELETE template removes the lexical triple
+    from THAT named graph only (matching key (subj, pred, obj, graph));
+    a TRIPLE delete template keeps the documented legacy behavior —
+    the lexical triple is removed from every graph.  A quad INSERT
+    template inserts into its named graph; a triple template inserts
+    into the default graph (graph NULL) — insertion dedup is
+    graph-exact (null-safe), so inserting a triple into a second graph
+    is never suppressed by its presence in the first.  ``with_graph``
+    is SPARQL's ``WITH <g>``: every TRIPLE pattern in both templates
+    and the WHERE clause is scoped to that named graph (explicit quads
+    keep their own graph term, per spec)."""
     from jsonld_ex_spark.operators.bgp import (
         _parse_term,
         bgp_construct,
@@ -139,10 +175,14 @@ def delete_insert(
     _check_update_patterns(delete_template, "delete_template")
     _check_update_patterns(insert_template, "insert_template")
     _check_update_patterns(where, "where")
-    for _s, _p, o in insert_template:
-        if _parse_term(o)[0] == "var":
+    if with_graph is not None:
+        delete_template = _scope_to_graph(delete_template, with_graph)
+        insert_template = _scope_to_graph(insert_template, with_graph)
+        where = _scope_to_graph(where, with_graph)
+    for tpl in insert_template:
+        if _parse_term(tpl[2])[0] == "var":
             raise ValueError(
-                f"insert template object {o!r} is a bare variable: the "
+                f"insert template object {tpl[2]!r} is a bare variable: the "
                 "binding relation carries lexical forms only, so the "
                 "persisted term kind would be a guess — state it with "
                 "<...> / \"...\" in the template"
@@ -161,24 +201,149 @@ def delete_insert(
         current, where, filters=filters, paths=paths,
         exists=exists, not_exists=not_exists,
     ).localCheckpoint(eager=False)
+    import pyspark.sql.functions as F
+
     remaining = current
-    if delete_template:
+    del_triples = [t for t in delete_template if len(t) == 3]
+    del_quads = [t for t in delete_template if len(t) == 4]
+    if del_triples:
         # bindings= overrides the pattern args in bgp_construct: the
-        # shared relation instantiates both templates (one WHERE pass)
+        # shared relation instantiates every template (one WHERE pass)
         doomed = bgp_construct(
-            current, where, delete_template, distinct=True, bindings=bindings
+            current, where, del_triples, distinct=True, bindings=bindings
         ).select(*_MATCH_KEY)
-        remaining = current.join(doomed, on=_MATCH_KEY, how="left_anti")
+        remaining = remaining.join(doomed, on=_MATCH_KEY, how="left_anti")
+    if del_quads:
+        # graph-exact removal; instantiated quad graphs are never NULL
+        # (constants are IRIs, ?g binds named graphs only), so the
+        # equi-join correctly leaves default-graph rows untouched
+        doomed_q = bgp_construct(
+            current, where, del_quads, distinct=True, bindings=bindings
+        ).select(*_MATCH_KEY, "graph")
+        remaining = remaining.join(
+            doomed_q, on=[*_MATCH_KEY, "graph"], how="left_anti"
+        )
     if insert_template:
         inserted = bgp_construct(
             current, where, insert_template, distinct=True, bindings=bindings
         )
-        # an RDF graph is a set: do not duplicate triples the surviving
-        # graph already holds (matching-key granularity, as above)
-        inserted = inserted.join(
-            remaining.select(*_MATCH_KEY), on=_MATCH_KEY, how="left_anti"
-        ).select(*_TRIPLE_COLS)
+        # an RDF dataset is a set of graphs, each a set of triples: do
+        # not duplicate triples the TARGET graph already holds — the
+        # dedup key is (subj, pred, obj, graph), null-safe on graph so
+        # default-graph inserts (graph NULL) dedupe too
+        surv = remaining.select(
+            *(F.col(c).alias(f"__r_{c}") for c in (*_MATCH_KEY, "graph"))
+        )
+        cond = (
+            (inserted["subj"] == surv["__r_subj"])
+            & (inserted["pred"] == surv["__r_pred"])
+            & (inserted["obj"] == surv["__r_obj"])
+            & inserted["graph"].eqNullSafe(surv["__r_graph"])
+        )
+        inserted = inserted.join(surv, cond, "left_anti").select(*_TRIPLE_COLS)
         remaining = remaining.select(*_TRIPLE_COLS).unionByName(inserted)
     return write_triples_snapshot(
         remaining, table_dir, operation="overwrite", require_parent=parent
     )
+
+
+def _pinned_current(spark: SparkSession, table_dir: str):
+    """(parent_snapshot_id, triples-of-that-snapshot) — the
+    read-modify-write prologue shared by every validated mutation
+    (see delete_insert's parent-derivation comment)."""
+    from jsonld_ex_spark.sources.snapshot_table import (
+        _max_claimed_id,
+        current_snapshot_id,
+        read_snapshot,
+    )
+
+    parent = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
+    cur = read_snapshot(spark, table_dir, snapshot_id=parent).select(*_TRIPLE_COLS)
+    return parent, cur
+
+
+def _graph_cond(graph_iri: str | None):
+    import pyspark.sql.functions as F
+
+    # None = the default graph (NULL column), per SPARQL's DEFAULT
+    return F.col("graph").eqNullSafe(F.lit(graph_iri))
+
+
+def clear_graph(
+    spark: SparkSession, table_dir: str, graph_iri: str | None
+) -> int:
+    """SPARQL ``CLEAR GRAPH <g>`` / ``CLEAR DEFAULT`` (g=None): remove
+    every triple in that graph, as one validated overwrite commit.
+    This store's empty graph and absent graph are indistinguishable
+    (no graph registry), so CLEAR == DROP — both are provided."""
+    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
+
+    parent, cur = _pinned_current(spark, table_dir)
+    return write_triples_snapshot(
+        cur.filter(~_graph_cond(graph_iri)),
+        table_dir, operation="overwrite", require_parent=parent,
+    )
+
+
+drop_graph = clear_graph  # SPARQL DROP: identical without a graph registry
+
+
+def _graph_transfer(
+    spark: SparkSession,
+    table_dir: str,
+    src_iri: str | None,
+    dst_iri: str | None,
+    op: str,
+) -> int:
+    """SPARQL Update graph management — ADD/COPY/MOVE ``src TO dst``
+    (None = DEFAULT) in one validated overwrite commit:
+
+    * ADD:  dst ∪= src (set union — already-present triples not duplicated)
+    * COPY: dst := src (dst's prior content is dropped)
+    * MOVE: dst := src, then src is cleared
+
+    Per spec, src TO src is a no-op for all three (MOVE must NOT clear
+    src in that case).  All are metadata-light single-pass plans: one
+    scan, one union, one overwrite commit — no joins except ADD's
+    set-dedup anti-join on the (subj, pred, obj) matching key."""
+    import pyspark.sql.functions as F
+
+    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
+
+    parent, cur = _pinned_current(spark, table_dir)
+    if src_iri == dst_iri:
+        return parent  # spec no-op: nothing to commit
+    moved = cur.filter(_graph_cond(src_iri)).withColumn(
+        "graph", F.lit(dst_iri).cast("string")
+    )
+    if op == "add":
+        # dedup against dst's existing content (a graph is a set); the
+        # lexical matching key, same granularity as delete_insert
+        existing_dst = cur.filter(_graph_cond(dst_iri)).select(*_MATCH_KEY)
+        moved = moved.join(existing_dst, on=_MATCH_KEY, how="left_anti")
+        keep = cur
+    elif op == "copy":
+        keep = cur.filter(~_graph_cond(dst_iri))
+    elif op == "move":
+        keep = cur.filter(~_graph_cond(dst_iri) & ~_graph_cond(src_iri))
+    else:
+        raise ValueError(f"unknown graph transfer op {op!r}")
+    return write_triples_snapshot(
+        keep.select(*_TRIPLE_COLS).unionByName(moved.select(*_TRIPLE_COLS)),
+        table_dir, operation="overwrite", require_parent=parent,
+    )
+
+
+def add_graph(spark, table_dir, src_iri, dst_iri) -> int:
+    """SPARQL ``ADD <src> TO <dst>`` (None = DEFAULT)."""
+    return _graph_transfer(spark, table_dir, src_iri, dst_iri, "add")
+
+
+def copy_graph(spark, table_dir, src_iri, dst_iri) -> int:
+    """SPARQL ``COPY <src> TO <dst>`` (None = DEFAULT)."""
+    return _graph_transfer(spark, table_dir, src_iri, dst_iri, "copy")
+
+
+def move_graph(spark, table_dir, src_iri, dst_iri) -> int:
+    """SPARQL ``MOVE <src> TO <dst>`` (None = DEFAULT)."""
+    return _graph_transfer(spark, table_dir, src_iri, dst_iri, "move")

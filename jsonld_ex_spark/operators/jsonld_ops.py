@@ -592,6 +592,64 @@ def kg_bgp_graph_scoped_names(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_update_graph_ops(spark, sf_dir: str) -> DataFrame:
+    """GRAPH-SCOPED SPARQL Update + graph management under the gate
+    (round-5 late): stage the ten named document graphs as a snapshot
+    table, then run the full graph-administration sequence —
+
+        WITH <g1> DELETE { ?d v:chars ?c }
+                  INSERT { ?d v:redacted "true" } WHERE { ?d v:chars ?c };
+        COPY <g3> TO <archive>;
+        ADD  <g4> TO <archive>;
+        CLEAR GRAPH <g5>
+
+    — each an atomic validated snapshot commit, and aggregate
+    per-(graph, predicate) stats over the final state.  Exercises quad
+    templates, WITH-scoping, graph-exact insert dedup, and
+    CLEAR/COPY/ADD (operators/graph_update.py); the oracle applies the
+    same four operations relationally to the documents table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.operators.graph_update import (
+        add_graph,
+        clear_graph,
+        copy_graph,
+        delete_insert,
+    )
+    from jsonld_ex_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_triples_snapshot,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="kg_gupdate_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    write_triples_snapshot(
+        _named_graph_triples(spark, sf_dir), tdir, operation="append"
+    )
+    delete_insert(
+        spark, tdir,
+        delete_template=[("?d", f"<{VOCAB}chars>", "?c")],
+        insert_template=[("?d", f"<{VOCAB}redacted>", '"true"')],
+        where=[("?d", f"<{VOCAB}chars>", "?c")],
+        with_graph=f"{GRAPH_NS}1",
+    )
+    copy_graph(spark, tdir, f"{GRAPH_NS}3", f"{GRAPH_NS}archive")
+    add_graph(spark, tdir, f"{GRAPH_NS}4", f"{GRAPH_NS}archive")
+    clear_graph(spark, tdir, f"{GRAPH_NS}5")
+    return (
+        read_snapshot(spark, tdir)
+        .groupBy(F.col("graph").alias("g"), "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("subj").alias("n_docs"),
+        )
+    )
+
+
 def queries():
     return {
         "jsonld_doc_triples": jsonld_doc_triples,
@@ -599,6 +657,7 @@ def queries():
         "jsonld_canonical_hashes": jsonld_canonical_hashes,
         "kg_bgp_graph_doc_chars": kg_bgp_graph_doc_chars,
         "kg_bgp_graph_scoped_names": kg_bgp_graph_scoped_names,
+        "kg_update_graph_ops": kg_update_graph_ops,
     }
 
 
@@ -659,4 +718,34 @@ def oracle_sql():
                    '{GRAPH_NS}3' AS g
             FROM documents
             WHERE doc_id % 10 = 3""",
+        # the four graph operations applied relationally: g1 chars →
+        # redacted markers, archive := g3 ∪ g4 (ADD's set dedup is
+        # vacuous — the buckets are disjoint), g5 gone, the rest keep
+        # name+chars; per-doc subjects are unique so each (g, pred)
+        # group counts its docs
+        "kg_update_graph_ops": f"""
+            WITH buckets AS (
+              SELECT doc_id, doc_id % 10 AS b FROM documents
+            ),
+            quads AS (
+              SELECT '{GRAPH_NS}' || CAST(b AS VARCHAR) AS g,
+                     '{VOCAB}name' AS pred, doc_id
+              FROM buckets WHERE b <> 5
+              UNION ALL
+              SELECT '{GRAPH_NS}' || CAST(b AS VARCHAR),
+                     '{VOCAB}chars', doc_id
+              FROM buckets WHERE b NOT IN (1, 5)
+              UNION ALL
+              SELECT '{GRAPH_NS}1', '{VOCAB}redacted', doc_id
+              FROM buckets WHERE b = 1
+              UNION ALL
+              SELECT '{GRAPH_NS}archive', '{VOCAB}name', doc_id
+              FROM buckets WHERE b IN (3, 4)
+              UNION ALL
+              SELECT '{GRAPH_NS}archive', '{VOCAB}chars', doc_id
+              FROM buckets WHERE b IN (3, 4)
+            )
+            SELECT g, pred, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM quads GROUP BY g, pred""",
     }

@@ -140,11 +140,13 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):  # noqa: F811
     assert ("urn:t9", "urn:role", "user") in _triples(spark, t)
 
 
-def test_update_rejects_quads_and_bare_var_insert_objects(spark, tmp_path):  # noqa: F811
+def test_update_rejects_malformed_patterns(spark, tmp_path):  # noqa: F811
     t = str(tmp_path / "tbl")
     write_triples_snapshot(_seed(spark), t, "append")
-    with pytest.raises(ValueError, match="TRIPLE patterns only"):
-        delete_where(spark, t, [("?s", "<urn:p>", "?o", "?g")])
+    with pytest.raises(ValueError, match="triples or .* quads"):
+        delete_where(spark, t, [("?s", "<urn:p>", "?o", "?g", "?x")])
+    with pytest.raises(ValueError, match="graph term"):
+        delete_where(spark, t, [("?s", "<urn:p>", "?o", '"lit"')])
     with pytest.raises(ValueError, match="bare variable"):
         delete_insert(
             spark, t,
@@ -178,3 +180,145 @@ def test_where_refinements_filter_the_mutation(spark, tmp_path):  # noqa: F811
     assert ("urn:t2", "urn:idx", "9") not in got
     assert ("urn:t1", "urn:idx", "3") in got     # fails the filter
     assert ("urn:t3", "urn:idx", "12") in got    # has a tool (NOT EXISTS fails)
+
+
+# --- round-5 late: graph-scoped update + graph management -------------
+
+def _graph_seed(spark):  # noqa: F811
+    rows = [
+        ("urn:d1", "urn:name", "alpha", False, None, None, "urn:g1"),
+        ("urn:d1", "urn:chars", "5", False, None, None, "urn:g1"),
+        ("urn:d2", "urn:name", "beta", False, None, None, "urn:g2"),
+        ("urn:d2", "urn:chars", "4", False, None, None, "urn:g2"),
+        ("urn:d3", "urn:name", "gamma", False, None, None, None),  # default
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _quads(spark, tdir, snapshot_id=None):  # noqa: F811
+    return sorted(
+        (
+            (r["subj"], r["pred"], r["obj"], r["graph"])
+            for r in read_snapshot(spark, tdir, snapshot_id).collect()
+        ),
+        key=lambda q: tuple("" if v is None else v for v in q),
+    )
+
+
+def test_quad_delete_is_graph_exact(spark, tmp_path):  # noqa: F811
+    """A quad DELETE template removes the triple from THAT graph only;
+    the same lexical triple elsewhere (incl. the default graph)
+    survives."""
+    t = str(tmp_path / "tbl")
+    seed = _graph_seed(spark).union(
+        spark.createDataFrame(
+            [("urn:d1", "urn:name", "alpha", False, None, None, "urn:g2"),
+             ("urn:d1", "urn:name", "alpha", False, None, None, None)],
+            _SCHEMA,
+        )
+    )
+    write_triples_snapshot(seed, t, "append")
+    delete_where(spark, t, [("?d", "<urn:name>", '"alpha"', "<urn:g1>")])
+    got = _quads(spark, t)
+    assert ("urn:d1", "urn:name", "alpha", "urn:g1") not in got
+    assert ("urn:d1", "urn:name", "alpha", "urn:g2") in got
+    assert ("urn:d1", "urn:name", "alpha", None) in got
+
+
+def test_with_graph_scopes_templates_and_where(spark, tmp_path):  # noqa: F811
+    """WITH <g1>: triple patterns bind/delete/insert inside g1 only —
+    g2's chars triple survives and the marker lands IN g1."""
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_graph_seed(spark), t, "append")
+    delete_insert(
+        spark, t,
+        delete_template=[("?d", "<urn:chars>", "?c")],
+        insert_template=[("?d", "<urn:redacted>", '"true"')],
+        where=[("?d", "<urn:chars>", "?c")],
+        with_graph="urn:g1",
+    )
+    got = _quads(spark, t)
+    assert ("urn:d1", "urn:chars", "5", "urn:g1") not in got
+    assert ("urn:d2", "urn:chars", "4", "urn:g2") in got
+    assert ("urn:d1", "urn:redacted", "true", "urn:g1") in got
+
+
+def test_insert_dedup_is_graph_exact(spark, tmp_path):  # noqa: F811
+    """Inserting a triple into a SECOND graph must not be suppressed by
+    its presence in the first (null-safe graph-exact dedup), and
+    re-inserting into the same graph is a no-op."""
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_graph_seed(spark), t, "append")
+    delete_insert(
+        spark, t,
+        delete_template=[],
+        insert_template=[("?d", "<urn:name>", '"alpha"', "<urn:g2>"),
+                         ("?d", "<urn:name>", '"alpha"', "<urn:g1>")],
+        where=[("?d", "<urn:name>", '"alpha"', "<urn:g1>")],
+    )
+    got = _quads(spark, t)
+    assert ("urn:d1", "urn:name", "alpha", "urn:g2") in got
+    assert got.count(("urn:d1", "urn:name", "alpha", "urn:g1")) == 1
+
+
+def test_quad_where_binds_graph_variable_into_insert(spark, tmp_path):  # noqa: F811
+    """?g bound by a quad WHERE pattern instantiates a quad INSERT
+    template — per-graph provenance markers in one pass."""
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_graph_seed(spark), t, "append")
+    delete_insert(
+        spark, t,
+        delete_template=[],
+        insert_template=[("?d", "<urn:audited>", '"yes"', "?g")],
+        where=[("?d", "<urn:name>", "?n", "?g")],
+    )
+    got = _quads(spark, t)
+    assert ("urn:d1", "urn:audited", "yes", "urn:g1") in got
+    assert ("urn:d2", "urn:audited", "yes", "urn:g2") in got
+    # default-graph d3 has no named graph: ?g unbound there → no marker
+    assert not any(s == "urn:d3" and p == "urn:audited" for s, p, _o, _g in got)
+
+
+def test_clear_add_copy_move_graph(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.operators.graph_update import (
+        add_graph,
+        clear_graph,
+        copy_graph,
+        move_graph,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_graph_seed(spark), t, "append")
+    # COPY g1 TO arch: arch := g1, g1 intact
+    copy_graph(spark, t, "urn:g1", "urn:arch")
+    got = _quads(spark, t)
+    assert ("urn:d1", "urn:name", "alpha", "urn:arch") in got
+    assert ("urn:d1", "urn:name", "alpha", "urn:g1") in got
+    # ADD g2 TO arch: union (g2 intact)
+    add_graph(spark, t, "urn:g2", "urn:arch")
+    got = _quads(spark, t)
+    assert ("urn:d2", "urn:name", "beta", "urn:arch") in got
+    assert ("urn:d2", "urn:name", "beta", "urn:g2") in got
+    # ADD again: set semantics, no duplicates
+    add_graph(spark, t, "urn:g2", "urn:arch")
+    got = _quads(spark, t)
+    assert got.count(("urn:d2", "urn:name", "beta", "urn:arch")) == 1
+    # MOVE arch TO g9: arch gone, content in g9
+    move_graph(spark, t, "urn:arch", "urn:g9")
+    got = _quads(spark, t)
+    assert not any(g == "urn:arch" for *_x, g in got)
+    assert ("urn:d1", "urn:name", "alpha", "urn:g9") in got
+    # COPY default TO g9 replaces g9 with the default graph's content
+    copy_graph(spark, t, None, "urn:g9")
+    got = _quads(spark, t)
+    assert ("urn:d3", "urn:name", "gamma", "urn:g9") in got
+    assert ("urn:d1", "urn:name", "alpha", "urn:g9") not in got
+    # CLEAR DEFAULT
+    clear_graph(spark, t, None)
+    got = _quads(spark, t)
+    assert not any(g is None for *_x, g in got)
+    # self-transfer no-op: MOVE g2 TO g2 must NOT clear g2
+    before = current_snapshot_id(t)
+    move_graph(spark, t, "urn:g2", "urn:g2")
+    assert current_snapshot_id(t) == before
+    assert ("urn:d2", "urn:name", "beta", "urn:g2") in _quads(spark, t)
