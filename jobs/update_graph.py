@@ -81,7 +81,16 @@ def main() -> None:
     )
 
     def graph_arg(tok: str) -> str | None:
-        return None if tok == "DEFAULT" else tok
+        # accept both the bare IRI and the <iri> form every pattern
+        # flag uses — passing '<urn:g1>' through verbatim would
+        # literal-compare against the bare-IRI graph column, silently
+        # matching nothing (round-5 review)
+        tok = tok.strip()
+        if tok == "DEFAULT":
+            return None
+        if tok.startswith("<") and tok.endswith(">"):
+            tok = tok[1:-1]
+        return tok
 
     def src_dst(flag: str, val: str) -> tuple[str | None, str | None]:
         parts = val.split()

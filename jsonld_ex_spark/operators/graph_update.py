@@ -47,12 +47,6 @@ _MATCH_KEY = ["subj", "pred", "obj"]
 _TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"]
 
 
-def _current_triples(spark: SparkSession, table_dir: str) -> DataFrame:
-    from jsonld_ex_spark.sources.snapshot_table import read_snapshot
-
-    return read_snapshot(spark, table_dir).select(*_TRIPLE_COLS)
-
-
 def _check_update_patterns(patterns, what: str) -> None:
     from jsonld_ex_spark.operators.bgp import _parse_term
 
@@ -163,12 +157,7 @@ def delete_insert(
         bgp_construct,
         bgp_select,
     )
-    from jsonld_ex_spark.sources.snapshot_table import (
-        _max_claimed_id,
-        current_snapshot_id,
-        read_snapshot,
-        write_triples_snapshot,
-    )
+    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
 
     if not delete_template and not insert_template:
         raise ValueError("delete_insert with neither template is a no-op")
@@ -187,16 +176,7 @@ def delete_insert(
                 "persisted term kind would be a guess — state it with "
                 "<...> / \"...\" in the template"
             )
-    # the parent we read from, validate against, and commit onto must
-    # be ONE snapshot id, derived exactly as commit_snapshot derives it
-    # (max of CURRENT and the highest CLAIMED manifest — a crashed
-    # writer's claimed-but-unswapped head is a valid parent; deriving
-    # from CURRENT alone would livelock every validated commit behind
-    # such an orphan) and the data read PINNED to it (re-resolving
-    # CURRENT at read time could observe a different snapshot than the
-    # one validation certifies — round-5 review)
-    parent = max(current_snapshot_id(table_dir), _max_claimed_id(table_dir))
-    current = read_snapshot(spark, table_dir, snapshot_id=parent).select(*_TRIPLE_COLS)
+    parent, current = _pinned_current(spark, table_dir)
     bindings = bgp_select(
         current, where, filters=filters, paths=paths,
         exists=exists, not_exists=not_exists,
@@ -249,8 +229,16 @@ def delete_insert(
 
 def _pinned_current(spark: SparkSession, table_dir: str):
     """(parent_snapshot_id, triples-of-that-snapshot) — the
-    read-modify-write prologue shared by every validated mutation
-    (see delete_insert's parent-derivation comment)."""
+    read-modify-write prologue shared by every validated mutation.
+
+    The parent we read from, validate against, and commit onto must be
+    ONE snapshot id, derived exactly as commit_snapshot derives it
+    (max of CURRENT and the highest CLAIMED manifest — a crashed
+    writer's claimed-but-unswapped head is a valid parent; deriving
+    from CURRENT alone would livelock every validated commit behind
+    such an orphan) and the data read PINNED to it: re-resolving
+    CURRENT at read time could observe a different snapshot than the
+    one validation certifies (round-5 review)."""
     from jsonld_ex_spark.sources.snapshot_table import (
         _max_claimed_id,
         current_snapshot_id,
@@ -312,7 +300,11 @@ def _graph_transfer(
 
     parent, cur = _pinned_current(spark, table_dir)
     if src_iri == dst_iri:
-        return parent  # spec no-op: nothing to commit
+        # spec no-op: nothing committed — report the snapshot readers
+        # actually see, not the (possibly higher) claimed-head parent
+        from jsonld_ex_spark.sources.snapshot_table import current_snapshot_id
+
+        return current_snapshot_id(table_dir)
     moved = cur.filter(_graph_cond(src_iri)).withColumn(
         "graph", F.lit(dst_iri).cast("string")
     )
