@@ -37,6 +37,38 @@ from query_graph import parse_pattern  # same term grammar (jobs/ is on
 # sys.path when spark-submit runs this script)
 
 
+def graph_arg(tok: str) -> str | None:
+    """Normalize a CLI graph token to the bare-IRI form the library
+    expects: accept both the bare IRI and the ``<iri>`` form every
+    pattern flag uses — passing ``'<urn:g1>'`` through verbatim would
+    literal-compare against the bare-IRI graph column, silently
+    matching nothing (round-5 review).  ``DEFAULT`` → None (the
+    default graph)."""
+    tok = tok.strip()
+    if tok == "DEFAULT":
+        return None
+    if tok.startswith("<") and tok.endswith(">"):
+        tok = tok[1:-1]
+    return tok
+
+
+def with_graph_arg(tok: str) -> str:
+    """``--with-graph`` normalizer: SPARQL ``WITH`` takes an IRI only
+    (there is no WITH DEFAULT), and _scope_to_graph wraps the bare IRI
+    in <> itself — so strip a <>-wrapped form and reject DEFAULT."""
+    g = graph_arg(tok)
+    if g is None:
+        raise SystemExit("--with-graph takes an IRI (SPARQL WITH has no DEFAULT form)")
+    return g
+
+
+def src_dst(flag: str, val: str) -> tuple[str | None, str | None]:
+    parts = val.split()
+    if len(parts) != 2:
+        raise SystemExit(f"{flag} takes 'SRC DST' (IRI or DEFAULT), got {val!r}")
+    return graph_arg(parts[0]), graph_arg(parts[1])
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--table", required=True, help="snapshot table dir")
@@ -80,24 +112,6 @@ def main() -> None:
         read_snapshot,
     )
 
-    def graph_arg(tok: str) -> str | None:
-        # accept both the bare IRI and the <iri> form every pattern
-        # flag uses — passing '<urn:g1>' through verbatim would
-        # literal-compare against the bare-IRI graph column, silently
-        # matching nothing (round-5 review)
-        tok = tok.strip()
-        if tok == "DEFAULT":
-            return None
-        if tok.startswith("<") and tok.endswith(">"):
-            tok = tok[1:-1]
-        return tok
-
-    def src_dst(flag: str, val: str) -> tuple[str | None, str | None]:
-        parts = val.split()
-        if len(parts) != 2:
-            raise SystemExit(f"{flag} takes 'SRC DST' (IRI or DEFAULT), got {val!r}")
-        return graph_arg(parts[0]), graph_arg(parts[1])
-
     mgmt = [f for f in (args.clear_graph, args.copy_graph,
                         args.move_graph, args.add_graph) if f is not None]
     t0 = time.perf_counter()
@@ -131,17 +145,18 @@ def main() -> None:
         delete = [parse_pattern(t) for t in args.delete]
         insert = [parse_pattern(t) for t in args.insert]
         where = [parse_pattern(t) for t in args.where]
+        scope = with_graph_arg(args.with_graph) if args.with_graph else None
         if not delete and not insert:
             raise SystemExit("need --delete and/or --insert (or --insert-parquet)")
         if not where:
             if insert:
                 raise SystemExit("--insert requires --where (bindings drive the template)")
-            snap = delete_where(spark, args.table, delete, with_graph=args.with_graph)
+            snap = delete_where(spark, args.table, delete, with_graph=scope)
             kind = "delete_where"
         else:
             snap = delete_insert(
                 spark, args.table, delete, insert, where,
-                with_graph=args.with_graph,
+                with_graph=scope,
             )
             kind = "modify"
     after = read_snapshot(spark, args.table).count()

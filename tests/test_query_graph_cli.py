@@ -34,3 +34,28 @@ def test_cli_filter_parsing_rules():
     assert parse_filter('idx eq "7"') == ("idx", "eq", "7")
     assert isinstance(parse_filter("idx eq 7")[2], int)
     assert parse_filter("e regex 7") == ("e", "regex", "7")
+
+
+def test_update_graph_cli_graph_token_normalization():
+    # the update job accepts graph tokens in BOTH the bare-IRI and the
+    # <iri> form every pattern flag uses; '<urn:g1>' passed verbatim
+    # would literal-compare against the bare-IRI graph column and
+    # silently match nothing (round-5 review)
+    from update_graph import graph_arg, src_dst, with_graph_arg
+
+    assert graph_arg("urn:g1") == "urn:g1"
+    assert graph_arg("<urn:g1>") == "urn:g1"
+    assert graph_arg(" <urn:g1> ") == "urn:g1"
+    assert graph_arg("DEFAULT") is None
+
+    assert src_dst("--copy-graph", "<urn:a> DEFAULT") == ("urn:a", None)
+    assert src_dst("--copy-graph", "urn:a urn:b") == ("urn:a", "urn:b")
+    with pytest.raises(SystemExit):
+        src_dst("--copy-graph", "urn:only-one")
+
+    # WITH takes an IRI only — _scope_to_graph wraps the bare IRI in
+    # <> itself, so a verbatim '<g>' would have produced '<<g>>'
+    assert with_graph_arg("<urn:g1>") == "urn:g1"
+    assert with_graph_arg("urn:g1") == "urn:g1"
+    with pytest.raises(SystemExit):
+        with_graph_arg("DEFAULT")
