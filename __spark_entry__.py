@@ -61,6 +61,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe_convs": kg_queries.kg_describe_convs,
         "kg_update_tool_redaction": kg_queries.kg_update_tool_redaction,
         "kg_bgp_turn_entity_lists": kg_queries.kg_bgp_turn_entity_lists,
+        # round-6 SPARQL-surface completions: aggregation subqueries +
+        # DISTINCT/OFFSET paging (the expression-library query
+        # kg_bgp_expr_doc_labels registers via jsonld_ops.queries())
+        "kg_bgp_subquery_hot_entities": kg_queries.kg_bgp_subquery_hot_entities,
+        "kg_bgp_page_entities": kg_queries.kg_bgp_page_entities,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
         "kg_construct_entity_edges": kg_queries.kg_construct_entity_edges,
@@ -149,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_describe_convs": oracles.kg_describe_convs_oracle(),
         "kg_update_tool_redaction": oracles.kg_update_tool_redaction_oracle(),
         "kg_bgp_turn_entity_lists": oracles.kg_bgp_turn_entity_lists_oracle(),
+        "kg_bgp_subquery_hot_entities": oracles.kg_bgp_subquery_hot_entities_oracle(),
+        "kg_bgp_page_entities": oracles.kg_bgp_page_entities_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),
         "kg_conversation_text": oracles.kg_conversation_text_oracle(),

@@ -194,9 +194,9 @@ def _filter_cond_sql(src_col: str, op: str, value) -> str:
 #
 # * "var"                    — a bound variable's lexical value
 # * ("lit", "text")          — string literal
-# * ("concat", p1, p2, ...)  — string concatenation (parts must be
-#                              string-valued: var / lit / localname;
-#                              NULL propagates in both engines)
+# * ("concat", p1, p2, ...)  — string concatenation (parts are any
+#                              string-valued expressions; NULL
+#                              propagates in both engines)
 # * ("add"|"sub"|"mul", a, b) — BIGINT arithmetic; operands are ints,
 #                              vars (strict-integer lexical guard +
 #                              TRY_CAST, like numeric FILTERs — any
@@ -206,8 +206,45 @@ def _filter_cond_sql(src_col: str, op: str, value) -> str:
 #                              '/' or '#' ('' when none — both
 #                              regexp_extract implementations agree)
 # * ("strlen", "var")        — character length as BIGINT
+#
+# SPARQL function library (round-6 verdict item 1), string-valued:
+#
+# * ("str", "var")           — SPARQL STR(): the lexical form.  The
+#                              binding relation carries lexical values
+#                              already, so STR is the identity — kept
+#                              as an explicit node for query parity.
+# * ("coalesce", e1, e2, …)  — SPARQL COALESCE(): first expression
+#                              that evaluates to a bound (non-NULL)
+#                              value; the idiomatic default for
+#                              OPTIONAL-introduced variables.
+# * ("if", cond, e1, e2)     — SPARQL IF(cond, then, else); ``cond``
+#                              is a condition AST (see _cond_col).  An
+#                              error/unbound condition (NULL) selects
+#                              the else branch in both engines (CASE
+#                              WHEN semantics).
+# * ("lcase"|"ucase", e)     — SPARQL LCASE/UCASE (lower/upper in
+#                              both engines).
 _BIND_NUM_OPS = {"add": "+", "sub": "-", "mul": "*"}
 _LOCALNAME_RE = "([^/#]+)$"
+
+# SPARQL FILTER condition AST (the ``filter_exprs`` argument —
+# evaluated AFTER the OPTIONAL left-joins, so it can test
+# optional-introduced variables, which is where BOUND/COALESCE earn
+# their keep).  Compiled by _cond_col (Spark Column) and _cond_sql
+# (DuckDB text); non-true (false OR NULL) drops the solution in both
+# engines, matching SPARQL's error-eliminates-solution rule:
+#
+# * ("bound", "var")              — SPARQL BOUND(?var)
+# * ("not", c) / ("and", c1, c2, …) / ("or", c1, c2, …)
+# * ("strstarts"|"strends"|"contains", expr, "text")
+#                                 — SPARQL STRSTARTS/STRENDS/CONTAINS
+#                                   over any string-valued expression
+# * ("eq"|"ne", e1, e2)           — lexical equality of two
+#                                   string-valued expressions
+# * ("cmp", "var", op, value)     — the scalar pattern-filter forms
+#                                   (op in {gt,ge,lt,le,eq,ne,regex};
+#                                   int values use the strict-integer
+#                                   lexical guard) applied post-join
 
 
 def _require_bound(var: str, bound: set[str]) -> None:
@@ -253,55 +290,232 @@ def _bind_num_sql(term, bound: set[str]) -> str:
     raise ValueError(f"bad BIND numeric operand {term!r}")
 
 
+_STRING_FORMS = ("lit", "localname", "str", "concat", "coalesce", "if", "lcase", "ucase")
+
+
 def _bind_string_part(expr, bound: set[str], as_sql: bool):
+    """Compile a STRING-VALUED expression AST (recursive — see the
+    function-library comment above for the forms)."""
     if isinstance(expr, str):
         _require_bound(expr, bound)
         return expr if as_sql else F.col(expr)
     if isinstance(expr, tuple) and expr:
         if expr[0] == "lit":
             return _sql_quote(expr[1]) if as_sql else F.lit(expr[1])
-        if expr[0] == "localname":
+        if expr[0] in ("localname", "str"):
             _require_bound(expr[1], bound)
+            if expr[0] == "str":
+                # STR() over a lexical-value binding is the identity
+                return expr[1] if as_sql else F.col(expr[1])
             if as_sql:
                 return f"regexp_extract({expr[1]}, {_sql_quote(_LOCALNAME_RE)}, 1)"
             return F.regexp_extract(F.col(expr[1]), _LOCALNAME_RE, 1)
+        if expr[0] == "concat":
+            parts = [_bind_string_part(p, bound, as_sql) for p in expr[1:]]
+            if as_sql:
+                # `||`, NOT concat(): DuckDB's concat() ignores NULLs
+                # while Spark's F.concat propagates them (CLAUDE.md)
+                return "(" + " || ".join(parts) + ")"
+            return F.concat(*parts)
+        if expr[0] == "coalesce":
+            if len(expr) < 2:
+                raise ValueError("COALESCE needs at least one argument")
+            parts = [_bind_string_part(p, bound, as_sql) for p in expr[1:]]
+            if as_sql:
+                return "COALESCE(" + ", ".join(parts) + ")"
+            return F.coalesce(*parts)
+        if expr[0] == "if":
+            _, cond, then_e, else_e = expr
+            if as_sql:
+                return (
+                    f"(CASE WHEN {_cond_sql(cond, bound)} "
+                    f"THEN {_bind_string_part(then_e, bound, True)} "
+                    f"ELSE {_bind_string_part(else_e, bound, True)} END)"
+                )
+            return F.when(
+                _cond_col(cond, bound), _bind_string_part(then_e, bound, False)
+            ).otherwise(_bind_string_part(else_e, bound, False))
+        if expr[0] in ("lcase", "ucase"):
+            inner = _bind_string_part(expr[1], bound, as_sql)
+            fn = "lower" if expr[0] == "lcase" else "upper"
+            if as_sql:
+                return f"{fn}({inner})"
+            return F.lower(inner) if expr[0] == "lcase" else F.upper(inner)
     raise ValueError(
-        f"bad BIND concat part {expr!r} (must be string-valued: var, "
-        "('lit', s) or ('localname', var))"
+        f"bad string expression {expr!r} (must be string-valued: var, "
+        "('lit', s), ('localname'|'str', var), ('concat'|'coalesce', …), "
+        "('if', cond, a, b) or ('lcase'|'ucase', e))"
     )
+
+
+_CMP_CONDS = {"eq", "ne"}
+_STR_TESTS = {"strstarts", "strends", "contains"}
+# DuckDB's predicate names; Spark compiles via the Column API
+_STR_TEST_SQL = {"strstarts": "starts_with", "strends": "ends_with", "contains": "contains"}
+
+
+def _cond_col(cond, bound: set[str]):
+    """Compile a FILTER condition AST to a Spark boolean Column (see
+    the condition-AST comment above for the forms)."""
+    if not (isinstance(cond, tuple) and cond):
+        raise ValueError(f"bad condition {cond!r}")
+    head = cond[0]
+    if head == "bound":
+        _require_bound(cond[1], bound)
+        return F.col(cond[1]).isNotNull()
+    if head == "not":
+        return ~_cond_col(cond[1], bound)
+    if head in ("and", "or"):
+        if len(cond) < 3:
+            raise ValueError(f"{head} needs at least two conditions")
+        parts = [_cond_col(c, bound) for c in cond[1:]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if head == "and" else (out | p)
+        return out
+    if head in _STR_TESTS:
+        e = _bind_string_part(cond[1], bound, as_sql=False)
+        if not isinstance(cond[2], str):
+            raise ValueError(f"{head} needle must be a string literal")
+        return {
+            "strstarts": e.startswith(cond[2]),
+            "strends": e.endswith(cond[2]),
+            "contains": e.contains(cond[2]),
+        }[head]
+    if head in _CMP_CONDS:
+        a = _bind_string_part(cond[1], bound, as_sql=False)
+        b = _bind_string_part(cond[2], bound, as_sql=False)
+        return (a == b) if head == "eq" else (a != b)
+    if head == "cmp":
+        _, var, op, value = cond
+        _require_bound(var, bound)
+        _check_filters([(var, op, value)])
+        return _filter_cond_spark(var, op, value)
+    raise ValueError(f"bad condition {cond!r}")
+
+
+def _cond_sql(cond, bound: set[str]) -> str:
+    """SQL mirror of :func:`_cond_col` (DuckDB-runnable)."""
+    if not (isinstance(cond, tuple) and cond):
+        raise ValueError(f"bad condition {cond!r}")
+    head = cond[0]
+    if head == "bound":
+        _require_bound(cond[1], bound)
+        return f"({cond[1]} IS NOT NULL)"
+    if head == "not":
+        return f"(NOT {_cond_sql(cond[1], bound)})"
+    if head in ("and", "or"):
+        if len(cond) < 3:
+            raise ValueError(f"{head} needs at least two conditions")
+        joiner = " AND " if head == "and" else " OR "
+        return "(" + joiner.join(_cond_sql(c, bound) for c in cond[1:]) + ")"
+    if head in _STR_TESTS:
+        e = _bind_string_part(cond[1], bound, as_sql=True)
+        if not isinstance(cond[2], str):
+            raise ValueError(f"{head} needle must be a string literal")
+        return f"{_STR_TEST_SQL[head]}({e}, {_sql_quote(cond[2])})"
+    if head in _CMP_CONDS:
+        a = _bind_string_part(cond[1], bound, as_sql=True)
+        b = _bind_string_part(cond[2], bound, as_sql=True)
+        return f"({a} {'=' if head == 'eq' else '<>'} {b})"
+    if head == "cmp":
+        _, var, op, value = cond
+        _require_bound(var, bound)
+        _check_filters([(var, op, value)])
+        return _filter_cond_sql(var, op, value)
+    raise ValueError(f"bad condition {cond!r}")
 
 
 def _bind_col(expr, bound: set[str]):
     """Compile a BIND expression AST to a Spark Column."""
-    if isinstance(expr, str) or (
-        isinstance(expr, tuple) and expr and expr[0] in ("lit", "localname")
+    if isinstance(expr, tuple) and expr and (
+        expr[0] in _BIND_NUM_OPS or expr[0] == "strlen"
     ):
-        return _bind_string_part(expr, bound, as_sql=False)
-    if isinstance(expr, tuple) and expr:
-        if expr[0] == "concat":
-            return F.concat(*[_bind_string_part(p, bound, False) for p in expr[1:]])
-        if expr[0] in _BIND_NUM_OPS or expr[0] == "strlen":
-            return _bind_num_col(expr, bound)
-    raise ValueError(f"bad BIND expression {expr!r}")
+        return _bind_num_col(expr, bound)
+    return _bind_string_part(expr, bound, as_sql=False)
 
 
 def _bind_sql(expr, bound: set[str]) -> str:
     """SQL mirror of :func:`_bind_col` (DuckDB-runnable)."""
-    if isinstance(expr, str) or (
-        isinstance(expr, tuple) and expr and expr[0] in ("lit", "localname")
+    if isinstance(expr, tuple) and expr and (
+        expr[0] in _BIND_NUM_OPS or expr[0] == "strlen"
     ):
-        return _bind_string_part(expr, bound, as_sql=True)
-    if isinstance(expr, tuple) and expr:
-        if expr[0] == "concat":
-            parts = [_bind_string_part(p, bound, True) for p in expr[1:]]
-            return "(" + " || ".join(parts) + ")"
-        if expr[0] in _BIND_NUM_OPS or expr[0] == "strlen":
-            return _bind_num_sql(expr, bound)
-    raise ValueError(f"bad BIND expression {expr!r}")
+        return _bind_num_sql(expr, bound)
+    return _bind_string_part(expr, bound, as_sql=True)
+
+
+# SPARQL LANG()/DATATYPE() need the matched TERM's annotations, not
+# just its lexical value — the ``annotations`` argument projects them
+# from the pattern scan that binds the object variable:
+# {out_var: (obj_var, "lang" | "datatype")}.
+#
+# * lang:     '' for a plain/typed literal, the tag for a language-
+#             tagged one (SPARQL LANG), NULL (→ unbound, BOUND=false)
+#             for an IRI object (LANG of an IRI is a type error —
+#             errors make the value unbound).
+# * datatype: xsd:string for a plain literal, rdf:langString for a
+#             language-tagged one, the datatype IRI otherwise; NULL
+#             for IRI objects (same error rule).
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _annot_col(kind: str):
+    if kind == "lang":
+        return F.when(F.col("obj_is_iri"), F.lit(None).cast("string")).otherwise(
+            F.coalesce(F.col("obj_lang"), F.lit(""))
+        )
+    return (
+        F.when(F.col("obj_is_iri"), F.lit(None).cast("string"))
+        .when(F.col("obj_lang").isNotNull(), F.lit(RDF_LANGSTRING))
+        .when(F.col("obj_dt").isNotNull(), F.col("obj_dt"))
+        .otherwise(F.lit(XSD_STRING))
+    )
+
+
+def _annot_sql(kind: str) -> str:
+    if kind == "lang":
+        return "CASE WHEN obj_is_iri THEN NULL ELSE COALESCE(obj_lang, '') END"
+    return (
+        f"CASE WHEN obj_is_iri THEN NULL "
+        f"WHEN obj_lang IS NOT NULL THEN {_sql_quote(RDF_LANGSTRING)} "
+        f"WHEN obj_dt IS NOT NULL THEN obj_dt "
+        f"ELSE {_sql_quote(XSD_STRING)} END"
+    )
+
+
+def _annots_by_pattern(
+    parsed: list[list[tuple[str, str]]],
+    annotations: dict[str, tuple[str, str]] | None,
+) -> dict[int, dict[str, str]]:
+    """Resolve {out_var: (obj_var, kind)} to per-pattern projection
+    maps {pattern_idx: {out_var: kind}}.  The object variable must
+    appear in the OBJECT position of exactly ONE required pattern —
+    SPARQL joins on the term's value, so two patterns binding the same
+    variable could carry different annotations and the choice would be
+    arbitrary; the compiler rejects the ambiguity."""
+    out: dict[int, dict[str, str]] = {}
+    all_vars = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
+    for out_var, (obj_var, kind) in (annotations or {}).items():
+        if kind not in ("lang", "datatype"):
+            raise ValueError(f"bad annotation kind {kind!r} (lang|datatype)")
+        if out_var in all_vars:
+            raise ValueError(f"annotation output {out_var!r} shadows a pattern variable")
+        hits = [
+            i for i, p in enumerate(parsed)
+            if len(p) >= 3 and p[2] == (_VAR, obj_var)
+        ]
+        if len(hits) != 1:
+            raise ValueError(
+                f"annotation source ?{obj_var} must be the object of exactly "
+                f"one required pattern (found {len(hits)})"
+            )
+        out.setdefault(hits[0], {})[out_var] = kind
+    return out
 
 
 def _pattern_df(
-    triples: DataFrame, parsed: list[tuple[str, str]], filters=()
+    triples: DataFrame, parsed: list[tuple[str, str]], filters=(), annots=None
 ) -> DataFrame:
     conds = []
     cols: dict[str, str] = {}  # var name -> source column
@@ -329,14 +543,18 @@ def _pattern_df(
     df = triples
     for c in conds:
         df = df.filter(c)
-    return df.select(*[F.col(src).alias(var) for var, src in cols.items()])
+    proj = [F.col(src).alias(var) for var, src in cols.items()]
+    for out_var, kind in (annots or {}).items():
+        proj.append(_annot_col(kind).alias(out_var))
+    return df.select(*proj)
 
 
-def _bgp_join(triples: DataFrame, parsed, order, filters=()) -> DataFrame:
-    acc = _pattern_df(triples, parsed[order[0]], filters)
+def _bgp_join(triples: DataFrame, parsed, order, filters=(), annots=None) -> DataFrame:
+    annots = annots or {}
+    acc = _pattern_df(triples, parsed[order[0]], filters, annots.get(order[0]))
     bound = set(acc.columns)
     for i in order[1:]:
-        pdf = _pattern_df(triples, parsed[i], filters)
+        pdf = _pattern_df(triples, parsed[i], filters, annots.get(i))
         shared = sorted(bound & set(pdf.columns))
         acc = acc.join(pdf, on=shared, how="inner") if shared else acc.crossJoin(pdf)
         bound |= set(pdf.columns)
@@ -379,10 +597,37 @@ def bgp_select(
     exists: list[list[tuple[str, ...]]] | None = None,
     not_exists: list[list[tuple[str, ...]]] | None = None,
     bind: dict[str, object] | None = None,
+    annotations: dict[str, tuple[str, str]] | None = None,
+    filter_exprs: list | None = None,
+    subqueries: list[dict] | None = None,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
     semantics, like SPARQL BGP matching).  Column names are the
     variable names; ``project`` selects/orders output variables.
+
+    ``annotations`` binds the matched object TERM's language tag or
+    datatype IRI as an extra variable ({out_var: (obj_var, "lang" |
+    "datatype")} — the SPARQL LANG()/DATATYPE() accessors; see
+    _annots_by_pattern).  Annotation variables flow through joins and
+    are usable in ``filter_exprs``, ``bind`` and ``project``.
+
+    ``filter_exprs`` is a list of FILTER condition ASTs (BOUND / NOT /
+    AND / OR / STRSTARTS / STRENDS / CONTAINS / lexical eq / scalar
+    cmp — see _cond_col) evaluated AFTER the OPTIONAL left-joins, so
+    they can test optional-introduced variables (FILTER(BOUND(?x)) —
+    the classic negation-by-OPTIONAL idiom).  Scalar-only filters on
+    required variables belong in ``filters`` instead, where they push
+    into the pattern scans.
+
+    ``subqueries`` is the SPARQL nested-SELECT-with-aggregation form:
+    each entry is a dict of :func:`bgp_aggregate` keyword arguments
+    (patterns, group_by, aggs, optional having/filters); the
+    aggregated sub-relation inner-joins onto the outer bindings on the
+    shared GROUP BY variables, exposing its aggregate outputs as new
+    variables ("turns mentioning entities whose total mention count
+    >= k").  At scale the sub-aggregate is a map-side-combined groupBy
+    whose output is tiny relative to the bindings — AQE broadcasts it
+    into the outer join at runtime.
 
     ``values`` is the SPARQL VALUES clause in its common single-
     variable form: {var: [value, ...]} restricts that variable's
@@ -457,9 +702,10 @@ def bgp_select(
     # filters on plain-pattern variables push into the pattern scans;
     # filters on path-only variables apply after the path join
     post_filters = [f for f in filters if f[0] not in required]
+    annots = _annots_by_pattern(parsed, annotations)
     if parsed:
         order = _join_order(parsed, allow_cartesian)
-        acc = _bgp_join(triples, parsed, order, filters)
+        acc = _bgp_join(triples, parsed, order, filters, annots)
         bound = set(acc.columns)
     else:
         acc, bound = None, set()
@@ -478,6 +724,19 @@ def bgp_select(
             )
         acc = acc.join(rel, on=shared, how="inner") if shared else acc.crossJoin(rel)
         bound |= set(rel.columns)
+    for si, spec in enumerate(subqueries or []):
+        sub = bgp_aggregate(triples, **spec)
+        shared = sorted(bound & set(spec["group_by"]))
+        if not shared:
+            raise ValueError(
+                f"subquery {si} shares no GROUP BY variable with the outer "
+                "bindings (cross product)"
+            )
+        clash = (set(sub.columns) - set(shared)) & bound
+        if clash:
+            raise ValueError(f"subquery {si} output variables already bound: {sorted(clash)}")
+        acc = acc.join(sub, on=shared, how="inner")
+        bound |= set(sub.columns)
     for var, op, value in post_filters:
         acc = acc.filter(_filter_cond_spark(var, op, value))
     for var, vals in (values or {}).items():
@@ -501,6 +760,10 @@ def bgp_select(
         acc = acc.join(gdf, on=shared, how="left")
         optional_vars |= set(gdf.columns) - bound
         bound |= set(gdf.columns)
+    # post-OPTIONAL filter expressions (BOUND & friends) — non-true
+    # (false or NULL) drops the solution, SPARQL's error rule
+    for cond in filter_exprs or []:
+        acc = acc.filter(_cond_col(cond, bound))
     for mi, group in enumerate(minus or []):
         mparsed = [_parse_pattern(p) for p in group]
         mvars = set().union(*(_pattern_vars(p) for p in mparsed))
@@ -773,45 +1036,74 @@ def bgp_order_limit(
     bindings: DataFrame,
     order_by: list[tuple[str, str]],
     limit: int,
+    offset: int = 0,
+    distinct: bool = False,
 ) -> DataFrame:
-    """SPARQL solution modifiers ORDER BY + LIMIT over a binding
-    relation (bgp_select / bgp_aggregate output).  ``order_by`` is
-    [(column, "asc"|"desc"), ...] and MUST be a total order (include a
-    unique tie-break column) — otherwise the selected prefix is
-    engine-dependent and no oracle can reproduce it.  Spark plans
-    orderBy().limit(n) as TakeOrderedAndProject: per-partition top-n
-    heaps + one n-row merge at the driver — no global sort, the only
-    LIMIT shape that survives 10^12 bindings."""
+    """SPARQL solution modifiers DISTINCT + ORDER BY + LIMIT + OFFSET
+    over a binding relation (bgp_select / bgp_aggregate output).
+    ``order_by`` is [(column, "asc"|"desc"), ...] and MUST be a total
+    order (include a unique tie-break column) — otherwise the selected
+    page is engine-dependent and no oracle can reproduce it.
+
+    ``distinct=True`` is SPARQL's DISTINCT projection modifier (set
+    semantics over the solution rows); REDUCED is satisfied by the same
+    plan (the spec merely *permits* duplicate elimination — doing it
+    always is conformant and is what every production engine does when
+    it is about to sort anyway).  Applied BEFORE the order/slice, per
+    the SPARQL algebra (Slice(OrderBy(Distinct(...)))).
+
+    ``offset`` skips the first N ordered solutions — deterministic
+    paging (page k = offset k*limit).  Spark plans
+    orderBy().offset(m).limit(n) as a global TakeOrderedAndProject
+    variant: per-partition top-(m+n) heaps + one (m+n)-row merge at the
+    driver, then the m-row skip — no global sort, the only paging shape
+    that survives 10^12 bindings (deep pages pay m+n heap memory, which
+    is why real APIs cap page depth — so does this one via the same
+    limit the caller sets)."""
     if not order_by:
         raise ValueError("order_by must not be empty (LIMIT without a total order is non-deterministic)")
     if limit <= 0:
         raise ValueError("limit must be positive")
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     cols = []
     for col, direction in order_by:
         if direction not in ("asc", "desc"):
             raise ValueError(f"bad direction {direction!r}")
         cols.append(F.col(col).asc() if direction == "asc" else F.col(col).desc())
-    return bindings.orderBy(*cols).limit(limit)
+    if distinct:
+        bindings = bindings.dropDuplicates()
+    out = bindings.orderBy(*cols)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
 
 
 def bgp_order_limit_oracle_sql(
     inner_sql: str,
     order_by: list[tuple[str, str]],
     limit: int,
+    offset: int = 0,
+    distinct: bool = False,
 ) -> str:
-    """SQL mirror of :func:`bgp_order_limit`."""
+    """SQL mirror of :func:`bgp_order_limit` (``LIMIT n OFFSET m`` —
+    verified equivalent to Spark's offset(m).limit(n) composition)."""
     if not order_by:
         raise ValueError("order_by must not be empty (LIMIT without a total order is non-deterministic)")
     if limit <= 0:
         raise ValueError("limit must be positive")
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     parts = []
     for col, direction in order_by:
         if direction not in ("asc", "desc"):
             raise ValueError(f"bad direction {direction!r}")
         parts.append(f"{col} {direction.upper()}")
+    sel = "SELECT DISTINCT *" if distinct else "SELECT *"
+    off = f" OFFSET {offset}" if offset else ""
     return (
-        f"SELECT * FROM ({inner_sql}) AS solutions "
-        f"ORDER BY {', '.join(parts)} LIMIT {limit}"
+        f"{sel} FROM ({inner_sql}) AS solutions "
+        f"ORDER BY {', '.join(parts)} LIMIT {limit}{off}"
     )
 
 
@@ -875,6 +1167,9 @@ def bgp_over_table(
     exists: list[list[tuple[str, ...]]] | None = None,
     not_exists: list[list[tuple[str, ...]]] | None = None,
     bind: dict[str, object] | None = None,
+    annotations: dict[str, tuple[str, str]] | None = None,
+    filter_exprs: list | None = None,
+    subqueries: list[dict] | None = None,
 ) -> DataFrame:
     """PRODUCTION form: the FULL bgp_select surface (patterns incl.
     quads, property paths, OPTIONAL/MINUS/EXISTS groups, FILTER,
@@ -890,6 +1185,8 @@ def bgp_over_table(
         spark.read.parquet(table_path), patterns, project=project,
         optional=optional, filters=filters, minus=minus, paths=paths,
         values=values, exists=exists, not_exists=not_exists, bind=bind,
+        annotations=annotations, filter_exprs=filter_exprs,
+        subqueries=subqueries,
     )
 
 
@@ -1042,7 +1339,7 @@ def _sql_quote(val: str) -> str:
 
 
 def _pattern_sql(
-    parsed: list[tuple[str, str]], rel: str = "triples", filters=()
+    parsed: list[tuple[str, str]], rel: str = "triples", filters=(), annots=None
 ) -> str:
     conds = []
     cols: dict[str, str] = {}
@@ -1061,7 +1358,10 @@ def _pattern_sql(
     for var, op, value in filters:
         if var in cols:
             conds.append(_filter_cond_sql(cols[var], op, value))
-    proj = ", ".join(f"{src} AS {var}" for var, src in cols.items())
+    proj_parts = [f"{src} AS {var}" for var, src in cols.items()]
+    for out_var, kind in (annots or {}).items():
+        proj_parts.append(f"{_annot_sql(kind)} AS {out_var}")
+    proj = ", ".join(proj_parts)
     where = " AND ".join(conds) if conds else "true"
     return f"SELECT {proj} FROM {rel} WHERE {where}"
 
@@ -1092,6 +1392,9 @@ def bgp_oracle_sql(
     exists: list[list[tuple[str, ...]]] | None = None,
     not_exists: list[list[tuple[str, ...]]] | None = None,
     bind: dict[str, object] | None = None,
+    annotations: dict[str, tuple[str, str]] | None = None,
+    filter_exprs: list | None = None,
+    subqueries: list[dict] | None = None,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
@@ -1116,20 +1419,24 @@ def bgp_oracle_sql(
             f"filter variables not bound by required patterns or paths: {unbound}"
         )
     post_filters = [f for f in filters if f[0] not in required]
+    annots = _annots_by_pattern(parsed, annotations)
     path_ctes: list[str] = []
     counter = [0]
     if parsed:
         order = _join_order(parsed, allow_cartesian)
-        ctes = [f"p{i} AS ({_pattern_sql(parsed[i], filters=filters)})" for i in order]
+        ctes = [
+            f"p{i} AS ({_pattern_sql(parsed[i], filters=filters, annots=annots.get(i))})"
+            for i in order
+        ]
         joins = [f"p{order[0]}"]
-        bound = _pattern_vars(parsed[order[0]])
+        bound = _pattern_vars(parsed[order[0]]) | set(annots.get(order[0], {}))
         for i in order[1:]:
             shared = sorted(bound & _pattern_vars(parsed[i]))
             if shared:
                 joins.append(f"JOIN p{i} USING ({', '.join(shared)})")
             else:
                 joins.append(f"CROSS JOIN p{i}")
-            bound |= _pattern_vars(parsed[i])
+            bound |= _pattern_vars(parsed[i]) | set(annots.get(i, {}))
     else:
         ctes, joins, bound = [], [], set()
     for pi, (s_term, ast, o_term) in enumerate(paths):
@@ -1156,6 +1463,26 @@ def bgp_oracle_sql(
                 "patterns (cross product); pass allow_cartesian=True"
             )
         bound |= pvars
+    for si, spec in enumerate(subqueries or []):
+        # the sub-aggregate's SQL embeds its own triples CTE (the full
+        # text again — CTE self-shadowing would be ambiguous); DuckDB
+        # evaluates it independently, which is exactly what an oracle
+        # should do
+        sub_sql = bgp_aggregate_oracle_sql(triples_sql, **spec)
+        shared = sorted(bound & set(spec["group_by"]))
+        if not shared:
+            raise ValueError(
+                f"subquery {si} shares no GROUP BY variable with the outer "
+                "bindings (cross product)"
+            )
+        sub_vars = set(spec["group_by"]) | set(spec["aggs"])
+        clash = (sub_vars - set(shared)) & bound
+        if clash:
+            raise ValueError(f"subquery {si} output variables already bound: {sorted(clash)}")
+        name = f"sq{si}"
+        ctes.append(f"{name} AS ({sub_sql})")
+        joins.append(f"JOIN {name} USING ({', '.join(shared)})")
+        bound |= sub_vars
     ctes = path_ctes + ctes
     values_conds = []
     # path-bound FILTERs: no pattern CTE binds these variables, so the
@@ -1189,6 +1516,12 @@ def bgp_oracle_sql(
         joins.append(f"LEFT JOIN opt{gi} USING ({', '.join(shared)})")
         optional_vars |= gvars - bound
         bound |= gvars
+    # post-OPTIONAL condition ASTs: outer-WHERE conjunction over the
+    # LEFT-JOINed base — same evaluation point as bgp_select's
+    # post-optional .filter (required-side columns are never null, so
+    # the conjunction commutes with the anti-join conditions below)
+    for cond in filter_exprs or []:
+        values_conds.append(_cond_sql(cond, bound))
     neg_conds = []
     for mi, group in enumerate(minus or []):
         mparsed = [_parse_pattern(p) for p in group]

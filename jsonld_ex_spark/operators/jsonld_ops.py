@@ -650,6 +650,143 @@ def kg_update_graph_ops(spark, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_DOC_MEMO: dict[tuple[str, str], "DataFrame"] = {}
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+_LANG_DOC_CTX = {
+    "name": f"{VOCAB}name",
+    "chars": {"@id": f"{VOCAB}chars", "@type": XSD_INT},
+    "rating": f"{VOCAB}rating",
+}
+
+
+def _lang_doc_triples(spark, sf_dir: str) -> DataFrame:
+    """Documents as JSON-LD with LANGUAGE-TAGGED literals, run through
+    the real expand→node-map→to_rdf pipeline: ``name`` is a
+    ``{"@value": …, "@language": …}`` value object ('en' for
+    doc_id%3=0, 'fr' for %3=1, PLAIN for %3=2 — the @language field is
+    null there and to_json omits null struct fields, so the value
+    object degrades to a plain-literal form), ``chars`` is a typed
+    xsd:integer, and ``rating`` exists only for doc_id%4=0 (the
+    OPTIONAL/BOUND witness).  This is the term-annotation witness table
+    for the SPARQL LANG()/DATATYPE() accessors and the round-6
+    expression library.  Memoized per (session, sf_dir) like
+    _named_graph_triples."""
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _LANG_DOC_MEMO.get(key)
+    if got is not None:
+        return got
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx_lit = json.dumps(_LANG_DOC_CTX)
+    mod3 = F.col("doc_id") % 3
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"@context": ' + ctx_lit + ', '),
+            F.regexp_replace(
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("@id"),
+                        F.struct(
+                            F.col("text").alias("@value"),
+                            F.when(mod3 == 0, F.lit("en"))
+                            .when(mod3 == 1, F.lit("fr"))
+                            .alias("@language"),
+                        ).alias("name"),
+                        F.col("n_chars").cast("long").alias("chars"),
+                        F.when(
+                            F.col("doc_id") % 4 == 0,
+                            (F.col("doc_id") % 5).cast("string"),
+                        ).alias("rating"),
+                    )
+                ),
+                r"^\{", "",
+            ),
+        ).alias("doc"),
+    )
+    out = to_rdf_rows(docs, json_col="doc", doc_id_col="doc_id").drop(
+        "doc_id"
+    ).localCheckpoint(eager=True)
+    for k in [k for k in _LANG_DOC_MEMO if k[0] != key[0]]:
+        del _LANG_DOC_MEMO[k]
+    _LANG_DOC_MEMO[key] = out
+    return out
+
+
+def kg_bgp_expr_doc_labels(spark, sf_dir: str) -> DataFrame:
+    """The round-6 SPARQL EXPRESSION LIBRARY under the gate — one query
+    using LANG, DATATYPE, BOUND, STRSTARTS, IF, COALESCE and UCASE over
+    the language-tagged document graph:
+
+        SELECT ?d ?lang ?dt ?label ?meta WHERE {
+          ?d v:name ?n . ?d v:chars ?c .
+          OPTIONAL { ?d v:rating ?r }
+          BIND(LANG(?n) AS ?lang) BIND(DATATYPE(?c) AS ?dt)
+          FILTER(STRSTARTS(?lang, "en") || BOUND(?r))
+          BIND(IF(BOUND(?r), CONCAT("rated:", ?r), "unrated") AS ?label)
+          BIND(CONCAT(COALESCE(?r, "-"), "|", UCASE(?lang)) AS ?meta)
+        }
+
+    The DuckDB oracle compiles the SAME query AST to SQL over a
+    relationally-derived triples CTE (independent of the JSON-LD
+    pipeline that produced the Spark-side terms) — both the expression
+    compiler and the language-tagged to_rdf path are cross-checked."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+
+    return bgp_select(
+        _lang_doc_triples(spark, sf_dir),
+        **_EXPR_DOC_LABELS_KW,
+    )
+
+
+_EXPR_DOC_LABELS_KW = dict(
+    patterns=[("?d", f"<{VOCAB}name>", "?n"), ("?d", f"<{VOCAB}chars>", "?c")],
+    annotations={"lang": ("n", "lang"), "dt": ("c", "datatype")},
+    optional=[[("?d", f"<{VOCAB}rating>", "?r")]],
+    filter_exprs=[("or", ("strstarts", "lang", "en"), ("bound", "r"))],
+    bind={
+        "label": (
+            "if",
+            ("bound", "r"),
+            ("concat", ("lit", "rated:"), "r"),
+            ("lit", "unrated"),
+        ),
+        "meta": ("concat", ("coalesce", "r", ("lit", "-")), ("lit", "|"), ("ucase", "lang")),
+    },
+    project=["d", "lang", "dt", "label", "meta"],
+)
+
+# Relational derivation of the lang-doc triples.  obj_dt on the
+# language-tagged name rows is irrelevant to every query over this
+# table (the DATATYPE annotation tests obj_lang FIRST and maps any
+# tagged literal to rdf:langString), so the CTE leaves it NULL; plain
+# strings carry xsd:string exactly as to_rdf canonicalizes them
+# (matching jsonld_doc_triples' oracle).
+_LANG_DOC_TRIPLES_SQL = f"""
+SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR) AS subj,
+       '{VOCAB}name' AS pred, text AS obj, false AS obj_is_iri,
+       CASE WHEN doc_id % 3 = 2 THEN '{XSD_STR}' END AS obj_dt,
+       CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' END AS obj_lang,
+       CAST(NULL AS VARCHAR) AS graph
+FROM documents
+UNION ALL
+SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR), '{VOCAB}chars',
+       CAST(n_chars AS VARCHAR), false, '{XSD_INT}', NULL, NULL
+FROM documents
+UNION ALL
+SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR), '{VOCAB}rating',
+       CAST(doc_id % 5 AS VARCHAR), false, '{XSD_STR}', NULL, NULL
+FROM documents WHERE doc_id % 4 = 0"""
+
+
+def kg_bgp_expr_doc_labels_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(_LANG_DOC_TRIPLES_SQL, **_EXPR_DOC_LABELS_KW)
+
+
 def queries():
     return {
         "jsonld_doc_triples": jsonld_doc_triples,
@@ -658,6 +795,7 @@ def queries():
         "kg_bgp_graph_doc_chars": kg_bgp_graph_doc_chars,
         "kg_bgp_graph_scoped_names": kg_bgp_graph_scoped_names,
         "kg_update_graph_ops": kg_update_graph_ops,
+        "kg_bgp_expr_doc_labels": kg_bgp_expr_doc_labels,
     }
 
 
@@ -748,4 +886,5 @@ def oracle_sql():
             SELECT g, pred, CAST(count(*) AS BIGINT) AS n,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM quads GROUP BY g, pred""",
+        "kg_bgp_expr_doc_labels": kg_bgp_expr_doc_labels_oracle(),
     }

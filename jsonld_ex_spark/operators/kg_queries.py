@@ -1003,6 +1003,8 @@ def kg_triple_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_ENTITIES_LIMIT = 20
+# kg_bgp_page_entities: page size for the DISTINCT/OFFSET paging query
+ENTITY_PAGE_SIZE = 25
 
 
 def kg_bgp_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,6 +1083,55 @@ def kg_bgp_values_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("?turn", f"<{VOCAB}mentions>", "?entity")],
         project=["turn", "entity"],
         values={"entity": BGP_VALUES_ENTITIES},
+    )
+
+
+def kg_bgp_subquery_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SUBQUERY under the gate (round-6 verdict item 2) — the
+    nested SELECT-with-aggregation idiom:
+
+        SELECT ?turn ?entity ?total WHERE {
+          ?turn v:role "tool" . ?turn v:mentions ?entity .
+          { SELECT ?entity (COUNT(*) AS ?total)
+            WHERE { ?t2 v:mentions ?entity }
+            GROUP BY ?entity HAVING (?total >= 250) }
+        }
+
+    — tool-turn mentions of GLOBALLY HOT entities (total mention count
+    across all roles >= SUBQUERY_MIN_MENTIONS).  The sub-aggregate is a
+    map-side-combined groupBy whose tiny output AQE broadcasts into the
+    outer join; the oracle nests the same aggregate as a WITH
+    subselect."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.plans.oracles import BGP_SUBQUERY_HOT_KW
+
+    return bgp_select(_checkpointed_triples(spark, sf_dir), **BGP_SUBQUERY_HOT_KW)
+
+
+def kg_bgp_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + OFFSET solution modifiers under the gate (round-6
+    verdict item 3): page 2 of the alphabetically-ordered DISTINCT
+    entities mentioned by tool turns —
+
+        SELECT DISTINCT ?entity WHERE {
+          ?turn v:role "tool" . ?turn v:mentions ?entity }
+        ORDER BY ?entity LIMIT 25 OFFSET 25
+
+    ?entity alone is a total order after DISTINCT, so the page is
+    deterministic; the oracle's LIMIT/OFFSET must reproduce it
+    element-for-element (pages 1 and 2 tile without overlap —
+    tests/test_bgp_exprs.py proves the tiling on a controlled graph)."""
+    from jsonld_ex_spark.operators.bgp import bgp_order_limit, bgp_select
+    from jsonld_ex_spark.plans.oracles import BGP_TOOL_MENTIONS_PATTERNS
+
+    b = bgp_select(
+        _checkpointed_triples(spark, sf_dir),
+        BGP_TOOL_MENTIONS_PATTERNS,
+        project=["entity"],
+    )
+    return bgp_order_limit(
+        b, [("entity", "asc")], limit=ENTITY_PAGE_SIZE,
+        offset=ENTITY_PAGE_SIZE, distinct=True,
     )
 
 

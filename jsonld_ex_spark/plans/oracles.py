@@ -606,6 +606,51 @@ BGP_FILTERED_MENTIONS_FILTERS: list[tuple[str, str, object]] = [
 ]
 
 
+# Subquery gate query (round-6): tool-turn mentions of globally-hot
+# entities.  The threshold keeps the result a strict, non-empty subset
+# at BOTH gate scales (sf0.001: 10/137 entities qualify; sf0.01:
+# 82/211).  One kwargs dict feeds bgp_select AND bgp_oracle_sql so the
+# two engines compile the identical query AST.
+SUBQUERY_MIN_MENTIONS = 250
+BGP_SUBQUERY_HOT_KW = dict(
+    patterns=[
+        ("?turn", f"<{VOCAB}role>", '"tool"'),
+        ("?turn", f"<{VOCAB}mentions>", "?entity"),
+    ],
+    subqueries=[
+        dict(
+            patterns=[("?t2", f"<{VOCAB}mentions>", "?entity")],
+            group_by=["entity"],
+            aggs={"total": ("count", None)},
+            having=[("total", "ge", SUBQUERY_MIN_MENTIONS)],
+        )
+    ],
+    project=["turn", "entity", "total"],
+)
+
+
+def kg_bgp_subquery_hot_entities_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(kg_triples_oracle(), **BGP_SUBQUERY_HOT_KW)
+
+
+def kg_bgp_page_entities_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_oracle_sql,
+        bgp_order_limit_oracle_sql,
+    )
+    from jsonld_ex_spark.operators.kg_queries import ENTITY_PAGE_SIZE
+
+    inner = bgp_oracle_sql(
+        kg_triples_oracle(), BGP_TOOL_MENTIONS_PATTERNS, project=["entity"]
+    )
+    return bgp_order_limit_oracle_sql(
+        inner, [("entity", "asc")], limit=ENTITY_PAGE_SIZE,
+        offset=ENTITY_PAGE_SIZE, distinct=True,
+    )
+
+
 def kg_bgp_top_entities_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import (
         bgp_aggregate_oracle_sql,

@@ -840,7 +840,7 @@ def test_bind_validation(quads):
         bgp_select(quads, [("?t", "<urn:idx>", "?i")], bind={"i": ("strlen", "t")})
     with pytest.raises(ValueError, match="unbound variable"):
         bgp_select(quads, [("?t", "<urn:idx>", "?i")], bind={"x": ("strlen", "zz")})
-    with pytest.raises(ValueError, match="bad BIND"):
+    with pytest.raises(ValueError, match="bad string expression"):
         bgp_select(quads, [("?t", "<urn:idx>", "?i")], bind={"x": ("exp", "i")})
 
 
