@@ -17,6 +17,7 @@ import json
 from typing import Any
 
 from jsonld_ex_spark.core.context import Options
+from jsonld_ex_spark.core.errors import INVALID_JSON_LITERAL, JsonLdError
 from jsonld_ex_spark.core.rdf import (
     I18N_NS,
     RDF_DIRECTION,
@@ -71,7 +72,13 @@ def _rdf_to_object(o: tuple, options: Options) -> dict:
         try:
             result["@value"] = json.loads(lexical)
         except ValueError:
-            result["@value"] = lexical
+            # spec §9 (RDF-to-Object step 2): deserializing an
+            # rdf:JSON literal whose lexical form is not valid JSON is
+            # an 'invalid JSON literal' error (W3C fromRdf #tjs08/09)
+            raise JsonLdError(
+                INVALID_JSON_LITERAL,
+                f"rdf:JSON literal is not valid JSON: {lexical!r}",
+            ) from None
         result["@type"] = "@json"
         return result
     if options.rdf_direction == "i18n-datatype" and datatype.startswith(I18N_NS):

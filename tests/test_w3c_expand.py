@@ -23,8 +23,10 @@ from tests.w3c_harness import (
     manifest_cases,
 )
 
-# Skipped by the reference for output-ordering reasons (earl: passed semi-auto)
-ORDERING_SKIPS = {"#t0034", "#t0035", "#tin03", "#tdi03"}
+# The reference skips #t0034/#t0035/#tin03/#tdi03 for output-ordering
+# reasons (its EARL marks them passed semi-automatically); this
+# implementation's always-sorted key iteration makes the ordered
+# comparison deterministic, so they run (and pass) here in BOTH modes.
 UNORDERED_EXTRA_SKIPS = {"#tn004"}
 
 CASES = manifest_cases("expand")
@@ -39,7 +41,7 @@ def _id(case):
 def test_expand(case, ordered):
     if is_1_0_only(case):
         pytest.skip("JSON-LD 1.0 only")
-    if case["@id"] in ORDERING_SKIPS or (not ordered and case["@id"] in UNORDERED_EXTRA_SKIPS):
+    if not ordered and case["@id"] in UNORDERED_EXTRA_SKIPS:
         pytest.skip("ordering-sensitive comparison (reference skips too)")
     options = case_options(case)
     options.ordered = ordered

@@ -45,5 +45,11 @@ def test_from_rdf(case, ordered):
         expected = load_json(case["expect"])
         actual = from_rdf(quads, options)
         assert actual == expected
+    elif kind == "negative":
+        from jsonld_ex_spark.core.errors import JsonLdError
+
+        with pytest.raises(JsonLdError) as exc_info:
+            from_rdf(quads, options)
+        assert exc_info.value.code == case["expectErrorCode"]
     else:
         pytest.skip(f"unhandled kind {kind}")
