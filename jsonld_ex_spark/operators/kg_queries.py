@@ -414,6 +414,24 @@ def _persisted_triples_dir(spark: SparkSession, sf_dir: str) -> str:
     return tdir
 
 
+def _persisted_conv_turn_closure_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the ``turns/rdf:rest*/rdf:first`` closure as a
+    parquet table NEXT TO the persisted triple table (one fixpoint at
+    deployment time; fingerprint-guarded rebuild when the triples
+    change — property_paths.ensure_path_closure).  Repeat calls are a
+    local file stat."""
+    from jsonld_ex_spark.operators.graph_paths import RDF_NS
+    from jsonld_ex_spark.operators.property_paths import ensure_path_closure
+    from jsonld_ex_spark.sources.transcripts import VOCAB
+
+    return ensure_path_closure(
+        spark,
+        _persisted_triples_dir(spark, sf_dir),
+        "conv_turns",
+        ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
+    )
+
+
 def _list_heads(triples: DataFrame) -> DataFrame:
     """(head, cell) rows for every conversation's rdf:list entry."""
     from jsonld_ex_spark.sources.transcripts import VOCAB
@@ -1216,28 +1234,28 @@ def kg_path_filtered_nontool_turns(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def kg_path_persisted_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4 verdict item 4 under the gate: the PRODUCTION form of
-    the mixed path+pattern query — write the triple table (salted,
-    subject-bucketed parquet), then run the SAME path+pattern BGP via
-    bgp_over_table, whose ``paths=`` forwarding this round adds.  Each
-    plain pattern is a column-pruned parquet scan with pushed constant
-    filters; the path closure reads the same persisted scan.  Must
-    hash-equal kg_path_tool_turns' oracle — the write→scan→traverse
-    path is lossless."""
+    """The PRODUCTION form of the mixed path+pattern query (round-4
+    item 4; round-6 item 5 promotes the closure itself to a table):
+    the triple table is persisted (salted, subject-bucketed parquet)
+    AND the conv→turn path closure is MATERIALIZED next to it
+    (property_paths.ensure_path_closure, fingerprint-guarded against
+    source-table change), so the measured query is two column-pruned
+    parquet scans + one join — no per-query fixpoint.  This is the
+    deployment layout the closure-memo docstrings promised: closure
+    evaluation is a write-once job beside the triple write; every
+    traversal query scans it.  Must hash-equal kg_path_tool_turns'
+    oracle — write→scan→join is lossless."""
     from jsonld_ex_spark.operators.bgp import bgp_over_table
-    from jsonld_ex_spark.operators.graph_paths import RDF_NS
+    from jsonld_ex_spark.operators.property_paths import read_path_closure
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
     tdir = _persisted_triples_dir(spark, sf_dir)
+    cdir = _persisted_conv_turn_closure_dir(spark, sf_dir)
     return bgp_over_table(
         spark, tdir,
         [("?turn", f"<{VOCAB}tool>", "?toolname")],
         project=["conv", "turn", "toolname"],
-        paths=[(
-            "?conv",
-            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
-            "?turn",
-        )],
+        paths=[("?conv", read_path_closure(spark, cdir), "?turn")],
     )
 
 

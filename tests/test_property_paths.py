@@ -226,3 +226,41 @@ def test_full_closure_guard(tiny, monkeypatch):
     from jsonld_ex_spark.operators.property_paths import path_select as ps
     got = ps(tiny, "?s", ("seq", "q", ("star", "p")), "?o")
     assert got.count() > 0
+
+
+def test_materialized_closure_build_reuse_and_staleness(spark, tmp_path):  # noqa: F811
+    """Round-6 verdict item 5: ensure_path_closure writes the (s, o)
+    closure next to the triple table, reuses it while the source
+    fingerprint matches, and REBUILDS it when the triples change."""
+    import os
+
+    from jsonld_ex_spark.operators.property_paths import (
+        ensure_path_closure,
+        read_path_closure,
+        source_table_fingerprint,
+    )
+
+    tdir = str(tmp_path / "triples")
+    df = spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    df.write.parquet(tdir)
+    cdir = ensure_path_closure(spark, tdir, "pplus", ("plus", "p"))
+    pairs1 = _pairs(read_path_closure(spark, cdir))
+    assert ("a", "b") in pairs1 and ("a", "a") in pairs1  # cycle closure
+    # unchanged source -> same dir, no rebuild (marker mtime stable)
+    marker = os.path.join(cdir, "_SOURCE_FINGERPRINT")
+    mtime1 = os.path.getmtime(marker)
+    assert ensure_path_closure(spark, tdir, "pplus", ("plus", "p")) == cdir
+    assert os.path.getmtime(marker) == mtime1
+    # source change (append a new edge e -p-> f) -> fingerprint moves,
+    # closure rebuilt with the new reachability
+    fp_before = source_table_fingerprint(tdir)
+    spark.createDataFrame(
+        [("e", "p", "f", True)],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    ).write.mode("append").parquet(tdir)
+    assert source_table_fingerprint(tdir) != fp_before
+    cdir2 = ensure_path_closure(spark, tdir, "pplus", ("plus", "p"))
+    pairs2 = _pairs(read_path_closure(spark, cdir2))
+    assert ("d", "f") in pairs2 and pairs1 < pairs2
