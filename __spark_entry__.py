@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_avg_idx_having": kg_queries.kg_bgp_avg_idx_having,
         "kg_describe_convs": kg_queries.kg_describe_convs,
         "kg_update_tool_redaction": kg_queries.kg_update_tool_redaction,
+        "kg_update_typed_delete": kg_queries.kg_update_typed_delete,
         "kg_bgp_turn_entity_lists": kg_queries.kg_bgp_turn_entity_lists,
         # round-6 SPARQL-surface completions: aggregation subqueries +
         # DISTINCT/OFFSET paging (the expression-library query
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_avg_idx_having": oracles.kg_bgp_avg_idx_having_oracle(),
         "kg_describe_convs": oracles.kg_describe_convs_oracle(),
         "kg_update_tool_redaction": oracles.kg_update_tool_redaction_oracle(),
+        "kg_update_typed_delete": oracles.kg_update_typed_delete_oracle(),
         "kg_bgp_turn_entity_lists": oracles.kg_bgp_turn_entity_lists_oracle(),
         "kg_bgp_subquery_hot_entities": oracles.kg_bgp_subquery_hot_entities_oracle(),
         "kg_bgp_page_entities": oracles.kg_bgp_page_entities_oracle(),

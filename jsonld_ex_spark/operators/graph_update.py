@@ -27,10 +27,17 @@ Semantics and the 100-TB shape:
 
 Matching key: (subj, pred, obj) — the BGP layer binds LEXICAL forms
 (its documented data model) and a CONSTRUCT-instantiated template
-cannot know a bound object's IRI-ness, so deletion matches every term
-(IRI or literal, any datatype/language) sharing the lexical triple;
-exact-term deletion of typed literals is out of scope, like
-typed-literal matching in the read-side patterns.
+cannot know a bound object's IRI-ness, so a VARIABLE-object delete
+template matches every term (IRI or literal, any datatype/language)
+sharing the lexical triple.  EXACT-TERM deletion (round-6 verdict
+item 6) is available wherever the object is stated as a ground
+constant: ``delete_data`` (the spec's ground-triple DELETE DATA form)
+and delete templates whose object uses the N-Triples-style constants
+``"lex"^^<datatype-iri>`` / ``"lex"@lang`` match the FULL RDF term —
+an identical-lexical literal under a different datatype/language
+survives.  Term identity normalizes the two storage conventions RDF
+1.1 makes equivalent (a plain literal IS an xsd:string literal; a
+tagged literal IS rdf:langString regardless of a stored datatype).
 
 Deletion rewrites (an overwrite commit references only the surviving
 rows); at 10^12 triples you would partition the anti-join by the same
@@ -45,6 +52,140 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MATCH_KEY = ["subj", "pred", "obj"]
 _TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"]
+
+
+def _parse_exact_object(term: str):
+    """Parse an EXACT-TERM literal constant — the N-Triples forms
+    ``"lex"^^<datatype-iri>`` and ``"lex"@lang`` — to (lex, norm_dt,
+    lang), or return None when ``term`` is not one (plain ``"lex"``,
+    ``<iri>`` and ``?var`` keep their existing meanings).  norm_dt is
+    the RDF-1.1-normalized datatype: rdf:langString for tagged
+    literals, the stated IRI otherwise."""
+    from jsonld_ex_spark.operators.bgp import RDF_LANGSTRING
+
+    if not (term.startswith('"') and len(term) > 2):
+        return None
+    if term.endswith(">") and '"^^<' in term:
+        lex, _, dt = term[1:-1].rpartition('"^^<')
+        if not dt:
+            raise ValueError(f"bad exact-term object {term!r}")
+        return (lex, dt, None)
+    if not term.endswith('"') and '"@' in term:
+        lex, _, lang = term[1:].rpartition('"@')
+        if not lang:
+            raise ValueError(f"bad exact-term object {term!r}")
+        return (lex, RDF_LANGSTRING, lang)
+    return None
+
+
+def _norm_dt_col():
+    """Term-identity datatype of a stored row (RDF 1.1): IRIs have
+    none, tagged literals are rdf:langString whatever the row stores,
+    plain literals are xsd:string whether the row spells it out (the
+    JSON-LD pipeline does) or leaves it NULL (template-inserted
+    rows) — the same normalization the read side's DATATYPE()
+    annotation applies (bgp._annot_col)."""
+    import pyspark.sql.functions as F
+
+    from jsonld_ex_spark.operators.bgp import RDF_LANGSTRING, XSD_STRING
+
+    return (
+        F.when(F.col("obj_is_iri"), F.lit(None).cast("string"))
+        .when(F.col("obj_lang").isNotNull(), F.lit(RDF_LANGSTRING))
+        .when(F.col("obj_dt").isNotNull(), F.col("obj_dt"))
+        .otherwise(F.lit(XSD_STRING))
+    )
+
+
+def _exact_anti_join(
+    remaining: DataFrame, doomed: DataFrame, match_graph: bool = True
+) -> DataFrame:
+    """Remove rows whose FULL TERM IDENTITY matches ``doomed`` —
+    columns (subj, pred, obj, obj_is_iri, dt_n, lang_n[, graph]), with
+    dt_n the normalized datatype (NULL for IRIs), lang_n the language
+    tag (NULL when none) and graph NULL for the default graph.
+    ``match_graph=False`` is the triple-template legacy scope (remove
+    from every graph).  One broadcast-friendly left-anti join (exact
+    doomed sets are ground or template-instantiated and small; AQE
+    broadcasts them)."""
+    import pyspark.sql.functions as F
+
+    cols = ["subj", "pred", "obj", "obj_is_iri", "dt_n", "lang_n"]
+    if match_graph:
+        cols.append("graph")
+    d = doomed.select(*(F.col(c).alias(f"__d_{c}") for c in cols))
+    cond = (
+        (remaining["subj"] == d["__d_subj"])
+        & (remaining["pred"] == d["__d_pred"])
+        & (remaining["obj"] == d["__d_obj"])
+        & (remaining["obj_is_iri"] == d["__d_obj_is_iri"])
+        & _norm_dt_col().eqNullSafe(d["__d_dt_n"])
+        & remaining["obj_lang"].eqNullSafe(d["__d_lang_n"])
+    )
+    if match_graph:
+        cond = cond & remaining["graph"].eqNullSafe(d["__d_graph"])
+    return remaining.join(d, cond, "left_anti")
+
+
+def delete_data(
+    spark: SparkSession, table_dir: str, quads: list[tuple[str, ...]]
+) -> int:
+    """SPARQL ``DELETE DATA { ... }`` — the spec's GROUND-TRIPLE form:
+    ``quads`` are (s, p, o) triples or (s, p, o, g) quads of CONSTANT
+    terms only (no variables): s/p/g are ``<iri>``, o is ``<iri>``,
+    ``"lex"`` (plain = xsd:string), ``"lex"^^<dt>`` or ``"lex"@lang``.
+    Matching is EXACT-TERM: an identical-lexical literal under a
+    different datatype or language tag survives.  Per spec, a triple
+    names the DEFAULT graph; a quad names its graph.  One validated
+    overwrite commit; returns the new snapshot id."""
+    import pyspark.sql.functions as F
+
+    from jsonld_ex_spark.operators.bgp import XSD_STRING, _parse_term
+    from jsonld_ex_spark.sources.snapshot_table import write_triples_snapshot
+
+    if not quads:
+        raise ValueError("DELETE DATA with no triples is a no-op")
+    rows = []
+    for q in quads:
+        if len(q) not in (3, 4):
+            raise ValueError(f"DELETE DATA takes triples or quads, got {q!r}")
+        s, p, o = q[0], q[1], q[2]
+        g = q[3] if len(q) == 4 else None
+        skind, sval = _parse_term(s)
+        pkind, pval = _parse_term(p)
+        if skind != "iri" or pkind != "iri":
+            raise ValueError(
+                f"DELETE DATA terms must be ground ({s!r} {p!r}); use "
+                "delete_where for pattern deletion"
+            )
+        if g is not None:
+            gkind, gval = _parse_term(g)
+            if gkind != "iri":
+                raise ValueError(f"DELETE DATA graph term {g!r} must be a <iri>")
+        else:
+            gval = None
+        exact = _parse_exact_object(o)
+        if exact is not None:
+            lex, dt_n, lang = exact
+            rows.append((sval, pval, lex, False, dt_n, lang, gval))
+            continue
+        okind, oval = _parse_term(o)
+        if okind == "iri":
+            rows.append((sval, pval, oval, True, None, None, gval))
+        elif okind == "lit":
+            rows.append((sval, pval, oval, False, XSD_STRING, None, gval))
+        else:
+            raise ValueError(f"DELETE DATA object {o!r} must be ground")
+    doomed = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "dt_n string, lang_n string, graph string",
+    )
+    parent, cur = _pinned_current(spark, table_dir)
+    return write_triples_snapshot(
+        _exact_anti_join(cur, doomed).select(*_TRIPLE_COLS),
+        table_dir, operation="overwrite", require_parent=parent,
+    )
 
 
 def _check_update_patterns(patterns, what: str) -> None:
@@ -168,6 +309,8 @@ def delete_insert(
         delete_template = _scope_to_graph(delete_template, with_graph)
         insert_template = _scope_to_graph(insert_template, with_graph)
         where = _scope_to_graph(where, with_graph)
+    ins_exact = [t for t in insert_template if _parse_exact_object(t[2]) is not None]
+    insert_template = [t for t in insert_template if _parse_exact_object(t[2]) is None]
     for tpl in insert_template:
         if _parse_term(tpl[2])[0] == "var":
             raise ValueError(
@@ -184,6 +327,44 @@ def delete_insert(
     import pyspark.sql.functions as F
 
     remaining = current
+    del_exact = [t for t in delete_template if _parse_exact_object(t[2]) is not None]
+    delete_template = [t for t in delete_template if _parse_exact_object(t[2]) is None]
+    for tpl in del_exact:
+        lex, dt_n, lang = _parse_exact_object(tpl[2])
+        src = bindings
+        cols = []
+        for term, name in ((tpl[0], "subj"), (tpl[1], "pred")):
+            kind, val = _parse_term(term)
+            if kind == "var":
+                if val not in bindings.columns:
+                    raise ValueError(f"template variable ?{val} not bound by WHERE")
+                src = src.filter(F.col(val).isNotNull())
+                cols.append(F.col(val).alias(name))
+            elif kind == "iri":
+                cols.append(F.lit(val).alias(name))
+            else:
+                raise ValueError("literal subjects/predicates are not valid RDF")
+        cols += [
+            F.lit(lex).alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+            F.lit(dt_n).alias("dt_n"),
+            F.lit(lang).cast("string").alias("lang_n"),
+        ]
+        if len(tpl) == 4:
+            gkind, gval = _parse_term(tpl[3])
+            if gkind == "var":
+                if gval not in bindings.columns:
+                    raise ValueError(f"template variable ?{gval} not bound by WHERE")
+                src = src.filter(F.col(gval).isNotNull())
+                cols.append(F.col(gval).alias("graph"))
+            else:
+                cols.append(F.lit(gval).alias("graph"))
+        # EXACT-TERM delete template: matches the full RDF term, so an
+        # identical-lexical literal under another datatype/lang
+        # survives; triple templates keep the module's every-graph
+        # scope, quads are graph-exact — same rule as lexical templates
+        doomed_x = src.select(*cols).dropDuplicates()
+        remaining = _exact_anti_join(remaining, doomed_x, match_graph=len(tpl) == 4)
     del_triples = [t for t in delete_template if len(t) == 3]
     del_quads = [t for t in delete_template if len(t) == 4]
     if del_triples:
@@ -222,6 +403,63 @@ def delete_insert(
         )
         inserted = inserted.join(surv, cond, "left_anti").select(*_TRIPLE_COLS)
         remaining = remaining.select(*_TRIPLE_COLS).unionByName(inserted)
+    if ins_exact:
+        from jsonld_ex_spark.operators.bgp import RDF_LANGSTRING
+
+        insx = None
+        for tpl in ins_exact:
+            lex, dt_n, lang = _parse_exact_object(tpl[2])
+            src = bindings
+            cols = []
+            for term, name in ((tpl[0], "subj"), (tpl[1], "pred")):
+                kind, val = _parse_term(term)
+                if kind == "var":
+                    if val not in bindings.columns:
+                        raise ValueError(f"template variable ?{val} not bound by WHERE")
+                    src = src.filter(F.col(val).isNotNull())
+                    cols.append(F.col(val).alias(name))
+                elif kind == "iri":
+                    cols.append(F.lit(val).alias(name))
+                else:
+                    raise ValueError("literal subjects/predicates are not valid RDF")
+            # EXACT-TERM insert template: the persisted row carries the
+            # stated datatype / language (tagged literals store
+            # rdf:langString, the pipeline's own convention)
+            cols += [
+                F.lit(lex).alias("obj"),
+                F.lit(False).alias("obj_is_iri"),
+                F.lit(dt_n if lang is None else RDF_LANGSTRING).alias("obj_dt"),
+                F.lit(lang).cast("string").alias("obj_lang"),
+            ]
+            if len(tpl) == 4:
+                gkind, gval = _parse_term(tpl[3])
+                if gkind == "var":
+                    if gval not in bindings.columns:
+                        raise ValueError(f"template variable ?{gval} not bound by WHERE")
+                    src = src.filter(F.col(gval).isNotNull())
+                    cols.append(F.col(gval).alias("graph"))
+                else:
+                    cols.append(F.lit(gval).alias("graph"))
+            else:
+                cols.append(F.lit(None).cast("string").alias("graph"))
+            row = src.select(*cols).dropDuplicates()
+            insx = row if insx is None else insx.unionByName(row)
+        # term-exact, graph-exact set dedup against the surviving graph
+        r = remaining.select(
+            F.col("subj").alias("__r_subj"), F.col("pred").alias("__r_pred"),
+            F.col("obj").alias("__r_obj"), F.col("obj_is_iri").alias("__r_iri"),
+            _norm_dt_col().alias("__r_dt"), F.col("obj_lang").alias("__r_lang"),
+            F.col("graph").alias("__r_graph"),
+        )
+        cond = (
+            (insx["subj"] == r["__r_subj"]) & (insx["pred"] == r["__r_pred"])
+            & (insx["obj"] == r["__r_obj"]) & (insx["obj_is_iri"] == r["__r_iri"])
+            & _norm_dt_col().eqNullSafe(r["__r_dt"])
+            & insx["obj_lang"].eqNullSafe(r["__r_lang"])
+            & insx["graph"].eqNullSafe(r["__r_graph"])
+        )
+        insx = insx.join(r, cond, "left_anti").select(*_TRIPLE_COLS)
+        remaining = remaining.select(*_TRIPLE_COLS).unionByName(insx)
     return write_triples_snapshot(
         remaining, table_dir, operation="overwrite", require_parent=parent
     )

@@ -1313,6 +1313,83 @@ def kg_update_tool_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triple_stats(read_snapshot(spark, tdir).select("pred", "subj"))
 
 
+def kg_update_typed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-TERM deletion under the gate (round-6 verdict item 6):
+    stage a store where every document carries the SAME LEXICAL score
+    twice — once as ``"k"^^xsd:integer``, once as a plain (xsd:string)
+    literal — plus one fixed probe pair, then run both exact-term
+    forms:
+
+        DELETE { ?d v:score "3"^^xsd:integer } WHERE { ?d v:score ?x }
+        DELETE DATA { <urn:probe:1> v:note "p"^^xsd:integer }
+
+    The typed literals die; the identical-lexical plain literals
+    survive — the spec-true behavior the lexical matching key cannot
+    express.  Output: per-(obj, normalized-datatype) counts over the
+    final snapshot; the oracle applies both deletions relationally."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from jsonld_ex_spark.operators.graph_update import delete_data, delete_insert
+    from jsonld_ex_spark.operators.jsonld_ops import DOC_NS
+    from jsonld_ex_spark.operators.jsonld_ops import VOCAB as DOC_VOCAB
+    from jsonld_ex_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_triples_snapshot,
+    )
+
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit(f"{DOC_VOCAB}score").alias("pred"),
+        (F.col("doc_id") % 7).cast("string").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    typed = base.withColumns({
+        "obj_dt": F.lit(xsd_int), "obj_lang": F.lit(None).cast("string"),
+        "graph": F.lit(None).cast("string"),
+    })
+    plain = base.withColumns({
+        "obj_dt": F.lit(None).cast("string"), "obj_lang": F.lit(None).cast("string"),
+        "graph": F.lit(None).cast("string"),
+    })
+    probes = spark.createDataFrame(
+        [
+            ("urn:probe:1", f"{DOC_VOCAB}note", "p", False, xsd_int, None, None),
+            ("urn:probe:1", f"{DOC_VOCAB}note", "p", False, None, None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    tdir = tempfile.mkdtemp(prefix="kg_typed_del_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    write_triples_snapshot(
+        typed.unionByName(plain).unionByName(probes), tdir, operation="append"
+    )
+    delete_insert(
+        spark, tdir,
+        delete_template=[("?d", f"<{DOC_VOCAB}score>", f'"3"^^<{xsd_int}>')],
+        insert_template=[],
+        where=[("?d", f"<{DOC_VOCAB}score>", "?x")],
+    )
+    delete_data(
+        spark, tdir, [("<urn:probe:1>", f"<{DOC_VOCAB}note>", f'"p"^^<{xsd_int}>')]
+    )
+    from jsonld_ex_spark.operators.graph_update import _norm_dt_col
+
+    return (
+        read_snapshot(spark, tdir)
+        .select("subj", "obj", _norm_dt_col().alias("dt"))
+        .groupBy("obj", "dt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("subj").alias("n_docs"),
+        )
+    )
+
+
 def kg_describe_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE under the gate (round-5 — completes the query-
     form family next to SELECT/ASK/CONSTRUCT): Concise Bounded

@@ -651,6 +651,34 @@ def kg_bgp_page_entities_oracle() -> str:
     )
 
 
+def kg_update_typed_delete_oracle() -> str:
+    """Relational mirror of kg_update_typed_delete: the typed '3'
+    scores and the typed probe note are deleted exact-term; every
+    identical-lexical plain (xsd:string) literal survives.  The plain
+    rows' normalized datatype is xsd:string (RDF 1.1 term identity —
+    same normalization as graph_update._norm_dt_col)."""
+    from jsonld_ex_spark.operators.jsonld_ops import DOC_NS
+    from jsonld_ex_spark.operators.jsonld_ops import VOCAB as DOC_VOCAB  # noqa: F401
+
+    return f"""
+WITH survivors AS (
+  SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR) AS subj,
+         CAST(doc_id % 7 AS VARCHAR) AS obj,
+         '{XSD}integer' AS dt
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR),
+         CAST(doc_id % 7 AS VARCHAR),
+         '{XSD}string'
+  FROM documents
+  UNION ALL
+  SELECT 'urn:probe:1', 'p', '{XSD}string'
+)
+SELECT obj, dt, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_docs
+FROM survivors GROUP BY obj, dt"""
+
+
 def kg_bgp_top_entities_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import (
         bgp_aggregate_oracle_sql,

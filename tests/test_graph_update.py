@@ -322,3 +322,141 @@ def test_clear_add_copy_move_graph(spark, tmp_path):  # noqa: F811
     move_graph(spark, t, "urn:g2", "urn:g2")
     assert current_snapshot_id(t) == before
     assert ("urn:d2", "urn:name", "beta", "urn:g2") in _quads(spark, t)
+
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _typed_seed(spark):  # noqa: F811
+    # the same lexical '7' under three term identities, plus a tagged
+    # vs plain 'hi' pair — the exact-term matching witnesses
+    rows = [
+        ("urn:d1", "urn:flag", "7", False, XSD_INT, None, None),
+        ("urn:d1", "urn:flag", "7", False, XSD_STR, None, None),
+        ("urn:d1", "urn:flag", "7", False, None, None, None),  # plain == xsd:string
+        ("urn:d1", "urn:note", "hi", False, LANGSTR, "en", None),
+        ("urn:d1", "urn:note", "hi", False, None, None, None),
+        ("urn:d2", "urn:flag", "7", False, XSD_INT, None, "urn:g1"),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _terms(spark, tdir):  # noqa: F811
+    return {
+        tuple(r)
+        for r in read_snapshot(spark, tdir)
+        .select("subj", "pred", "obj", "obj_dt", "obj_lang", "graph")
+        .collect()
+    }
+
+
+def test_delete_data_exact_typed_literal(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.operators.graph_update import delete_data
+
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_typed_seed(spark), t, "append")
+    delete_data(spark, t, [("<urn:d1>", "<urn:flag>", f'"7"^^<{XSD_INT}>')])
+    got = _terms(spark, t)
+    # ONLY the default-graph xsd:integer '7' is gone; the xsd:string,
+    # the dt-less plain (same term as xsd:string), and the named-graph
+    # copy all survive
+    assert ("urn:d1", "urn:flag", "7", XSD_INT, None, None) not in got
+    assert ("urn:d1", "urn:flag", "7", XSD_STR, None, None) in got
+    assert ("urn:d1", "urn:flag", "7", None, None, None) in got
+    assert ("urn:d2", "urn:flag", "7", XSD_INT, None, "urn:g1") in got
+
+
+def test_delete_data_plain_matches_both_string_conventions(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.operators.graph_update import delete_data
+
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_typed_seed(spark), t, "append")
+    delete_data(spark, t, [("<urn:d1>", "<urn:flag>", '"7"')])
+    got = _terms(spark, t)
+    # plain literal IS xsd:string (RDF 1.1): both storage conventions
+    # of that one term go; the xsd:integer term survives
+    assert ("urn:d1", "urn:flag", "7", XSD_STR, None, None) not in got
+    assert ("urn:d1", "urn:flag", "7", None, None, None) not in got
+    assert ("urn:d1", "urn:flag", "7", XSD_INT, None, None) in got
+
+
+def test_delete_data_lang_tag_and_quad_scope(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.operators.graph_update import delete_data
+
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_typed_seed(spark), t, "append")
+    delete_data(
+        spark, t,
+        [
+            ("<urn:d1>", "<urn:note>", '"hi"@en'),
+            ("<urn:d2>", "<urn:flag>", f'"7"^^<{XSD_INT}>', "<urn:g1>"),
+        ],
+    )
+    got = _terms(spark, t)
+    assert ("urn:d1", "urn:note", "hi", LANGSTR, "en", None) not in got
+    assert ("urn:d1", "urn:note", "hi", None, None, None) in got  # plain survives
+    assert ("urn:d2", "urn:flag", "7", XSD_INT, None, "urn:g1") not in got
+    # the ground quad names ITS graph only — default-graph '7's untouched
+    assert ("urn:d1", "urn:flag", "7", XSD_INT, None, None) in got
+
+
+def test_delete_data_validation(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.operators.graph_update import delete_data
+
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_typed_seed(spark), t, "append")
+    with pytest.raises(ValueError, match="no triples"):
+        delete_data(spark, t, [])
+    with pytest.raises(ValueError, match="ground"):
+        delete_data(spark, t, [("?s", "<urn:flag>", '"7"')])
+    with pytest.raises(ValueError, match="ground"):
+        delete_data(spark, t, [("<urn:d1>", "<urn:flag>", "?o")])
+
+
+def test_exact_term_delete_template(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_typed_seed(spark), t, "append")
+    # DELETE { ?d urn:flag "7"^^xsd:integer } WHERE { ?d urn:flag ?x }:
+    # exact-term deletion driven by WHERE bindings — removes the typed
+    # term for EVERY matching subject (both graphs: triple templates
+    # keep the module's every-graph scope), identical lexicals under
+    # other datatypes survive
+    delete_insert(
+        spark, t,
+        delete_template=[("?d", "<urn:flag>", f'"7"^^<{XSD_INT}>')],
+        insert_template=[],
+        where=[("?d", "<urn:flag>", "?x")],
+    )
+    got = _terms(spark, t)
+    assert ("urn:d1", "urn:flag", "7", XSD_INT, None, None) not in got
+    assert ("urn:d2", "urn:flag", "7", XSD_INT, None, "urn:g1") not in got
+    assert ("urn:d1", "urn:flag", "7", XSD_STR, None, None) in got
+    assert ("urn:d1", "urn:flag", "7", None, None, None) in got
+
+
+def test_exact_term_insert_template_carries_datatype(spark, tmp_path):  # noqa: F811
+    t = str(tmp_path / "tbl")
+    write_triples_snapshot(_typed_seed(spark), t, "append")
+    delete_insert(
+        spark, t,
+        delete_template=[],
+        insert_template=[
+            ("?d", "<urn:level>", f'"9"^^<{XSD_INT}>'),
+            ("?d", "<urn:label>", '"neun"@de'),
+        ],
+        where=[("?d", "<urn:flag>", "?x")],
+    )
+    got = _terms(spark, t)
+    assert ("urn:d1", "urn:level", "9", XSD_INT, None, None) in got
+    assert ("urn:d1", "urn:label", "neun", LANGSTR, "de", None) in got
+    # idempotent: re-running inserts nothing (term-exact set dedup)
+    n1 = len(got)
+    delete_insert(
+        spark, t,
+        delete_template=[],
+        insert_template=[("?d", "<urn:level>", f'"9"^^<{XSD_INT}>')],
+        where=[("?d", "<urn:flag>", "?x")],
+    )
+    assert len(_terms(spark, t)) == n1
