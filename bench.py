@@ -148,6 +148,12 @@ EXTRA_QUERIES = [
     "kg_bgp_turn_entity_lists",
     "kg_describe_convs",
     "kg_update_tool_redaction",
+    # round-6 SPARQL-surface completions (expression library, subquery,
+    # DISTINCT/OFFSET paging, exact-term update)
+    "kg_bgp_expr_doc_labels",
+    "kg_bgp_subquery_hot_entities",
+    "kg_bgp_page_entities",
+    "kg_update_typed_delete",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

@@ -17,7 +17,10 @@ wall-clock grows sub-linearly (< 4x the sf0.1 wall — the VM is noisy,
 so the interesting signal is "far from 4x", not a tight bound).
 
 Usage: python scripts/soak_check.py [--soak-dir /tmp/soak_sf]
-Writes BENCH/SOAK_R5.md.
+       [--queries a,b,c] [--out BENCH/SOAK_R5.md] [--title "..."]
+Round 6 adds the UPDATE-path soak (verdict item 10): the mutation
+queries re-run at 4x input (documents replicated 4x too) — commit
+wall-clock must stay sublinear as the rewrite set grows.
 """
 
 from __future__ import annotations
@@ -55,7 +58,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--soak-dir", default="/tmp/soak_sf")
     ap.add_argument("--base-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument("--out", default="BENCH/SOAK_R5.md")
+    ap.add_argument("--title", default="Round-5 replicated-scale soak (4x sf0.1 conversations)")
     args = ap.parse_args()
+    queries = [q for q in args.queries.split(",") if q]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -72,7 +79,7 @@ def main() -> None:
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        for name in QUERIES:
+        for name in queries:
             t0 = time.perf_counter()
             pdf = qmap[name](spark, sf_dir).toPandas()
             secs = time.perf_counter() - t0
@@ -102,8 +109,8 @@ def main() -> None:
         "all_hashes_ok": all_ok,
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/SOAK_R5.md", "w") as f:
-        f.write("# Round-5 replicated-scale soak (4x sf0.1 conversations)\n\n")
+    with open(args.out, "w") as f:
+        f.write(f"# {args.title}\n\n")
         f.write("Input: lineitem replicated 4x under shifted order keys "
                 "(4x conversations/turns; same skew).  Hashes checked "
                 "driver-faithfully vs DuckDB at BOTH scales.\n\n```json\n")
