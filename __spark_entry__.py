@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DISTINCT/OFFSET paging (the expression-library query
         # kg_bgp_expr_doc_labels registers via jsonld_ops.queries())
         "kg_bgp_subquery_hot_entities": kg_queries.kg_bgp_subquery_hot_entities,
+        "kg_bgp_expr_turn_keys": kg_queries.kg_bgp_expr_turn_keys,
         "kg_bgp_page_entities": kg_queries.kg_bgp_page_entities,
         # Distributed rdf:first/rest list walk (pointer doubling)
         "kg_list_walk": kg_queries.kg_list_walk,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_update_typed_delete": oracles.kg_update_typed_delete_oracle(),
         "kg_bgp_turn_entity_lists": oracles.kg_bgp_turn_entity_lists_oracle(),
         "kg_bgp_subquery_hot_entities": oracles.kg_bgp_subquery_hot_entities_oracle(),
+        "kg_bgp_expr_turn_keys": oracles.kg_bgp_expr_turn_keys_oracle(),
         "kg_bgp_page_entities": oracles.kg_bgp_page_entities_oracle(),
         "kg_list_walk": oracles.kg_list_walk_oracle(),
         "kg_construct_entity_edges": oracles.kg_construct_entity_edges_oracle(),

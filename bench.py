@@ -151,6 +151,7 @@ EXTRA_QUERIES = [
     # round-6 SPARQL-surface completions (expression library, subquery,
     # DISTINCT/OFFSET paging, exact-term update)
     "kg_bgp_expr_doc_labels",
+    "kg_bgp_expr_turn_keys",
     "kg_bgp_subquery_hot_entities",
     "kg_bgp_page_entities",
     "kg_update_typed_delete",

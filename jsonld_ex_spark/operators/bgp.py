@@ -224,6 +224,18 @@ def _filter_cond_sql(src_col: str, op: str, value) -> str:
 #                              WHEN semantics).
 # * ("lcase"|"ucase", e)     — SPARQL LCASE/UCASE (lower/upper in
 #                              both engines).
+# * ("substr", e, start[, len]) — SPARQL SUBSTR, 1-based (identical
+#                              indexing in Spark substring and DuckDB
+#                              substr).
+# * ("replace", e, find, repl) — SPARQL REPLACE with a FIXED search
+#                              string (the common literal form; the
+#                              regex form stays out — Java vs RE2
+#                              regex dialects cannot be proven equal).
+# * ("strbefore"|"strafter", e, needle) — SPARQL STRBEFORE/STRAFTER:
+#                              text before/after the FIRST occurrence,
+#                              '' when the needle does not occur (the
+#                              spec's empty-string rule, matched via
+#                              instr/strpos in both engines).
 _BIND_NUM_OPS = {"add": "+", "sub": "-", "mul": "*"}
 _LOCALNAME_RE = "([^/#]+)$"
 
@@ -341,6 +353,48 @@ def _bind_string_part(expr, bound: set[str], as_sql: bool):
             if as_sql:
                 return f"{fn}({inner})"
             return F.lower(inner) if expr[0] == "lcase" else F.upper(inner)
+        if expr[0] == "substr":
+            start = expr[2]
+            ln = expr[3] if len(expr) > 3 else None
+            if not isinstance(start, int) or start < 1 or isinstance(start, bool):
+                raise ValueError("SUBSTR start must be an int >= 1 (1-based)")
+            if ln is not None and (not isinstance(ln, int) or ln < 0 or isinstance(ln, bool)):
+                raise ValueError("SUBSTR length must be an int >= 0")
+            inner = _bind_string_part(expr[1], bound, as_sql)
+            if as_sql:
+                return (
+                    f"substr({inner}, {start}, {ln})" if ln is not None
+                    else f"substr({inner}, {start})"
+                )
+            if ln is not None:
+                return F.substring(inner, start, ln)
+            return F.substring(inner, start, F.length(inner))
+        if expr[0] == "replace":
+            _, e, find, repl = expr
+            if not isinstance(find, str) or not find or not isinstance(repl, str):
+                raise ValueError("REPLACE takes non-empty find and repl string literals")
+            inner = _bind_string_part(e, bound, as_sql)
+            if as_sql:
+                return f"replace({inner}, {_sql_quote(find)}, {_sql_quote(repl)})"
+            return F.replace(inner, F.lit(find), F.lit(repl))
+        if expr[0] in ("strbefore", "strafter"):
+            _, e, needle = expr
+            if not isinstance(needle, str) or not needle:
+                raise ValueError(f"{expr[0]} needle must be a non-empty string literal")
+            inner = _bind_string_part(e, bound, as_sql)
+            if as_sql:
+                pos = f"strpos({inner}, {_sql_quote(needle)})"
+                if expr[0] == "strbefore":
+                    hit = f"substr({inner}, 1, {pos} - 1)"
+                else:
+                    hit = f"substr({inner}, {pos} + {len(needle)})"
+                return f"(CASE WHEN {pos} > 0 THEN {hit} ELSE '' END)"
+            pos = F.instr(inner, needle)
+            if expr[0] == "strbefore":
+                hit = F.substring(inner, F.lit(1), pos - 1)
+            else:
+                hit = F.substring(inner, pos + len(needle), F.length(inner))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
     raise ValueError(
         f"bad string expression {expr!r} (must be string-valued: var, "
         "('lit', s), ('localname'|'str', var), ('concat'|'coalesce', …), "
@@ -386,12 +440,28 @@ def _cond_col(cond, bound: set[str]):
         a = _bind_string_part(cond[1], bound, as_sql=False)
         b = _bind_string_part(cond[2], bound, as_sql=False)
         return (a == b) if head == "eq" else (a != b)
+    if head == "langmatches":
+        e = _bind_string_part(cond[1], bound, as_sql=False)
+        rng = _check_lang_range(cond[2])
+        if rng == "*":
+            return e != ""
+        low = F.lower(e)
+        return (low == rng) | low.startswith(rng + "-")
     if head == "cmp":
         _, var, op, value = cond
         _require_bound(var, bound)
         _check_filters([(var, op, value)])
         return _filter_cond_spark(var, op, value)
     raise ValueError(f"bad condition {cond!r}")
+
+
+def _check_lang_range(rng) -> str:
+    """LANGMATCHES language range: '*' or a case-insensitive tag
+    prefix (RFC 4647 basic filtering — 'en' matches 'en' and every
+    'en-*' subtag; '' never matches anything, incl. the '*' range)."""
+    if not isinstance(rng, str) or not rng:
+        raise ValueError("langmatches range must be a non-empty string literal")
+    return rng.lower()
 
 
 def _cond_sql(cond, bound: set[str]) -> str:
@@ -418,6 +488,15 @@ def _cond_sql(cond, bound: set[str]) -> str:
         a = _bind_string_part(cond[1], bound, as_sql=True)
         b = _bind_string_part(cond[2], bound, as_sql=True)
         return f"({a} {'=' if head == 'eq' else '<>'} {b})"
+    if head == "langmatches":
+        e = _bind_string_part(cond[1], bound, as_sql=True)
+        rng = _check_lang_range(cond[2])
+        if rng == "*":
+            return f"({e} <> '')"
+        q = _sql_quote(rng)
+        return (
+            f"(lower({e}) = {q} OR starts_with(lower({e}), {_sql_quote(rng + '-')}))"
+        )
     if head == "cmp":
         _, var, op, value = cond
         _require_bound(var, bound)
@@ -571,6 +650,27 @@ def _path_pattern_vars(paths) -> set[str]:
     return out
 
 
+def _check_values_rows(values_rows, bound: set[str]):
+    """Validate the MULTI-VARIABLE VALUES block ((vars, rows) — the
+    SPARQL ``VALUES (?a ?b) { ("x" "y") … }`` form): every variable
+    must be bound by the required patterns/paths/subqueries, every row
+    must list one string per variable.  Rows are treated as a SET
+    (like the single-variable form); UNDEF is not supported — use
+    OPTIONAL for partial bindings."""
+    vr_vars, vr_rows = values_rows
+    if not vr_vars or not vr_rows:
+        raise ValueError("VALUES block needs at least one variable and one row")
+    missing = [v for v in vr_vars if v not in bound]
+    if missing:
+        raise ValueError(f"VALUES variables not bound by required patterns/paths: {missing}")
+    for r in vr_rows:
+        if len(r) != len(vr_vars) or not all(isinstance(v, str) for v in r):
+            raise ValueError(
+                f"VALUES row {r!r} must list one string per variable {list(vr_vars)}"
+            )
+    return list(vr_vars), [tuple(r) for r in vr_rows]
+
+
 def _check_optional_group(
     parsed_group, bound: set[str], group_idx: int
 ) -> list[str]:
@@ -600,6 +700,7 @@ def bgp_select(
     annotations: dict[str, tuple[str, str]] | None = None,
     filter_exprs: list | None = None,
     subqueries: list[dict] | None = None,
+    values_rows: tuple | None = None,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
     semantics, like SPARQL BGP matching).  Column names are the
@@ -743,6 +844,17 @@ def bgp_select(
         if var not in bound:
             raise ValueError(f"VALUES variable {var!r} not bound by required patterns/paths")
         acc = acc.filter(F.col(var).isin(list(vals)))
+    if values_rows is not None:
+        vr_vars, vr_rows = _check_values_rows(values_rows, bound)
+        vdf = (
+            triples.sparkSession.createDataFrame(
+                [tuple(r) for r in vr_rows],
+                ", ".join(f"{v} string" for v in vr_vars),
+            ).dropDuplicates()
+        )
+        # the inline table is tiny by construction — the join is a
+        # broadcast filter-join on the full variable tuple
+        acc = acc.join(vdf, on=list(vr_vars), how="inner")
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
@@ -1170,6 +1282,7 @@ def bgp_over_table(
     annotations: dict[str, tuple[str, str]] | None = None,
     filter_exprs: list | None = None,
     subqueries: list[dict] | None = None,
+    values_rows: tuple | None = None,
 ) -> DataFrame:
     """PRODUCTION form: the FULL bgp_select surface (patterns incl.
     quads, property paths, OPTIONAL/MINUS/EXISTS groups, FILTER,
@@ -1186,7 +1299,7 @@ def bgp_over_table(
         optional=optional, filters=filters, minus=minus, paths=paths,
         values=values, exists=exists, not_exists=not_exists, bind=bind,
         annotations=annotations, filter_exprs=filter_exprs,
-        subqueries=subqueries,
+        subqueries=subqueries, values_rows=values_rows,
     )
 
 
@@ -1395,6 +1508,7 @@ def bgp_oracle_sql(
     annotations: dict[str, tuple[str, str]] | None = None,
     filter_exprs: list | None = None,
     subqueries: list[dict] | None = None,
+    values_rows: tuple | None = None,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
@@ -1483,6 +1597,16 @@ def bgp_oracle_sql(
         ctes.append(f"{name} AS ({sub_sql})")
         joins.append(f"JOIN {name} USING ({', '.join(shared)})")
         bound |= sub_vars
+    if values_rows is not None:
+        vr_vars, vr_rows = _check_values_rows(values_rows, bound)
+        rows_sql = ", ".join(
+            "(" + ", ".join(_sql_quote(v) for v in row) + ")" for row in vr_rows
+        )
+        ctes.append(
+            f"vr AS (SELECT DISTINCT * FROM (VALUES {rows_sql}) "
+            f"AS t({', '.join(vr_vars)}))"
+        )
+        joins.append(f"JOIN vr USING ({', '.join(vr_vars)})")
     ctes = path_ctes + ctes
     values_conds = []
     # path-bound FILTERs: no pattern CTE binds these variables, so the

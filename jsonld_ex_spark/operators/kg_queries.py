@@ -1126,6 +1126,27 @@ def kg_bgp_subquery_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bgp_select(_checkpointed_triples(spark, sf_dir), **BGP_SUBQUERY_HOT_KW)
 
 
+def kg_bgp_expr_turn_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 STRING-FUNCTION library + MULTI-VARIABLE VALUES
+    under the gate:
+
+        SELECT ?turn ?role ?entity ?conv ?ecode WHERE {
+          ?turn v:mentions ?entity . ?turn v:role ?role .
+          VALUES (?role ?entity) { ("tool" E0000) ("assistant" E0001)
+                                   ("tool" E0002) ("assistant" E0003) }
+          BIND(STRBEFORE(STRAFTER(STR(?turn), "urn:turn:"), ":") AS ?conv)
+          BIND(REPLACE(STRAFTER(?entity, "/entity/"), "E", "ent-") AS ?ecode)
+        }
+
+    — key-parsing over IRIs (the everyday endpoint idiom) plus the
+    VALUES table form joined on the full (?role, ?entity) tuple; both
+    compiled to Spark AND DuckDB from one kwargs dict."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+    from jsonld_ex_spark.plans.oracles import BGP_EXPR_TURN_KEYS_KW
+
+    return bgp_select(_checkpointed_triples(spark, sf_dir), **BGP_EXPR_TURN_KEYS_KW)
+
+
 def kg_bgp_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT + OFFSET solution modifiers under the gate (round-6
     verdict item 3): page 2 of the alphabetically-ordered DISTINCT

@@ -629,6 +629,37 @@ BGP_SUBQUERY_HOT_KW = dict(
 )
 
 
+# String-function + multi-variable-VALUES gate query (round-6): parse
+# conversation keys out of turn IRIs and entity codes out of entity
+# IRIs, over an inline (role, entity) VALUES table.
+BGP_EXPR_TURN_KEYS_KW = dict(
+    patterns=[
+        ("?turn", f"<{VOCAB}mentions>", "?entity"),
+        ("?turn", f"<{VOCAB}role>", "?role"),
+    ],
+    values_rows=(
+        ["role", "entity"],
+        [
+            ("tool", f"{ENTITY_NS}E0000"),
+            ("assistant", f"{ENTITY_NS}E0001"),
+            ("tool", f"{ENTITY_NS}E0002"),
+            ("assistant", f"{ENTITY_NS}E0003"),
+        ],
+    ),
+    bind={
+        "conv": ("strbefore", ("strafter", ("str", "turn"), "urn:turn:"), ":"),
+        "ecode": ("replace", ("strafter", "entity", "/entity/"), "E", "ent-"),
+    },
+    project=["turn", "role", "entity", "conv", "ecode"],
+)
+
+
+def kg_bgp_expr_turn_keys_oracle() -> str:
+    from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
+
+    return bgp_oracle_sql(kg_triples_oracle(), **BGP_EXPR_TURN_KEYS_KW)
+
+
 def kg_bgp_subquery_hot_entities_oracle() -> str:
     from jsonld_ex_spark.operators.bgp import bgp_oracle_sql
 

@@ -284,3 +284,93 @@ def test_order_limit_offset_validation(annotated):
         bgp_order_limit(b, [("d", "asc")], limit=3, offset=-1)
     with pytest.raises(ValueError, match="offset"):
         bgp_order_limit_oracle_sql("SELECT 1 AS d", [("d", "asc")], 3, offset=-2)
+
+
+def test_string_function_library(annotated, oracle):
+    """Round-6 extension: SUBSTR / REPLACE / STRBEFORE / STRAFTER /
+    LANGMATCHES, each compiled to both engines."""
+    kw = dict(
+        patterns=[("?d", f"<{V}name>", "?n")],
+        annotations={"lg": ("n", "lang")},
+        filter_exprs=[("langmatches", "lg", "en")],
+        bind={
+            "num": ("strafter", "d", "/d/"),
+            "renamed": ("replace", ("strafter", "n", "name"), "1", "one"),
+            "head": ("substr", "n", 1, 4),
+            "tail": ("substr", "d", 8),
+            "nohit": ("strbefore", "n", "zzz"),
+        },
+        project=["d", "lg", "num", "renamed", "head", "tail", "nohit"],
+    )
+    got = _match(
+        bgp_select(annotated, **kw),
+        oracle,
+        bgp_oracle_sql("SELECT * FROM tri_src", **kw),
+        ["d"],
+    )
+    # LANGMATCHES 'en' matches both 'en' and 'en-GB' (RFC 4647 basic
+    # filtering), never the plain (lang '') names
+    assert len(got) == 8
+    by_d = {r[0]: r for r in got}
+    assert by_d[f"{NS}1"][1] == "en-GB" and by_d[f"{NS}1"][3] == "one"
+    assert all(r[6] == "" for r in got)  # STRBEFORE misses -> ''
+    assert by_d[f"{NS}0"][2] == "0" and by_d[f"{NS}0"][4] == "name"
+
+
+def test_values_rows_multi_variable(annotated, oracle):
+    kw = dict(
+        patterns=[("?d", f"<{V}name>", "?n"), ("?d", f"<{V}chars>", "?c")],
+        values_rows=(
+            ["d", "n"],
+            [(f"{NS}0", "name0"), (f"{NS}1", "nameX"), (f"{NS}2", "name2")],
+        ),
+        project=["d", "n", "c"],
+    )
+    got = _match(
+        bgp_select(annotated, **kw),
+        oracle,
+        bgp_oracle_sql("SELECT * FROM tri_src", **kw),
+        ["d"],
+    )
+    # the (d1, nameX) row matches nothing — VALUES joins on the tuple
+    assert [r[0] for r in got] == [f"{NS}0", f"{NS}2"]
+
+
+def test_values_rows_validation(annotated):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_select(
+            annotated,
+            [("?d", f"<{V}name>", "?n")],
+            values_rows=(["zz"], [("a",)]),
+        )
+    with pytest.raises(ValueError, match="one string per variable"):
+        bgp_select(
+            annotated,
+            [("?d", f"<{V}name>", "?n")],
+            values_rows=(["d", "n"], [("only-one",)]),
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        bgp_select(
+            annotated,
+            [("?d", f"<{V}name>", "?n")],
+            values_rows=(["d"], []),
+        )
+
+
+def test_string_function_validation(annotated):
+    with pytest.raises(ValueError, match="SUBSTR start"):
+        bgp_select(
+            annotated, [("?d", f"<{V}name>", "?n")],
+            bind={"x": ("substr", "n", 0, 3)},
+        )
+    with pytest.raises(ValueError, match="needle"):
+        bgp_select(
+            annotated, [("?d", f"<{V}name>", "?n")],
+            bind={"x": ("strafter", "n", "")},
+        )
+    with pytest.raises(ValueError, match="langmatches range"):
+        bgp_select(
+            annotated, [("?d", f"<{V}name>", "?n")],
+            annotations={"lg": ("n", "lang")},
+            filter_exprs=[("langmatches", "lg", "")],
+        )
