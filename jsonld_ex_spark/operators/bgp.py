@@ -959,6 +959,9 @@ def bgp_aggregate(
     filters: list[tuple[str, str, object]] | None = None,
     paths: list[tuple[str, object, str]] | None = None,
     having: list[tuple[str, str, object]] | None = None,
+    annotations: dict[str, tuple[str, str]] | None = None,
+    filter_exprs: list | None = None,
+    values_rows: tuple | None = None,
 ) -> DataFrame:
     """SPARQL SELECT-with-GROUP-BY over BGP bindings: ``aggs`` maps
     output column -> (fn, var), fn in {count, count_distinct, min, max,
@@ -987,7 +990,8 @@ def bgp_aggregate(
     GROUP_CONCAT_SEP (deterministic; mirrors SQL string_agg ORDER BY)."""
     b = bgp_select(
         triples, patterns, optional=optional, minus=minus,
-        filters=filters, paths=paths,
+        filters=filters, paths=paths, annotations=annotations,
+        filter_exprs=filter_exprs, values_rows=values_rows,
     )
     cols = []
     avg_outs: list[str] = []
@@ -1070,12 +1074,16 @@ def bgp_aggregate_oracle_sql(
     filters: list[tuple[str, str, object]] | None = None,
     paths: list[tuple[str, object, str]] | None = None,
     having: list[tuple[str, str, object]] | None = None,
+    annotations: dict[str, tuple[str, str]] | None = None,
+    filter_exprs: list | None = None,
+    values_rows: tuple | None = None,
 ) -> str:
     """SQL mirror of :func:`bgp_aggregate` (counts CAST to BIGINT so
     DuckDB's types render identically to Spark's longs)."""
     inner = bgp_oracle_sql(
         triples_sql, patterns, optional=optional, minus=minus,
-        filters=filters, paths=paths,
+        filters=filters, paths=paths, annotations=annotations,
+        filter_exprs=filter_exprs, values_rows=values_rows,
     )
     parts = []
     for out, (fn, var) in aggs.items():

@@ -374,3 +374,27 @@ def test_string_function_validation(annotated):
             annotations={"lg": ("n", "lang")},
             filter_exprs=[("langmatches", "lg", "")],
         )
+
+
+def test_aggregate_forwards_expression_surface(annotated, oracle):
+    """bgp_aggregate accepts annotations/filter_exprs/values_rows —
+    aggregation over language-filtered bindings."""
+    from jsonld_ex_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_aggregate_oracle_sql,
+    )
+
+    kw = dict(
+        patterns=[("?d", f"<{V}name>", "?n")],
+        annotations={"lg": ("n", "lang")},
+        filter_exprs=[("langmatches", "lg", "en")],
+        group_by=["lg"],
+        aggs={"n_docs": ("count", None)},
+    )
+    got = {
+        (r.lg, r.n_docs)
+        for r in bgp_aggregate(annotated, **kw).collect()
+    }
+    sql = bgp_aggregate_oracle_sql("SELECT * FROM tri_src", **kw)
+    want = {tuple(r) for r in oracle.execute(sql).df().itertuples(index=False)}
+    assert got == want == {("en", 4), ("en-GB", 4)}
