@@ -288,3 +288,21 @@ def test_corpus_pack_has_no_global_window_on_data(spark):  # noqa: F811
         assert r["pack_id"] == cum // PACK_BUDGET
         assert r["offset_in_pack"] == cum % PACK_BUDGET
         cum += r["n_tokens"]
+
+
+def test_round6_query_plans_stay_jvm_side(spark):  # noqa: F811
+    """The round-6 SPARQL surface compiles to pure-Catalyst plans:
+    the expression library / paging / subquery / VALUES queries add
+    NO Python stage beyond the construction pipeline's single fused
+    mapInPandas, and paging plans as a TakeOrderedAndProject (heap
+    top-k, no global sort)."""
+    for fn in (
+        kg_queries.kg_bgp_expr_turn_keys,
+        kg_queries.kg_bgp_subquery_hot_entities,
+        kg_queries.kg_bgp_page_entities,
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+    page_plan = _plan(kg_queries.kg_bgp_page_entities(spark, SF))
+    assert "TakeOrderedAndProject" in page_plan
