@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_entity_mention_stats": kg_queries.kg_bgp_entity_mention_stats,
         "kg_bgp_ask": kg_queries.kg_bgp_ask,
         "kg_bgp_filtered_mentions": kg_queries.kg_bgp_filtered_mentions,
+        # round-6 textual SPARQL front-end: the SAME query string is
+        # parsed for the Spark plan and for the oracle SQL
+        "kg_sparql_text_mentions": kg_queries.kg_sparql_text_mentions,
+        "kg_sparql_text_entity_stats": kg_queries.kg_sparql_text_entity_stats,
         "kg_path_conv_turns": kg_queries.kg_path_conv_turns,
         "kg_bgp_top_entities": kg_queries.kg_bgp_top_entities,
         "kg_path_tool_turns": kg_queries.kg_path_tool_turns,
@@ -142,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_entity_mention_stats": oracles.kg_bgp_entity_mention_stats_oracle(),
         "kg_bgp_ask": oracles.kg_bgp_ask_oracle(),
         "kg_bgp_filtered_mentions": oracles.kg_bgp_filtered_mentions_oracle(),
+        "kg_sparql_text_mentions": oracles.kg_sparql_text_mentions_oracle(),
+        "kg_sparql_text_entity_stats": oracles.kg_sparql_text_entity_stats_oracle(),
         "kg_path_conv_turns": oracles.kg_path_conv_turns_oracle(),
         "kg_bgp_top_entities": oracles.kg_bgp_top_entities_oracle(),
         "kg_path_tool_turns": oracles.kg_path_tool_turns_oracle(),

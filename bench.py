@@ -155,6 +155,9 @@ EXTRA_QUERIES = [
     "kg_bgp_subquery_hot_entities",
     "kg_bgp_page_entities",
     "kg_update_typed_delete",
+    # round-6 textual SPARQL front-end (one query string, both engines)
+    "kg_sparql_text_mentions",
+    "kg_sparql_text_entity_stats",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

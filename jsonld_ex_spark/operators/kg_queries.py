@@ -1521,3 +1521,30 @@ def kg_bgp_entity_mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_turn": ("max", "turn"),
         },
     )
+
+
+def kg_sparql_text_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 textual SPARQL front-end under the gate: the query
+    arrives as a SPARQL STRING (operators/sparql_text.py) — prefixes,
+    ``;`` elision, OPTIONAL, BIND(IF/BOUND/CONCAT), a pushed-down
+    numeric FILTER, STRENDS, and an ORDER/LIMIT page — and is parsed
+    into the same audited compiler every programmatic query uses.  The
+    oracle parses the IDENTICAL text through sparql_oracle_sql, so a
+    parser divergence in either direction breaks the hash."""
+    from jsonld_ex_spark.operators.sparql_text import sparql_query
+    from jsonld_ex_spark.plans.oracles import SPARQL_TEXT_MENTIONS
+
+    return sparql_query(_checkpointed_triples(spark, sf_dir), SPARQL_TEXT_MENTIONS)
+
+
+def kg_sparql_text_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual SPARQL aggregation under the gate: GROUP BY + COUNT +
+    COUNT(DISTINCT) + HAVING + ORDER BY DESC paging, all from one query
+    string — the grouped-aggregate half of the parser surface (the
+    SELECT half is kg_sparql_text_mentions)."""
+    from jsonld_ex_spark.operators.sparql_text import sparql_query
+    from jsonld_ex_spark.plans.oracles import SPARQL_TEXT_ENTITY_STATS
+
+    return sparql_query(
+        _checkpointed_triples(spark, sf_dir), SPARQL_TEXT_ENTITY_STATS
+    )

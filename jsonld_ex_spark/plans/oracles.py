@@ -909,3 +909,42 @@ def kg_bgp_filtered_mentions_oracle() -> str:
         project=["turn", "idx", "entity"],
         filters=BGP_FILTERED_MENTIONS_FILTERS,
     )
+
+
+# --- Textual SPARQL gate queries (round 6) ---------------------------------
+# ONE query string per gate entry, compiled BOTH ways: sparql_query()
+# parses it into the audited BGP compiler for the Spark plan, and
+# sparql_oracle_sql() parses the SAME text into the oracle SQL
+# generators — the strongest witness that the parser adds no semantics
+# of its own.
+
+SPARQL_TEXT_MENTIONS = """
+PREFIX v: <https://sparkld.dev/vocab#>
+SELECT ?turn ?entity ?idx ?label WHERE {
+  ?turn v:mentions ?entity ; v:turn_idx ?idx .
+  OPTIONAL { ?turn v:tool ?tname }
+  BIND(IF(BOUND(?tname), CONCAT("tool:", ?tname), "plain") AS ?label)
+  FILTER(?idx > 5)
+  FILTER(STRENDS(?entity, "7"))
+} ORDER BY ?turn ?entity ?label ?idx LIMIT 500
+"""
+
+SPARQL_TEXT_ENTITY_STATS = """
+PREFIX v: <https://sparkld.dev/vocab#>
+SELECT ?entity (COUNT(?turn) AS ?n_mentions) (COUNT(DISTINCT ?role) AS ?n_roles)
+WHERE { ?turn v:mentions ?entity ; v:role ?role . }
+GROUP BY ?entity HAVING(?n_mentions >= 8)
+ORDER BY DESC(?n_mentions) ?entity LIMIT 50
+"""
+
+
+def kg_sparql_text_mentions_oracle() -> str:
+    from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
+
+    return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_MENTIONS)
+
+
+def kg_sparql_text_entity_stats_oracle() -> str:
+    from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
+
+    return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_ENTITY_STATS)

@@ -1,0 +1,436 @@
+"""Textual SPARQL front-end (operators/sparql_text.py).
+
+Two layers: pure parser tests (no Spark — the parser is plain Python,
+so every grammar production and error path is checked fast), then
+Spark-vs-DuckDB equivalence for full textual queries — the SAME query
+string compiled to a DataFrame plan and to oracle SQL must agree row
+for row, the same contract every programmatic form is held to.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from jsonld_ex_spark.operators.sparql_text import (
+    parse_sparql,
+    sparql_oracle_sql,
+    sparql_query,
+)
+
+NS = "http://ex.org/d/"
+V = "http://ex.org/v#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+P = f"PREFIX v: <{V}>\nPREFIX d: <{NS}>\n"
+
+
+# --- pure parser -----------------------------------------------------
+
+
+def test_basic_select_patterns():
+    spec = parse_sparql(
+        P + 'SELECT ?t ?e WHERE { ?t v:role "tool" ; v:mentions ?e , ?f . }'
+    )
+    assert spec["patterns"] == [
+        ("?t", f"<{V}role>", '"tool"'),
+        ("?t", f"<{V}mentions>", "?e"),
+        ("?t", f"<{V}mentions>", "?f"),
+    ]
+    assert spec["project"] == ["t", "e"]
+    assert spec["form"] == "select"
+
+
+def test_a_keyword_and_integer_literals():
+    spec = parse_sparql(P + "SELECT ?s WHERE { ?s a v:Entity ; v:idx 5 . }")
+    assert spec["patterns"] == [
+        ("?s", f"<{RDF_TYPE}>", f"<{V}Entity>"),
+        ("?s", f"<{V}idx>", '"5"'),
+    ]
+
+
+def test_filter_pushdown_routing():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:idx ?i . FILTER(?i > 3 && ?i != 7) }'
+    )
+    assert sorted(spec["filters"]) == [("i", "gt", 3), ("i", "ne", 7)]
+    assert spec["filter_exprs"] == []
+
+
+def test_filter_before_pattern_still_pushes_down():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { FILTER(?i > 3) ?t v:idx ?i . }'
+    )
+    assert spec["filters"] == [("i", "gt", 3)]
+
+
+def test_complex_filter_goes_post_join():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:name ?n . OPTIONAL { ?t v:tag ?g } '
+            'FILTER(BOUND(?g) || STRSTARTS(?n, "a")) }'
+    )
+    assert spec["filters"] == []
+    assert spec["filter_exprs"] == [
+        ("or", ("bound", "g"), ("strstarts", "n", "a"))
+    ]
+
+
+def test_regex_and_in_filters():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:name ?n . FILTER(REGEX(?n, "^a.*")) '
+            'FILTER(?n IN ("x", "y")) }'
+    )
+    assert spec["filters"] == [("n", "regex", "^a.*")]
+    assert spec["values"] == {"n": ["x", "y"]}
+
+
+def test_property_path_parsing():
+    spec = parse_sparql(
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+        + P
+        + "SELECT ?c ?t WHERE { ?c v:turns/rdf:rest*/rdf:first ?t . }"
+    )
+    assert spec["paths"] == [(
+        "?c",
+        ("seq", f"{V}turns",
+         ("star", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"),
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"),
+        "?t",
+    )]
+    assert spec["patterns"] == []
+
+
+def test_path_alternative_inverse_negated():
+    spec = parse_sparql(
+        P + "SELECT * WHERE { ?a (v:p|^v:q)+ ?b . ?a !(v:r|v:s) ?c . }"
+    )
+    assert spec["paths"][0][1] == ("plus", ("alt", f"{V}p", ("inv", f"{V}q")))
+    assert spec["paths"][1][1] == ("neg", f"{V}r", f"{V}s")
+
+
+def test_optional_minus_exists_groups():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:mentions ?e . OPTIONAL { ?e v:label ?l } '
+            'MINUS { ?t v:role "tool" } FILTER EXISTS { ?e a v:Entity } '
+            'FILTER NOT EXISTS { ?e v:hidden "true" } }'
+    )
+    assert spec["optional"] == [[("?e", f"<{V}label>", "?l")]]
+    assert spec["minus"] == [[("?t", f"<{V}role>", '"tool"')]]
+    assert spec["exists"] == [[("?e", f"<{RDF_TYPE}>", f"<{V}Entity>")]]
+    assert spec["not_exists"] == [[("?e", f"<{V}hidden>", '"true"')]]
+
+
+def test_bind_expressions():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:name ?n ; v:idx ?i . '
+            'BIND(CONCAT("x:", ?n) AS ?cn) BIND(?i * 2 + 1 AS ?j) '
+            'BIND(STRLEN(?n) AS ?ln) BIND(LANG(?n) AS ?lg) }'
+    )
+    assert spec["bind"]["cn"] == ("concat", ("lit", "x:"), "n")
+    assert spec["bind"]["j"] == ("add", ("mul", "i", 2), 1)
+    assert spec["bind"]["ln"] == ("strlen", "n")
+    assert spec["annotations"]["lg"] == ("n", "lang")
+    assert "lg" not in spec["hidden_annots"]
+
+
+def test_lang_in_filter_makes_hidden_annotation():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?s v:label ?o . FILTER(LANGMATCHES(LANG(?o), "en")) }'
+    )
+    assert spec["annotations"] == {"_lang_o": ("o", "lang")}
+    assert spec["hidden_annots"] == {"_lang_o"}
+    assert spec["filter_exprs"] == [("langmatches", "_lang_o", "en")]
+
+
+def test_datatype_filter():
+    spec = parse_sparql(
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n" + P
+        + "SELECT * WHERE { ?s v:n ?o . FILTER(DATATYPE(?o) = xsd:integer) }"
+    )
+    assert spec["annotations"] == {"_dt_o": ("o", "datatype")}
+    assert spec["filter_exprs"] == [("eq", "_dt_o", ("lit", XSD_INT))]
+
+
+def test_aggregates_group_by_having():
+    spec = parse_sparql(
+        P + "SELECT ?e (COUNT(?t) AS ?n) (SUM(?i) AS ?s) WHERE "
+            "{ ?t v:mentions ?e ; v:idx ?i } GROUP BY ?e "
+            "HAVING(?n > 2) ORDER BY DESC(?n) ?e LIMIT 5 OFFSET 5"
+    )
+    agg = spec["agg"]
+    assert agg["group_by"] == ["e"]
+    assert agg["aggs"] == {"n": ("count", "t"), "s": ("sum", "i")}
+    assert agg["having"] == [("n", "gt", 2)]
+    assert spec["order_by"] == [("n", "desc"), ("e", "asc")]
+    assert spec["limit"] == 5 and spec["offset"] == 5
+
+
+def test_count_star_distinct_and_having_by_call():
+    spec = parse_sparql(
+        P + "SELECT ?e (COUNT(*) AS ?n) (COUNT(DISTINCT ?t) AS ?d) WHERE "
+            "{ ?t v:mentions ?e } GROUP BY ?e HAVING(COUNT(DISTINCT ?t) >= 2)"
+    )
+    assert spec["agg"]["aggs"] == {"n": ("count", None), "d": ("count_distinct", "t")}
+    assert spec["agg"]["having"] == [("d", "ge", 2)]
+
+
+def test_subquery():
+    spec = parse_sparql(
+        P + "SELECT ?t ?e ?n WHERE { ?t v:mentions ?e . "
+            "{ SELECT ?e (COUNT(?x) AS ?n) WHERE { ?x v:mentions ?e } GROUP BY ?e } }"
+    )
+    assert spec["subqueries"] == [{
+        "patterns": [("?x", f"<{V}mentions>", "?e")],
+        "group_by": ["e"], "aggs": {"n": ("count", "x")},
+    }]
+
+
+def test_values_single_and_multi():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:role ?r ; v:name ?n . '
+            'VALUES ?r { "tool" "user" } VALUES (?n) { ("a") ("b") } }'
+    )
+    assert spec["values"] == {"r": ["tool", "user"]}
+    assert spec["values_rows"] == (("n",), [("a",), ("b",)])
+
+
+def test_graph_clause():
+    spec = parse_sparql(
+        P + "SELECT * WHERE { GRAPH ?g { ?t v:role ?r } "
+            "GRAPH d:g1 { ?t v:name ?n } }"
+    )
+    assert spec["patterns"] == [
+        ("?t", f"<{V}role>", "?r", "?g"),
+        ("?t", f"<{V}name>", "?n", f"<{NS}g1>"),
+    ]
+
+
+def test_union():
+    spec = parse_sparql(
+        P + 'SELECT ?x WHERE { { ?x v:role "tool" } UNION { ?x v:role "user" } }'
+    )
+    assert spec["union"] == [
+        [("?x", f"<{V}role>", '"tool"')],
+        [("?x", f"<{V}role>", '"user"')],
+    ]
+
+
+def test_ask_construct_describe():
+    ask = parse_sparql(P + 'ASK { ?t v:role "tool" }')
+    assert ask["form"] == "ask"
+    con = parse_sparql(
+        P + "CONSTRUCT { ?e a v:Entity } WHERE { ?t v:mentions ?e }"
+    )
+    assert con["template"] == [("?e", f"<{RDF_TYPE}>", f"<{V}Entity>")]
+    des = parse_sparql(f"DESCRIBE <{NS}1> <{NS}2>")
+    assert des["roots"] == [f"{NS}1", f"{NS}2"]
+
+
+def test_string_escapes_and_comments():
+    spec = parse_sparql(
+        P + '# a comment\nSELECT * WHERE { ?t v:name "a\\"b\\nc" . } # tail'
+    )
+    assert spec["patterns"] == [("?t", f"<{V}name>", '"a"b\nc"')]
+
+
+@pytest.mark.parametrize("query,msg", [
+    ('SELECT * WHERE { ?t <http://p> "x"@en }', "language-tagged"),
+    ("SELECT * WHERE { ?t <http://p> ?o } ORDER BY ?o", "ORDER BY requires LIMIT"),
+    ("SELECT * WHERE { ?t <http://p> ?o } LIMIT 5", "LIMIT requires ORDER BY"),
+    ("SELECT * WHERE { ?t v:p ?o }", "undeclared prefix"),
+    ("SELECT (COUNT(?t) AS ?n) WHERE { ?t <http://p> ?o }", "GROUP BY"),
+    ("SELECT ?o (MAX(*) AS ?m) WHERE { ?t <http://p> ?o } GROUP BY ?o",
+     "not valid SPARQL"),
+    ("SELECT * WHERE { ?t <http://p> ?o . { ?t <http://q> ?x } UNION "
+     "{ ?t <http://r> ?y } }", "UNION may not be combined"),
+    ("SELECT * WHERE { OPTIONAL { ?a <http://p> ?b . FILTER(?b > 1) } "
+     "?a <http://q> ?c }", "plain triple patterns"),
+    ("ASK { ?a <http://p>+ ?b }", "plain triple patterns only"),
+    ("SELECT * WHERE { ?a <http://p> ?b } trailing", "trailing tokens"),
+    ("SELECT * WHERE { VALUES ?v { UNDEF } ?a <http://p> ?v }", "UNDEF"),
+    ("SELECT * WHERE { ?a <http://p> ?b . "
+     "{ SELECT ?b WHERE { ?x <http://q> ?b } } }", "subqueries must aggregate"),
+])
+def test_rejections(query, msg):
+    from jsonld_ex_spark.operators.sparql_text import _check_modifiers
+
+    with pytest.raises(ValueError, match=msg):
+        _check_modifiers(parse_sparql(query))
+
+
+# --- Spark vs DuckDB equivalence ------------------------------------
+
+SCHEMA = (
+    "subj string, pred string, obj string, obj_is_iri boolean, "
+    "obj_dt string, obj_lang string, graph string"
+)
+
+
+def _rows():
+    rows = []
+    for i in range(12):
+        s = f"{NS}{i}"
+        lang = ["en", "en-GB", None][i % 3]
+        rows.append((s, V + "name", f"name{i}", False, None, lang, None))
+        rows.append((s, V + "idx", str(i), False, XSD_INT, None, None))
+        rows.append((s, V + "mentions", f"{NS}e{i % 3}", True, None, None, None))
+        if i % 4 == 0:
+            rows.append((s, V + "rating", str(i % 5), False, None, None, None))
+        if i % 2 == 0:
+            rows.append((s, V + "role", "tool", False, None, None, None))
+        else:
+            rows.append((s, V + "role", "user", False, None, None, None))
+        if i % 3 == 0:
+            rows.append((s, V + "next", f"{NS}{(i + 1) % 12}", True, None, None, None))
+    for j in range(3):
+        rows.append((f"{NS}e{j}", RDF_TYPE, V + "Entity", True, None, None, f"{NS}g1"))
+    return rows
+
+
+@pytest.fixture()
+def triples(spark):  # noqa: F811
+    return spark.createDataFrame(_rows(), SCHEMA)
+
+
+@pytest.fixture()
+def oracle():
+    con = duckdb.connect()
+    con.register(
+        "tri_src",
+        pd.DataFrame(_rows(), columns=[
+            "subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph",
+        ]),
+    )
+    return con
+
+
+from tests.spark_fixtures import spark  # noqa: F401,E402
+
+
+def _match(triples, con, query, order_cols):
+    sdf = sparql_query(triples, query)
+    sql = sparql_oracle_sql("SELECT * FROM tri_src", query)
+    order = ", ".join(order_cols)
+    got = [tuple(r) for r in sdf.orderBy(*order_cols).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(f"SELECT * FROM ({sql}) q ORDER BY {order}")
+        .df().itertuples(index=False)
+    ]
+    assert got == want
+    return got
+
+
+@pytest.mark.spark
+def test_text_select_filter_bind(triples, oracle):
+    q = (
+        P + 'SELECT ?d ?n ?lab WHERE {\n'
+            '  ?d v:name ?n ; v:idx ?i .\n'
+            '  OPTIONAL { ?d v:rating ?r }\n'
+            '  BIND(IF(BOUND(?r), CONCAT("rated:", ?r), "unrated") AS ?lab)\n'
+            '  FILTER(?i > 1)\n'
+            '  FILTER(STRSTARTS(?n, "name"))\n'
+            '}'
+    )
+    got = _match(triples, oracle, q, ["d"])
+    by_d = {r[0]: r for r in got}
+    assert by_d[f"{NS}4"][2] == "rated:4"
+    assert by_d[f"{NS}5"][2] == "unrated"
+    assert f"{NS}0" not in by_d and f"{NS}1" not in by_d
+
+
+@pytest.mark.spark
+def test_text_aggregate_page(triples, oracle):
+    q = (
+        P + "SELECT ?e (COUNT(?d) AS ?n) (GROUP_CONCAT(?r) AS ?roles) WHERE {\n"
+            "  ?d v:mentions ?e ; v:role ?r .\n"
+            "} GROUP BY ?e HAVING(?n >= 2) ORDER BY DESC(?n) ?e LIMIT 2 OFFSET 1"
+    )
+    got = _match(triples, oracle, q, ["e"])
+    assert len(got) == 2
+
+
+@pytest.mark.spark
+def test_text_langmatches_annotation(triples, oracle):
+    q = (
+        P + 'SELECT ?d ?n WHERE { ?d v:name ?n . '
+            'FILTER(LANGMATCHES(LANG(?n), "en")) }'
+    )
+    got = _match(triples, oracle, q, ["d"])
+    # docs 0,1,3,4,6,7,9,10 have en/en-GB names; 2,5,8,11 are untagged
+    assert {r[0] for r in got} == {f"{NS}{i}" for i in range(12) if i % 3 != 2}
+
+
+@pytest.mark.spark
+def test_text_path_union_graph(triples, oracle):
+    qp = P + "SELECT ?a ?b WHERE { ?a v:next+ ?b . }"
+    _match(triples, oracle, qp, ["a", "b"])
+    qu = (
+        P + 'SELECT ?x WHERE { { ?x v:role "tool" } UNION { ?x v:rating "0" } }'
+    )
+    got = _match(triples, oracle, qu, ["x"])
+    assert len(got) == 7  # 6 tool-role + doc 0's rating "0" (bag semantics)
+    qg = P + "SELECT ?g ?e WHERE { GRAPH ?g { ?e a v:Entity } }"
+    got = _match(triples, oracle, qg, ["e"])
+    assert all(r[0] == f"{NS}g1" for r in got)
+
+
+@pytest.mark.spark
+def test_text_subquery_minus_exists(triples, oracle):
+    q = (
+        P + "SELECT ?d ?e ?n WHERE {\n"
+            "  ?d v:mentions ?e .\n"
+            '  MINUS { ?d v:role "user" }\n'
+            "  { SELECT ?e (COUNT(?x) AS ?n) WHERE { ?x v:mentions ?e } GROUP BY ?e }\n"
+            "}"
+    )
+    got = _match(triples, oracle, q, ["d", "e"])
+    assert got and all(r[2] == 4 for r in got)
+
+
+@pytest.mark.spark
+def test_text_values_distinct(triples, oracle):
+    q = (
+        P + 'SELECT DISTINCT ?r WHERE { ?d v:role ?r . VALUES ?r { "tool" "user" } }'
+    )
+    got = _match(triples, oracle, q, ["r"])
+    assert [r[0] for r in got] == ["tool", "user"]
+
+
+@pytest.mark.spark
+def test_text_ask_construct(triples, oracle):
+    got = _match(triples, oracle, P + 'ASK { ?t v:role "tool" }', ["ask_id"])
+    assert got[0][1] == True  # noqa: E712
+    qc = (
+        P + "CONSTRUCT { ?e a v:Entity . ?e v:mentionedBy ?d } "
+            "WHERE { ?d v:mentions ?e }"
+    )
+    got = _match(triples, oracle, qc, ["subj", "pred", "obj"])
+    assert len(got) == 3 + 12  # 3 type triples + 12 distinct mentionedBy
+
+
+@pytest.mark.spark
+def test_text_describe(triples, oracle):
+    got = _match(
+        triples, oracle, f"DESCRIBE <{NS}0> <{NS}3>",
+        ["root", "subj", "pred", "obj"],
+    )
+    assert {r[0] for r in got} == {f"{NS}0", f"{NS}3"}
+
+
+@pytest.mark.spark
+def test_text_matches_programmatic(triples):
+    """The textual path and the programmatic path compile to the same
+    result set for the same logical query."""
+    from jsonld_ex_spark.operators.bgp import bgp_select
+
+    q = P + 'SELECT ?d ?e WHERE { ?d v:mentions ?e ; v:role "tool" . }'
+    text_rows = sorted(map(tuple, sparql_query(triples, q).collect()))
+    prog_rows = sorted(map(tuple, bgp_select(
+        triples,
+        [("?d", f"<{V}mentions>", "?e"), ("?d", f"<{V}role>", '"tool"')],
+        project=["d", "e"],
+    ).collect()))
+    assert text_rows == prog_rows
