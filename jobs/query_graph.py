@@ -14,6 +14,15 @@ table — the production deployment of the BGP layer.
     [--describe '<iri>' ... | --describe '?var'] \
         [--order-by 'entity asc' --limit 100]
 
+Or hand the job a FULL SPARQL query string (parsed by
+operators/sparql_text.py — prefixes, paths, OPTIONAL/UNION/MINUS/
+EXISTS, FILTER/BIND function library, aggregates, paging, ASK/
+CONSTRUCT/DESCRIBE):
+
+    spark-submit ... jobs/query_graph.py --triples T --output O \
+        --sparql 'PREFIX v: <https://sparkld.dev/vocab#>
+                  SELECT ?t ?e WHERE { ?t v:role "tool" ; v:mentions ?e }'
+
 Each --pattern/--optional/--exists/--not-exists/--construct is one
 whitespace-separated triple pattern — or QUAD pattern with a 4th graph
 term (<iri> scopes to a named graph, ?g binds it) (?var, <iri>, "literal" terms; literals must not contain
@@ -93,6 +102,10 @@ def main() -> None:
     p.add_argument("--order-by", action="append", default=[], dest="order_by",
                    help="'col asc|desc' (repeatable; requires --limit)")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--sparql", default=None,
+                   help="a full SPARQL query string (SELECT/ASK/CONSTRUCT/"
+                        "DESCRIBE — operators/sparql_text.py); mutually "
+                        "exclusive with every pattern/filter flag")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -112,8 +125,16 @@ def main() -> None:
         bgp_select,
     )
 
-    if not args.pattern and not args.describe:
-        raise SystemExit("need --pattern (SELECT/CONSTRUCT) or --describe")
+    if args.sparql:
+        if (args.pattern or args.describe or args.optional or args.exists or
+                args.not_exists or args.construct or args.filters or
+                args.order_by or args.limit is not None):
+            raise SystemExit(
+                "--sparql carries the whole query; it takes no other "
+                "query flags"
+            )
+    elif not args.pattern and not args.describe:
+        raise SystemExit("need --pattern (SELECT/CONSTRUCT), --describe or --sparql")
     patterns = [parse_pattern(t) for t in args.pattern]
     optional = [[parse_pattern(t)] for t in args.optional]
     exists = [[parse_pattern(t)] for t in args.exists]
@@ -131,6 +152,24 @@ def main() -> None:
 
     t0 = time.perf_counter()
     triples = spark.read.parquet(args.triples)
+    if args.sparql:
+        from jsonld_ex_spark.operators.sparql_text import parse_sparql, sparql_query
+
+        form = parse_sparql(args.sparql)["form"]
+        out = sparql_query(triples, args.sparql)
+        if form == "construct":
+            from jsonld_ex_spark.operators.triples import write_triples
+
+            write_triples(out, args.output, mode="overwrite")
+        else:
+            out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "job": "query_graph", "kind": f"sparql_{form}", "rows": n,
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+        spark.stop()
+        return
     if args.construct and (filters or order_by or exists or not_exists):
         raise SystemExit(
             "--filter/--order-by/--exists/--not-exists apply to SELECT "

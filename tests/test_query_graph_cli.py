@@ -59,3 +59,17 @@ def test_update_graph_cli_graph_token_normalization():
     assert with_graph_arg("urn:g1") == "urn:g1"
     with pytest.raises(SystemExit):
         with_graph_arg("DEFAULT")
+
+
+def test_sparql_flag_is_exclusive(monkeypatch, capsys):
+    # --sparql carries the whole query: combining it with any pattern
+    # flag must exit before a SparkSession is ever built
+    from query_graph import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "query_graph.py", "--triples", "t", "--output", "o",
+        "--sparql", "SELECT * WHERE { ?s <http://p> ?o }",
+        "--pattern", "?s <http://p> ?o",
+    ])
+    with pytest.raises(SystemExit, match="no other"):
+        main()
