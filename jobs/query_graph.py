@@ -108,6 +108,26 @@ def main() -> None:
                         "exclusive with every pattern/filter flag")
     args = p.parse_args()
 
+    sparql_form = None
+    if args.sparql:
+        if (args.pattern or args.describe or args.optional or args.exists or
+                args.not_exists or args.construct or args.filters or
+                args.order_by or args.limit is not None):
+            raise SystemExit(
+                "--sparql carries the whole query; it takes no other "
+                "query flags"
+            )
+        # parse (and so validate) BEFORE the SparkSession is built —
+        # a malformed query fails fast with the parser's positioned error
+        from jsonld_ex_spark.operators.sparql_text import parse_sparql
+
+        try:
+            sparql_form = parse_sparql(args.sparql)["form"]
+        except ValueError as exc:
+            raise SystemExit(f"--sparql: {exc}")
+    elif not args.pattern and not args.describe:
+        raise SystemExit("need --pattern (SELECT/CONSTRUCT), --describe or --sparql")
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -125,16 +145,6 @@ def main() -> None:
         bgp_select,
     )
 
-    if args.sparql:
-        if (args.pattern or args.describe or args.optional or args.exists or
-                args.not_exists or args.construct or args.filters or
-                args.order_by or args.limit is not None):
-            raise SystemExit(
-                "--sparql carries the whole query; it takes no other "
-                "query flags"
-            )
-    elif not args.pattern and not args.describe:
-        raise SystemExit("need --pattern (SELECT/CONSTRUCT), --describe or --sparql")
     patterns = [parse_pattern(t) for t in args.pattern]
     optional = [[parse_pattern(t)] for t in args.optional]
     exists = [[parse_pattern(t)] for t in args.exists]
@@ -153,11 +163,10 @@ def main() -> None:
     t0 = time.perf_counter()
     triples = spark.read.parquet(args.triples)
     if args.sparql:
-        from jsonld_ex_spark.operators.sparql_text import parse_sparql, sparql_query
+        from jsonld_ex_spark.operators.sparql_text import sparql_query
 
-        form = parse_sparql(args.sparql)["form"]
         out = sparql_query(triples, args.sparql)
-        if form == "construct":
+        if sparql_form == "construct":
             from jsonld_ex_spark.operators.triples import write_triples
 
             write_triples(out, args.output, mode="overwrite")
@@ -165,7 +174,7 @@ def main() -> None:
             out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({
-            "job": "query_graph", "kind": f"sparql_{form}", "rows": n,
+            "job": "query_graph", "kind": f"sparql_{sparql_form}", "rows": n,
             "sec": round(time.perf_counter() - t0, 3),
         }))
         spark.stop()

@@ -87,7 +87,8 @@ _TOKEN_RE = re.compile(
     | (?P<STRING>"(?:[^"\\\n]|\\.)*")
     | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
     | (?P<INT>[0-9]+)
-    | (?P<PNAME>(?:[A-Za-z_][A-Za-z_0-9-]*)?:(?:[A-Za-z_0-9][A-Za-z_0-9.-]*)?)
+    | (?P<PNAME>(?:[A-Za-z_][A-Za-z_0-9-]*)?:
+                (?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?)?)
     | (?P<WORD>[A-Za-z_][A-Za-z_0-9]*)
     | (?P<PUNCT>\^\^|&&|\|\||!=|<=|>=|[{}().,;|/^*+?!=<>@-])
     """,
@@ -123,7 +124,10 @@ def _unescape(raw: str) -> str:
                 raise ValueError(f"dangling escape in {raw!r}")
             esc = body[i]
             if esc == "u":
-                out.append(chr(int(body[i + 1:i + 5], 16)))
+                hex4 = body[i + 1:i + 5]
+                if len(hex4) != 4 or any(c not in "0123456789abcdefABCDEF" for c in hex4):
+                    raise ValueError(f"malformed \\uXXXX escape in {raw!r}")
+                out.append(chr(int(hex4, 16)))
                 i += 4
             elif esc in _STRING_ESCAPES:
                 out.append(_STRING_ESCAPES[esc])
@@ -535,6 +539,16 @@ class _Parser:
             if name == "REPLACE" and len(args) == 3:
                 if args[1][0] != "lit" or args[2][0] != "lit":
                     raise ValueError("REPLACE find/replacement must be string literals")
+                # the engine's replace form is deliberately FIXED-STRING
+                # (bgp.py keeps the regex form out); SPARQL's REPLACE
+                # pattern arg is a regex, so a pattern with metacharacters
+                # would silently change meaning — reject it instead
+                if any(c in args[1][1] for c in ".^$*+?{}[]()|\\"):
+                    raise ValueError(
+                        "REPLACE supports fixed-string patterns only (regex "
+                        "metacharacters in the find argument are rejected "
+                        "rather than silently matched literally)"
+                    )
                 return ("replace", self._to_strexpr(args[0]), args[1][1], args[2][1])
             if name in ("STRBEFORE", "STRAFTER") and len(args) == 2:
                 if args[1][0] != "lit":
@@ -590,7 +604,9 @@ class _Parser:
             for v in vals:
                 if v[0] not in ("int", "lit", "iri"):
                     raise ValueError("IN list entries must be literals or IRIs")
-                parts.append(("cmp", left[1], "eq", str(v[1]) if v[0] != "lit" else v[1]))
+                # keep ints as ints: SPARQL defines IN as '=' over each
+                # element, and '=' against an int takes the numeric path
+                parts.append(("cmp", left[1], "eq", v[1]))
             return parts[0] if len(parts) == 1 else ("or", *parts)
         if tag == "call":
             name, args = node[1], node[2:]
@@ -694,15 +710,16 @@ class _Parser:
         node = self._bool_or_value()
         self._expect_punct(")")
         if node[0] == "in":
-            # standalone FILTER(?v IN (...)) -> the VALUES/isin form
+            # standalone FILTER(?v IN (...)) with STRING/IRI entries ->
+            # the VALUES/isin form; integer entries fall through to the
+            # or-of-'=' compilation so they keep '=' numeric semantics
+            # (lexical '05' matches ?v IN (5) exactly like ?v = 5)
             _, left, vals = node
-            if left[0] == "var" and all(v[0] in ("lit", "iri", "int") for v in vals):
+            if left[0] == "var" and all(v[0] in ("lit", "iri") for v in vals):
                 var = left[1]
                 if var in self.values:
                     raise ValueError(f"duplicate IN/VALUES restriction on ?{var}")
-                self.values[var] = [
-                    v[1] if v[0] != "int" else str(v[1]) for v in vals
-                ]
+                self.values[var] = [v[1] for v in vals]
                 return
         # routing is deferred to the end of the group: SPARQL filter
         # scope is the WHOLE group, so a filter may precede the pattern
@@ -812,10 +829,12 @@ class _Parser:
         for key in (
             "paths", "optional", "minus", "filter_exprs", "bind",
             "annotations", "values", "values_rows", "subqueries", "union",
-            "order_by", "limit",
+            "order_by", "offset",
         ):
             if spec.get(key):
                 raise ValueError(f"subqueries do not support {key}")
+        if spec["limit"] is not None:  # explicit: LIMIT 0 must not slip through
+            raise ValueError("subqueries do not support limit")
         if spec["distinct"]:
             raise ValueError("subqueries do not support DISTINCT (groups are already distinct)")
         self.subqueries.append(entry)
@@ -885,11 +904,22 @@ class _Parser:
                 self._expect_word("BY")
                 order_by = self._order_clause()
             elif self._accept_word("LIMIT"):
-                limit = int(self._next().text)
+                limit = self._int_token("LIMIT")
             elif self._accept_word("OFFSET"):
-                offset = int(self._next().text)
+                offset = self._int_token("OFFSET")
             else:
                 break
+        if self.union_alts is not None and (
+            aggs or group_by or having or self.bind or self.annotations
+        ):
+            # the UNION dispatch evaluates standalone alternatives only —
+            # silently dropping the aggregation/binds would NULL-pad the
+            # aliases instead of computing them
+            raise ValueError(
+                "UNION queries do not support aggregates, GROUP BY, or "
+                "expression projections (aggregate over the union in a "
+                "wrapping query instead)"
+            )
         if aggs and not group_by:
             raise ValueError(
                 "aggregate projections require GROUP BY (whole-relation "
@@ -1034,6 +1064,13 @@ class _Parser:
         if not out:
             raise self._err("empty HAVING")
         return out
+
+    def _int_token(self, what: str) -> int:
+        t = self._peek()
+        if t is None or t.kind != "INT":
+            raise self._err(f"{what} takes a non-negative integer")
+        self._next()
+        return int(t.text)
 
     def _order_clause(self) -> list[tuple[str, str]]:
         out = []

@@ -434,3 +434,79 @@ def test_text_matches_programmatic(triples):
         project=["d", "e"],
     ).collect()))
     assert text_rows == prog_rows
+
+
+# --- review-hardening regressions (round 6) --------------------------
+
+
+def test_pname_local_cannot_end_with_dot():
+    # 'v:o.' flush against the terminator: SPARQL PN_LOCAL forbids a
+    # trailing dot, so the '.' is the triple terminator, not IRI text
+    spec = parse_sparql(P + "SELECT * WHERE { ?s v:p v:o. ?s v:q ?x }")
+    assert spec["patterns"][0] == ("?s", f"<{V}p>", f"<{V}o>")
+    assert spec["patterns"][1] == ("?s", f"<{V}q>", "?x")
+    # dots INSIDE a local name still work
+    spec2 = parse_sparql(P + "SELECT * WHERE { ?s v:a.b ?x }")
+    assert spec2["patterns"][0] == ("?s", f"<{V}a.b>", "?x")
+
+
+def test_malformed_unicode_escape_raises():
+    with pytest.raises(ValueError, match="uXXXX"):
+        parse_sparql(P + 'SELECT * WHERE { ?s v:p "\\u41" }')
+
+
+def test_replace_rejects_regex_metacharacters():
+    with pytest.raises(ValueError, match="fixed-string"):
+        parse_sparql(
+            P + 'SELECT * WHERE { ?s v:p ?o . BIND(REPLACE(?o, ".", "-") AS ?r) }'
+        )
+    # fixed strings still fine
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?s v:p ?o . BIND(REPLACE(?o, "a-b", "c") AS ?r) }'
+    )
+    assert spec["bind"]["r"] == ("replace", "o", "a-b", "c")
+
+
+def test_in_keeps_integer_semantics():
+    # IN is '=' over each element: ints keep the numeric-guard path
+    spec = parse_sparql(
+        P + "SELECT * WHERE { ?s v:n ?i . FILTER(?i IN (5, 7) || BOUND(?s)) }"
+    )
+    cond = spec["filter_exprs"][0]
+    assert ("cmp", "i", "eq", 5) in cond[1][1:] or cond[1] == ("or", ("cmp", "i", "eq", 5), ("cmp", "i", "eq", 7))
+    # standalone integer IN compiles to cmp filters, not lexical VALUES
+    spec2 = parse_sparql(P + "SELECT * WHERE { ?s v:n ?i . FILTER(?i IN (5, 7)) }")
+    assert spec2["values"] == {}
+    assert spec2["filter_exprs"] == [
+        ("or", ("cmp", "i", "eq", 5), ("cmp", "i", "eq", 7))
+    ]
+
+
+def test_union_with_aggregates_raises():
+    with pytest.raises(ValueError, match="UNION queries do not support"):
+        parse_sparql(
+            P + "SELECT ?e (COUNT(?e) AS ?n) WHERE "
+                "{ { ?t v:mentions ?e } UNION { ?t v:cites ?e } } GROUP BY ?e"
+        )
+
+
+def test_subquery_rejects_modifiers():
+    with pytest.raises(ValueError, match="subqueries do not support"):
+        parse_sparql(
+            P + "SELECT * WHERE { ?t v:mentions ?e . "
+                "{ SELECT ?e (COUNT(?x) AS ?n) WHERE { ?x v:mentions ?e } "
+                "GROUP BY ?e OFFSET 5 } }"
+        )
+    with pytest.raises(ValueError, match="subqueries do not support"):
+        parse_sparql(
+            P + "SELECT * WHERE { ?t v:mentions ?e . "
+                "{ SELECT ?e (COUNT(?x) AS ?n) WHERE { ?x v:mentions ?e } "
+                "GROUP BY ?e LIMIT 0 } }"
+        )
+
+
+def test_limit_offset_require_integer_tokens():
+    with pytest.raises(ValueError, match="LIMIT takes a non-negative integer"):
+        parse_sparql(P + "SELECT * WHERE { ?s v:p ?o } ORDER BY ?s LIMIT abc")
+    with pytest.raises(ValueError, match="OFFSET takes a non-negative integer"):
+        parse_sparql(P + "SELECT * WHERE { ?s v:p ?o } ORDER BY ?s LIMIT 5 OFFSET ?x")
