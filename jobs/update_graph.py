@@ -17,6 +17,10 @@ Forms:
   named graph (SPARQL WITH).
 * --insert-parquet PATH       — INSERT DATA from a parquet triple table
   (standard 7-column schema); no patterns allowed.
+* --sparql 'UPDATE TEXT'      — a full SPARQL Update string (INSERT
+  DATA / DELETE DATA / DELETE WHERE / [WITH g] DELETE-INSERT-WHERE /
+  CLEAR / ADD / COPY / MOVE), parsed by operators/sparql_text.py;
+  mutually exclusive with every other operation flag.
 * --clear-graph IRI|DEFAULT   — SPARQL CLEAR GRAPH (DROP: identical).
 * --copy/--move/--add-graph 'SRC DST' (IRI or DEFAULT) — SPARQL
   COPY/MOVE/ADD graph management.
@@ -86,7 +90,28 @@ def main() -> None:
                    help="'SRC DST' — MOVE SRC TO DST (IRI or DEFAULT)")
     p.add_argument("--add-graph", default=None, dest="add_graph",
                    help="'SRC DST' — ADD SRC TO DST (IRI or DEFAULT)")
+    p.add_argument("--sparql", default=None,
+                   help="a full SPARQL Update string (INSERT DATA / DELETE "
+                        "DATA / DELETE WHERE / WITH-DELETE-INSERT-WHERE / "
+                        "CLEAR / ADD / COPY / MOVE); mutually exclusive "
+                        "with the per-flag surface")
     args = p.parse_args()
+
+    if args.sparql:
+        if (args.delete or args.insert or args.where or args.insert_parquet or
+                args.with_graph or args.clear_graph or args.copy_graph or
+                args.move_graph or args.add_graph):
+            raise SystemExit(
+                "--sparql carries the whole update; it takes no other "
+                "operation flags"
+            )
+        # validate before the SparkSession so bad input fails fast
+        from jsonld_ex_spark.operators.sparql_text import parse_sparql_update
+
+        try:
+            parse_sparql_update(args.sparql)
+        except ValueError as exc:
+            raise SystemExit(f"--sparql: {exc}")
 
     from pyspark.sql import SparkSession
 
@@ -136,6 +161,11 @@ def main() -> None:
         else:
             snap = add_graph(spark, args.table, *src_dst("--add-graph", args.add_graph))
             kind = "add_graph"
+    elif args.sparql:
+        from jsonld_ex_spark.operators.sparql_text import run_sparql_update
+
+        res = run_sparql_update(spark, args.table, args.sparql)
+        snap, kind = res["snapshot"], f"sparql_{res['kind']}"
     elif args.insert_parquet:
         if args.delete or args.insert or args.where:
             raise SystemExit("--insert-parquet takes no patterns (INSERT DATA)")

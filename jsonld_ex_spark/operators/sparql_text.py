@@ -213,6 +213,11 @@ class _Parser:
         if not self._accept_punct(p):
             raise self._err(f"expected {p!r}")
 
+    # exact-term object constants ("lex"^^<dt> / "lex"@lang) are only
+    # meaningful on the UPDATE side (graph_update's term-identity
+    # matching); query patterns keep rejecting them with guidance
+    _allow_exact_literals = False
+
     # --- terms ---------------------------------------------------------
     def _expand_pname(self, pname: str) -> str:
         pfx, _, local = pname.partition(":")
@@ -251,11 +256,16 @@ class _Parser:
             self._next()
             val = _unescape(t.text)
             if self._at_punct("@") or self._at_punct("^^"):
-                raise self._err(
-                    "language-tagged/typed literal constants are not supported "
-                    "in triple patterns (the pattern layer matches lexical "
-                    "forms; FILTER on LANG()/DATATYPE() instead)"
-                )
+                if not self._allow_exact_literals:
+                    raise self._err(
+                        "language-tagged/typed literal constants are not supported "
+                        "in triple patterns (the pattern layer matches lexical "
+                        "forms; FILTER on LANG()/DATATYPE() instead)"
+                    )
+                if self._accept_punct("^^"):
+                    return f'"{val}"^^<{self._iri_token()}>'
+                self._expect_punct("@")
+                return f'"{val}"@{self._langtag()}'
             return f'"{val}"'
         if t.kind == "INT":
             self._next()
@@ -269,6 +279,19 @@ class _Parser:
             self._next()
             return f'"{t.text}"'
         raise self._err(f"expected a {position} term")
+
+    def _langtag(self) -> str:
+        t = self._next()
+        if t.kind != "WORD":
+            raise self._err("expected a language tag after @")
+        parts = [t.text]
+        while self._at_punct("-"):
+            nxt = self._peek(1)
+            if nxt is None or nxt.kind not in ("WORD", "INT"):
+                break
+            self._next()
+            parts.append(self._next().text)
+        return "-".join(parts)
 
     # --- property paths ------------------------------------------------
     def _maybe_path(self):
@@ -1095,6 +1118,127 @@ class _Parser:
             raise self._err("empty ORDER BY")
         return out
 
+    # --- update forms --------------------------------------------------
+    def _quad_block(self, label: str, ground: bool) -> list[tuple[str, ...]]:
+        """Parse ``{ triples... GRAPH g { triples... } ... }`` into 3/4
+        tuples (the QuadData / QuadPattern productions).  ``ground``
+        additionally forbids variables (the DATA forms)."""
+        self._expect_punct("{")
+        out: list[tuple[str, ...]] = []
+        while not self._at_punct("}"):
+            if self._accept_word("GRAPH"):
+                gt = self._term("graph")
+                if gt.startswith('"'):
+                    raise self._err("GRAPH term must be an IRI or variable")
+                self._expect_punct("{")
+                while not self._at_punct("}"):
+                    out.extend(self._triples_block(gt, restricted=label))
+                self._expect_punct("}")
+            else:
+                out.extend(self._triples_block(None, restricted=label))
+        self._expect_punct("}")
+        if not out:
+            raise self._err(f"empty {label} block")
+        if ground:
+            for q in out:
+                for term in q:
+                    if term.startswith("?"):
+                        raise ValueError(
+                            f"{label} takes ground terms only (found {term})"
+                        )
+        return out
+
+    def _graph_or_default(self) -> str | None:
+        if self._accept_word("DEFAULT"):
+            return None
+        self._accept_word("GRAPH")
+        return self._iri_token()
+
+    def _modify_where(self) -> dict:
+        """Restricted WHERE group for DELETE/INSERT-WHERE: the surface
+        delete_insert supports (patterns, filters, paths, EXISTS / NOT
+        EXISTS) — everything else raises instead of being dropped."""
+        self._group_graph_pattern()
+        unsupported = {
+            "OPTIONAL": self.optional, "MINUS": self.minus,
+            "BIND": self.bind, "VALUES": self.values or self.values_rows,
+            "subqueries": self.subqueries, "UNION": self.union_alts,
+            "expression FILTER": self.filter_exprs,
+            "LANG/DATATYPE": self.annotations,
+        }
+        for what, val in unsupported.items():
+            if val:
+                raise ValueError(
+                    f"update WHERE clauses do not support {what} (the "
+                    "mutation surface is patterns + scalar FILTER + paths "
+                    "+ EXISTS/NOT EXISTS)"
+                )
+        return {
+            "where": self.patterns,
+            "filters": self.filters,
+            "paths": self.paths,
+            "exists": self.exists,
+            "not_exists": self.not_exists,
+        }
+
+    def parse_update(self) -> dict:
+        self._allow_exact_literals = True
+        while self._at_word("PREFIX"):
+            self._next()
+            pt = self._next()
+            if pt.kind != "PNAME" or not pt.text.endswith(":") or ":" in pt.text[:-1]:
+                raise self._err("expected 'prefix:' in PREFIX declaration")
+            it = self._next()
+            if it.kind != "IRIREF":
+                raise self._err("expected an IRI in PREFIX declaration")
+            self.prefixes[pt.text[:-1]] = it.text[1:-1]
+        if self._accept_word("CLEAR"):
+            spec: dict = {"form": "clear", "graph": self._graph_or_default()}
+        elif self._at_word("ADD", "COPY", "MOVE"):
+            op = self._next().text.lower()
+            src = self._graph_or_default()
+            self._expect_word("TO")
+            dst = self._graph_or_default()
+            spec = {"form": op, "src": src, "dst": dst}
+        elif self._accept_word("INSERT"):
+            if self._accept_word("DATA"):
+                spec = {
+                    "form": "insert_data",
+                    "quads": self._quad_block("INSERT DATA", ground=True),
+                }
+            else:
+                tmpl = self._quad_block("INSERT template", ground=False)
+                self._expect_word("WHERE")
+                spec = {"form": "modify", "delete": [], "insert": tmpl,
+                        "with_graph": None, **self._modify_where()}
+        else:
+            with_graph = None
+            if self._accept_word("WITH"):
+                with_graph = self._iri_token()
+            self._expect_word("DELETE")
+            if with_graph is None and self._accept_word("DATA"):
+                spec = {
+                    "form": "delete_data",
+                    "quads": self._quad_block("DELETE DATA", ground=True),
+                }
+            elif self._accept_word("WHERE"):
+                spec = {
+                    "form": "delete_where",
+                    "patterns": self._quad_block("DELETE WHERE", ground=False),
+                    "with_graph": with_graph,
+                }
+            else:
+                tmpl = self._quad_block("DELETE template", ground=False)
+                ins: list[tuple[str, ...]] = []
+                if self._accept_word("INSERT"):
+                    ins = self._quad_block("INSERT template", ground=False)
+                self._expect_word("WHERE")
+                spec = {"form": "modify", "delete": tmpl, "insert": ins,
+                        "with_graph": with_graph, **self._modify_where()}
+        if self._peek() is not None:
+            raise self._err("trailing tokens after the update")
+        return spec
+
     # --- query forms ---------------------------------------------------
     def parse(self) -> dict:
         while self._at_word("PREFIX", "BASE"):
@@ -1158,6 +1302,82 @@ class _Parser:
         if self._peek() is not None:
             raise self._err("trailing tokens after the query")
         return spec
+
+
+def parse_sparql_update(text: str) -> dict:
+    """Parse a SPARQL 1.1 Update string — INSERT DATA / DELETE DATA /
+    DELETE WHERE / [WITH g] DELETE-INSERT-WHERE / CLEAR / ADD / COPY /
+    MOVE — into the normalized spec :func:`run_sparql_update` executes
+    against the snapshot store.  Exact-term literal constants
+    (``"lex"^^<dt>`` / ``"lex"@lang``) are accepted here (term-identity
+    matching is an update-side concept)."""
+    return _Parser(text).parse_update()
+
+
+_UPDATE_ROW_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_iri boolean, "
+    "obj_dt string, obj_lang string, graph string"
+)
+
+
+def _ground_quad_to_row(quad: tuple[str, ...]) -> tuple:
+    """One INSERT DATA ground quad -> a standard triple-schema row.
+    Tagged literals store (lex, lang); typed store (lex, dt); xsd:string
+    normalizes to the plain form (RDF 1.1: they are the same term)."""
+    from jsonld_ex_spark.operators.graph_update import _parse_exact_object
+
+    s, p, o = quad[0], quad[1], quad[2]
+    g = quad[3][1:-1] if len(quad) == 4 else None
+    if not (s.startswith("<") and p.startswith("<")):
+        raise ValueError(f"INSERT DATA subject/predicate must be IRIs: {quad!r}")
+    exact = _parse_exact_object(o)
+    if exact is not None:
+        lex, dt_n, lang = exact
+        if lang is not None:
+            return (s[1:-1], p[1:-1], lex, False, None, lang, g)
+        dt = None if dt_n == _bgp.XSD_STRING else dt_n
+        return (s[1:-1], p[1:-1], lex, False, dt, None, g)
+    if o.startswith("<"):
+        return (s[1:-1], p[1:-1], o[1:-1], True, None, None, g)
+    if o.startswith('"'):
+        return (s[1:-1], p[1:-1], o[1:-1], False, None, None, g)
+    raise ValueError(f"bad INSERT DATA object {o!r}")
+
+
+def run_sparql_update(spark, table_dir: str, text: str) -> dict:
+    """Execute a SPARQL Update string against a snapshot triple table
+    (sources/snapshot_table.py) via the audited mutation operators in
+    operators/graph_update.py.  Returns {"kind": ..., "snapshot": id}
+    (snapshot -1 for the no-op graph-management cases that return the
+    reader-visible snapshot unchanged)."""
+    from jsonld_ex_spark.operators import graph_update as gu
+
+    spec = parse_sparql_update(text)
+    form = spec["form"]
+    if form == "insert_data":
+        rows = [_ground_quad_to_row(q) for q in spec["quads"]]
+        df = spark.createDataFrame(rows, _UPDATE_ROW_SCHEMA)
+        snap = gu.insert_data(df, table_dir)
+    elif form == "delete_data":
+        snap = gu.delete_data(spark, table_dir, spec["quads"])
+    elif form == "delete_where":
+        snap = gu.delete_where(
+            spark, table_dir, spec["patterns"], with_graph=spec["with_graph"]
+        )
+    elif form == "modify":
+        snap = gu.delete_insert(
+            spark, table_dir, spec["delete"], spec["insert"], spec["where"],
+            filters=spec["filters"] or None, paths=spec["paths"] or None,
+            exists=spec["exists"] or None,
+            not_exists=spec["not_exists"] or None,
+            with_graph=spec["with_graph"],
+        )
+    elif form == "clear":
+        snap = gu.clear_graph(spark, table_dir, spec["graph"])
+    else:
+        fn = {"add": gu.add_graph, "copy": gu.copy_graph, "move": gu.move_graph}[form]
+        snap = fn(spark, table_dir, spec["src"], spec["dst"])
+    return {"kind": form, "snapshot": snap}
 
 
 def parse_sparql(text: str) -> dict:

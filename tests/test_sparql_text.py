@@ -510,3 +510,99 @@ def test_limit_offset_require_integer_tokens():
         parse_sparql(P + "SELECT * WHERE { ?s v:p ?o } ORDER BY ?s LIMIT abc")
     with pytest.raises(ValueError, match="OFFSET takes a non-negative integer"):
         parse_sparql(P + "SELECT * WHERE { ?s v:p ?o } ORDER BY ?s LIMIT 5 OFFSET ?x")
+
+
+# --- textual SPARQL Update -------------------------------------------
+
+from jsonld_ex_spark.operators.sparql_text import (  # noqa: E402
+    parse_sparql_update,
+    run_sparql_update,
+)
+
+
+def test_parse_insert_data():
+    spec = parse_sparql_update(
+        P + 'INSERT DATA { d:1 v:role "tool" . d:1 v:n "5"^^<http://www.w3.org/2001/XMLSchema#integer> . '
+            'd:1 v:label "hi"@en . GRAPH d:g1 { d:1 v:x d:2 } }'
+    )
+    assert spec["form"] == "insert_data"
+    assert spec["quads"] == [
+        (f"<{NS}1>", f"<{V}role>", '"tool"'),
+        (f"<{NS}1>", f"<{V}n>", '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        (f"<{NS}1>", f"<{V}label>", '"hi"@en'),
+        (f"<{NS}1>", f"<{V}x>", f"<{NS}2>", f"<{NS}g1>"),
+    ]
+
+
+def test_parse_delete_forms_and_graph_management():
+    dd = parse_sparql_update(P + 'DELETE DATA { d:1 v:role "tool" }')
+    assert dd["form"] == "delete_data"
+    dw = parse_sparql_update(P + "DELETE WHERE { ?t v:tool ?n }")
+    assert dw == {
+        "form": "delete_where",
+        "patterns": [("?t", f"<{V}tool>", "?n")], "with_graph": None,
+    }
+    m = parse_sparql_update(
+        P + 'WITH d:g1 DELETE { ?t v:tool ?n } INSERT { ?t v:redacted "true" } '
+            'WHERE { ?t v:tool ?n . FILTER(?n != "kb") }'
+    )
+    assert m["form"] == "modify" and m["with_graph"] == f"{NS}g1"
+    assert m["filters"] == [("n", "ne", "kb")]
+    assert parse_sparql_update(f"CLEAR GRAPH <{NS}g1>") == {
+        "form": "clear", "graph": f"{NS}g1",
+    }
+    assert parse_sparql_update("CLEAR DEFAULT") == {"form": "clear", "graph": None}
+    assert parse_sparql_update(f"COPY GRAPH <{NS}a> TO DEFAULT") == {
+        "form": "copy", "src": f"{NS}a", "dst": None,
+    }
+
+
+def test_update_rejections():
+    with pytest.raises(ValueError, match="ground terms only"):
+        parse_sparql_update(P + "INSERT DATA { ?s v:p d:1 }")
+    with pytest.raises(ValueError, match="do not support OPTIONAL"):
+        parse_sparql_update(
+            P + "DELETE { ?t v:p ?o } WHERE { ?t v:p ?o . OPTIONAL { ?t v:q ?x } }"
+        )
+    # exact-term literals stay update-side only
+    with pytest.raises(ValueError, match="not supported"):
+        parse_sparql(P + 'SELECT * WHERE { ?s v:p "x"@en }')
+
+
+@pytest.mark.spark
+def test_run_sparql_update_end_to_end(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.sources.snapshot_table import read_snapshot
+
+    t = str(tmp_path / "tbl")
+    r = run_sparql_update(
+        spark, t,
+        P + 'INSERT DATA { d:t1 v:role "tool" . d:t1 v:tool "kb" . '
+            'd:t2 v:role "user" . d:t2 v:n "7"^^<http://www.w3.org/2001/XMLSchema#integer> . '
+            'd:t2 v:n "7" }',
+    )
+    assert r["kind"] == "insert_data"
+    cols = ["subj", "pred", "obj", "obj_is_iri", "obj_dt", "obj_lang", "graph"]
+    rows = {tuple(x) for x in read_snapshot(spark, t).select(*cols).collect()}
+    assert (f"{NS}t2", f"{V}n", "7", False,
+            "http://www.w3.org/2001/XMLSchema#integer", None, None) in rows
+    # exact-term DELETE DATA: the typed literal dies, the plain survives
+    r2 = run_sparql_update(
+        spark, t,
+        P + 'DELETE DATA { d:t2 v:n "7"^^<http://www.w3.org/2001/XMLSchema#integer> }',
+    )
+    assert r2["kind"] == "delete_data"
+    objs = [
+        (x["obj"], x["obj_dt"]) for x in read_snapshot(spark, t)
+        .filter("pred = '%sn'" % V).collect()
+    ]
+    assert objs == [("7", None)]
+    # modify: redact tool turns
+    r3 = run_sparql_update(
+        spark, t,
+        P + 'DELETE { ?t v:tool ?n } INSERT { ?t v:redacted "true" } '
+            'WHERE { ?t v:tool ?n }',
+    )
+    assert r3["kind"] == "modify"
+    rows3 = {(x["subj"], x["pred"], x["obj"]) for x in read_snapshot(spark, t).collect()}
+    assert (f"{NS}t1", f"{V}redacted", "true") in rows3
+    assert not any(p == f"{V}tool" for _, p, _ in rows3)
