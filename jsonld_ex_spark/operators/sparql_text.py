@@ -1288,15 +1288,36 @@ class _Parser:
                 "patterns": self.patterns, "optional": self.optional,
             }
         elif self._accept_word("DESCRIBE"):
-            roots = []
-            while self._peek() is not None and self._peek().kind in ("IRIREF", "PNAME"):
-                roots.append(self._iri_token())
-            if not roots:
-                raise self._err(
-                    "DESCRIBE takes one or more IRIs (the DESCRIBE ?var WHERE "
-                    "form is available programmatically via bgp_describe)"
-                )
-            spec = {"form": "describe", "roots": roots}
+            t = self._peek()
+            if t is not None and t.kind == "VAR":
+                var = self._next().text[1:]
+                self._accept_word("WHERE")
+                self._group_graph_pattern()
+                for what, val in (
+                    ("BIND", self.bind), ("VALUES", self.values or self.values_rows),
+                    ("subqueries", self.subqueries), ("UNION", self.union_alts),
+                    ("LANG/DATATYPE", self.annotations), ("MINUS", self.minus),
+                ):
+                    if val:
+                        raise ValueError(
+                            f"DESCRIBE ?var WHERE does not support {what} "
+                            "(bind the roots with patterns/paths/FILTER/"
+                            "EXISTS groups)"
+                        )
+                spec = {
+                    "form": "describe_where", "var": var,
+                    "patterns": self.patterns, "paths": self.paths,
+                    "optional": self.optional, "filters": self.filters,
+                    "filter_exprs": self.filter_exprs,
+                    "exists": self.exists, "not_exists": self.not_exists,
+                }
+            else:
+                roots = []
+                while self._peek() is not None and self._peek().kind in ("IRIREF", "PNAME"):
+                    roots.append(self._iri_token())
+                if not roots:
+                    raise self._err("DESCRIBE takes one or more IRIs or one ?var")
+                spec = {"form": "describe", "roots": roots}
         else:
             raise self._err("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
         if self._peek() is not None:
@@ -1462,6 +1483,14 @@ def sparql_query(triples, text: str):
         )
     if spec["form"] == "describe":
         return _bgp.bgp_describe(triples, spec["roots"])
+    if spec["form"] == "describe_where":
+        roots = _bgp.bgp_select(
+            triples, spec["patterns"], project=[spec["var"]],
+            optional=spec["optional"] or None, filters=spec["filters"] or None,
+            paths=spec["paths"] or None, filter_exprs=spec["filter_exprs"] or None,
+            exists=spec["exists"] or None, not_exists=spec["not_exists"] or None,
+        )
+        return _bgp.bgp_describe(triples, roots)
     _check_modifiers(spec)
     if spec["union"] is not None:
         if spec["project"] is None:
@@ -1511,6 +1540,15 @@ def sparql_oracle_sql(triples_sql: str, text: str) -> str:
         roots_sql = " UNION ALL ".join(
             f"SELECT {_bgp._sql_quote(r)} AS root" for r in spec["roots"]
         )
+        return _bgp.bgp_describe_oracle_sql(triples_sql, roots_sql)
+    if spec["form"] == "describe_where":
+        inner = _bgp.bgp_oracle_sql(
+            triples_sql, spec["patterns"], project=[spec["var"]],
+            optional=spec["optional"] or None, filters=spec["filters"] or None,
+            paths=spec["paths"] or None, filter_exprs=spec["filter_exprs"] or None,
+            exists=spec["exists"] or None, not_exists=spec["not_exists"] or None,
+        )
+        roots_sql = f"SELECT {spec['var']} AS root FROM ({inner}) AS bound_roots"
         return _bgp.bgp_describe_oracle_sql(triples_sql, roots_sql)
     _check_modifiers(spec)
     if spec["union"] is not None:

@@ -210,6 +210,19 @@ COMMENT = {
         "— the per-query fixpoint is gone (16.5 s → ~1.1 s warm at "
         "sf0.1)."
     ),
+    "kg_sparql_text_mentions": (
+        "Textual SPARQL front-end (round 6): the query arrives as a "
+        "SPARQL string and compiles to the IDENTICAL plan the "
+        "programmatic form would — pushed scalar filter below the "
+        "2-pattern join, left-join OPTIONAL, CASE-expression BIND, "
+        "TakeOrderedAndProject page.  The parser adds zero runtime."
+    ),
+    "kg_sparql_text_entity_stats": (
+        "Textual aggregate (round 6): parsed GROUP BY + COUNT + "
+        "COUNT(DISTINCT) + HAVING compiles to one partial/final "
+        "hash-aggregate pair over the pattern join, HAVING as a "
+        "post-aggregate filter, DESC heap top-k."
+    ),
 }
 
 QUERIES = list(COMMENT.keys())

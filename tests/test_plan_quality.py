@@ -306,3 +306,18 @@ def test_round6_query_plans_stay_jvm_side(spark):  # noqa: F811
         assert "CartesianProduct" not in plan, fn.__name__
     page_plan = _plan(kg_queries.kg_bgp_page_entities(spark, SF))
     assert "TakeOrderedAndProject" in page_plan
+
+
+def test_sparql_text_query_plans_stay_jvm_side(spark):  # noqa: F811
+    """The textual front-end adds NO runtime of its own: a parsed query
+    compiles to the same pure-Catalyst plan shapes as the programmatic
+    forms (no Python stage beyond the pipeline's fused mapInPandas, no
+    cartesian, heap top-k for the ordered page)."""
+    for fn in (
+        kg_queries.kg_sparql_text_mentions,
+        kg_queries.kg_sparql_text_entity_stats,
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "TakeOrderedAndProject" in plan, fn.__name__

@@ -606,3 +606,22 @@ def test_run_sparql_update_end_to_end(spark, tmp_path):  # noqa: F811
     rows3 = {(x["subj"], x["pred"], x["obj"]) for x in read_snapshot(spark, t).collect()}
     assert (f"{NS}t1", f"{V}redacted", "true") in rows3
     assert not any(p == f"{V}tool" for _, p, _ in rows3)
+
+
+def test_parse_describe_where():
+    spec = parse_sparql(
+        P + 'DESCRIBE ?e WHERE { ?t v:mentions ?e ; v:role "tool" . }'
+    )
+    assert spec["form"] == "describe_where" and spec["var"] == "e"
+    assert len(spec["patterns"]) == 2
+    with pytest.raises(ValueError, match="does not support BIND"):
+        parse_sparql(
+            P + 'DESCRIBE ?e WHERE { ?t v:mentions ?e . BIND(STR(?e) AS ?x) }'
+        )
+
+
+@pytest.mark.spark
+def test_text_describe_where(triples, oracle):
+    q = P + 'DESCRIBE ?e WHERE { ?d v:mentions ?e ; v:role "tool" . }'
+    got = _match(triples, oracle, q, ["root", "subj", "pred", "obj"])
+    assert {r[0] for r in got} == {f"{NS}e0", f"{NS}e1", f"{NS}e2"}
