@@ -544,6 +544,15 @@ def _annot_col(kind: str):
         return F.when(F.col("obj_is_iri"), F.lit(None).cast("string")).otherwise(
             F.coalesce(F.col("obj_lang"), F.lit(""))
         )
+    if kind == "termtype":
+        # the matched object TERM's kind — 'iri' | 'literal' | 'bnode'
+        # (SPARQL isIRI/isLiteral/isBlank test against this; blank nodes
+        # are stored IRI-kinded with the '_:' prefix)
+        return (
+            F.when(~F.col("obj_is_iri"), F.lit("literal"))
+            .when(F.col("obj").startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("iri"))
+        )
     return (
         F.when(F.col("obj_is_iri"), F.lit(None).cast("string"))
         .when(F.col("obj_lang").isNotNull(), F.lit(RDF_LANGSTRING))
@@ -555,6 +564,12 @@ def _annot_col(kind: str):
 def _annot_sql(kind: str) -> str:
     if kind == "lang":
         return "CASE WHEN obj_is_iri THEN NULL ELSE COALESCE(obj_lang, '') END"
+    if kind == "termtype":
+        # substr, NOT LIKE '_:%' — '_' is the single-char LIKE wildcard
+        return (
+            "CASE WHEN NOT obj_is_iri THEN 'literal' "
+            "WHEN substr(obj, 1, 2) = '_:' THEN 'bnode' ELSE 'iri' END"
+        )
     return (
         f"CASE WHEN obj_is_iri THEN NULL "
         f"WHEN obj_lang IS NOT NULL THEN {_sql_quote(RDF_LANGSTRING)} "
@@ -576,8 +591,8 @@ def _annots_by_pattern(
     out: dict[int, dict[str, str]] = {}
     all_vars = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     for out_var, (obj_var, kind) in (annotations or {}).items():
-        if kind not in ("lang", "datatype"):
-            raise ValueError(f"bad annotation kind {kind!r} (lang|datatype)")
+        if kind not in ("lang", "datatype", "termtype"):
+            raise ValueError(f"bad annotation kind {kind!r} (lang|datatype|termtype)")
         if out_var in all_vars:
             raise ValueError(f"annotation output {out_var!r} shadows a pattern variable")
         hits = [

@@ -518,10 +518,12 @@ class _Parser:
         return left
 
     # --- conversion: intermediate AST -> engine ASTs -------------------
+    _ANNOT_KINDS = {"lang": "lang", "dt": "datatype", "tt": "termtype"}
+
     def _annot_var(self, var: str, kind: str) -> str:
         name = f"_{kind}_{var}"
         if name not in self.annotations:
-            self.annotations[name] = (var, "lang" if kind == "lang" else "datatype")
+            self.annotations[name] = (var, self._ANNOT_KINDS[kind])
             self.hidden_annots.add(name)
         return name
 
@@ -645,6 +647,14 @@ class _Parser:
                 if args[1][0] != "lit":
                     raise ValueError("LANGMATCHES range must be a string literal")
                 return ("langmatches", self._to_strexpr(args[0]), args[1][1])
+            if name in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK") and \
+                    len(args) == 1 and args[0][0] == "var":
+                # the matched term's kind via the termtype annotation
+                # ('iri' | 'literal' | 'bnode')
+                tt = self._annot_var(args[0][1], "tt")
+                want = {"ISIRI": "iri", "ISURI": "iri",
+                        "ISLITERAL": "literal", "ISBLANK": "bnode"}[name]
+                return ("eq", tt, ("lit", want))
             raise ValueError(f"unsupported boolean function {name}")
         raise ValueError(f"not a boolean expression: {node!r}")
 

@@ -625,3 +625,25 @@ def test_text_describe_where(triples, oracle):
     q = P + 'DESCRIBE ?e WHERE { ?d v:mentions ?e ; v:role "tool" . }'
     got = _match(triples, oracle, q, ["root", "subj", "pred", "obj"])
     assert {r[0] for r in got} == {f"{NS}e0", f"{NS}e1", f"{NS}e2"}
+
+
+def test_parse_isiri_isliteral_isblank():
+    spec = parse_sparql(
+        P + "SELECT * WHERE { ?s v:p ?o . FILTER(ISIRI(?o) || ISBLANK(?o)) }"
+    )
+    assert spec["annotations"] == {"_tt_o": ("o", "termtype")}
+    assert spec["filter_exprs"] == [(
+        "or", ("eq", "_tt_o", ("lit", "iri")), ("eq", "_tt_o", ("lit", "bnode")),
+    )]
+
+
+@pytest.mark.spark
+def test_text_isliteral_both_engines(triples, oracle):
+    q = P + "SELECT ?d ?x WHERE { ?d v:mentions ?x . FILTER(ISIRI(?x)) }"
+    got = _match(triples, oracle, q, ["d", "x"])
+    assert len(got) == 12  # every mention object is an IRI
+    q2 = P + "SELECT ?d ?x WHERE { ?d v:role ?x . FILTER(ISLITERAL(?x)) }"
+    got2 = _match(triples, oracle, q2, ["d", "x"])
+    assert len(got2) == 12
+    q3 = P + "SELECT ?d ?x WHERE { ?d v:role ?x . FILTER(ISIRI(?x)) }"
+    assert _match(triples, oracle, q3, ["d"]) == []
