@@ -257,6 +257,12 @@ _LOCALNAME_RE = "([^/#]+)$"
 #                                   (op in {gt,ge,lt,le,eq,ne,regex};
 #                                   int values use the strict-integer
 #                                   lexical guard) applied post-join
+# * ("num_cmp", a, op, b)         — numeric comparison of two
+#                                   BIND-style numeric expressions
+#                                   (STRLEN/arith/guarded var/int),
+#                                   FILTER(STRLEN(?n) > 10); a NULL
+#                                   side drops the solution
+# * ("langmatches", expr, range)  — RFC 4647 basic filtering
 
 
 def _require_bound(var: str, bound: set[str]) -> None:
@@ -452,6 +458,20 @@ def _cond_col(cond, bound: set[str]):
         _require_bound(var, bound)
         _check_filters([(var, op, value)])
         return _filter_cond_spark(var, op, value)
+    if head == "num_cmp":
+        # numeric comparison between BIND-style numeric expressions
+        # (STRLEN / arithmetic / guarded var casts / int literals) —
+        # FILTER(STRLEN(?n) > 10).  A NULL side (non-integer lexical)
+        # makes the comparison NULL -> the solution drops, SPARQL's
+        # expression-error rule.
+        _, a, op, b = cond
+        if op not in _HAVING_OPS:
+            raise ValueError(f"bad num_cmp op {op!r}")
+        ca, cb = _bind_num_col(a, bound), _bind_num_col(b, bound)
+        return {
+            "eq": ca == cb, "ne": ca != cb, "gt": ca > cb,
+            "ge": ca >= cb, "lt": ca < cb, "le": ca <= cb,
+        }[op]
     raise ValueError(f"bad condition {cond!r}")
 
 
@@ -502,6 +522,14 @@ def _cond_sql(cond, bound: set[str]) -> str:
         _require_bound(var, bound)
         _check_filters([(var, op, value)])
         return _filter_cond_sql(var, op, value)
+    if head == "num_cmp":
+        _, a, op, b = cond
+        if op not in _HAVING_OPS:
+            raise ValueError(f"bad num_cmp op {op!r}")
+        return (
+            f"({_bind_num_sql(a, bound)} {_HAVING_OPS[op]} "
+            f"{_bind_num_sql(b, bound)})"
+        )
     raise ValueError(f"bad condition {cond!r}")
 
 

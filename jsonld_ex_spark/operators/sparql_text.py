@@ -610,16 +610,23 @@ class _Parser:
         if tag == "rel":
             _, op, left, right = node
             # simple ?var <op> literal -> the engine's scalar cmp form
+            # (push-down-capable), checked FIRST
             if left[0] == "var" and right[0] in ("int", "lit"):
                 return ("cmp", left[1], op, right[1])
             if right[0] == "var" and left[0] in ("int", "lit"):
                 flip = {"lt": "gt", "gt": "lt", "le": "ge", "ge": "le"}
                 return ("cmp", right[1], flip.get(op, op), left[1])
+            # a numeric expression on either side (STRLEN / arithmetic)
+            # -> the engine's num_cmp condition
+            if self._is_numeric(left) or self._is_numeric(right):
+                return (
+                    "num_cmp", self._to_numexpr(left), op, self._to_numexpr(right),
+                )
             if op in ("eq", "ne"):
                 return (op, self._to_strexpr(left), self._to_strexpr(right))
             raise ValueError(
                 "ordering comparisons are only supported between a variable "
-                "and a literal"
+                "and a literal or numeric expressions (STRLEN/arithmetic)"
             )
         if tag == "in":
             _, left, vals = node

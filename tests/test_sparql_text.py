@@ -647,3 +647,26 @@ def test_text_isliteral_both_engines(triples, oracle):
     assert len(got2) == 12
     q3 = P + "SELECT ?d ?x WHERE { ?d v:role ?x . FILTER(ISIRI(?x)) }"
     assert _match(triples, oracle, q3, ["d"]) == []
+
+
+def test_parse_numeric_expression_filter():
+    spec = parse_sparql(
+        P + "SELECT * WHERE { ?s v:name ?n ; v:idx ?i . "
+            "FILTER(STRLEN(?n) > 5) FILTER(?i * 2 >= STRLEN(?n)) }"
+    )
+    assert spec["filter_exprs"] == [
+        ("num_cmp", ("strlen", "n"), "gt", 5),
+        ("num_cmp", ("mul", "i", 2), "ge", ("strlen", "n")),
+    ]
+
+
+@pytest.mark.spark
+def test_text_strlen_filter_both_engines(triples, oracle):
+    # name10/name11 are the only 6-char names
+    q = P + "SELECT ?d ?n WHERE { ?d v:name ?n . FILTER(STRLEN(?n) > 5) }"
+    got = _match(triples, oracle, q, ["d"])
+    assert {r[1] for r in got} == {"name10", "name11"}
+    # arithmetic vs guarded var cast: idx*2 > 20 -> idx 11 only
+    q2 = P + "SELECT ?d ?i WHERE { ?d v:idx ?i . FILTER(?i * 2 > 20) }"
+    got2 = _match(triples, oracle, q2, ["d"])
+    assert [r[1] for r in got2] == ["11"]
