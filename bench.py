@@ -158,6 +158,7 @@ EXTRA_QUERIES = [
     # round-6 textual SPARQL front-end (one query string, both engines)
     "kg_sparql_text_mentions",
     "kg_sparql_text_entity_stats",
+    "kg_sparql_text_path_edges",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

@@ -1548,3 +1548,16 @@ def kg_sparql_text_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(
         _checkpointed_triples(spark, sf_dir), SPARQL_TEXT_ENTITY_STATS
     )
+
+
+def kg_sparql_text_path_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual PROPERTY PATH under the gate: the alternative path
+    ``(v:mentions|v:tool)`` and a numeric STRLEN filter arrive as query
+    text, compile through the parser to the path engine's union
+    relation plus a num_cmp condition, and page deterministically —
+    the third leg of the one-text-both-engines contract (SELECT,
+    aggregate, path)."""
+    from jsonld_ex_spark.operators.sparql_text import sparql_query
+    from jsonld_ex_spark.plans.oracles import SPARQL_TEXT_PATH_EDGES
+
+    return sparql_query(_checkpointed_triples(spark, sf_dir), SPARQL_TEXT_PATH_EDGES)

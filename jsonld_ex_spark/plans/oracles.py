@@ -948,3 +948,18 @@ def kg_sparql_text_entity_stats_oracle() -> str:
     from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
 
     return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_ENTITY_STATS)
+
+
+SPARQL_TEXT_PATH_EDGES = """
+PREFIX v: <https://sparkld.dev/vocab#>
+SELECT ?turn ?x WHERE {
+  ?turn (v:mentions|v:tool) ?x .
+  FILTER(STRLEN(?x) >= 3)
+} ORDER BY ?turn ?x LIMIT 300
+"""
+
+
+def kg_sparql_text_path_edges_oracle() -> str:
+    from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
+
+    return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_PATH_EDGES)
