@@ -223,6 +223,13 @@ COMMENT = {
         "hash-aggregate pair over the pattern join, HAVING as a "
         "post-aggregate filter, DESC heap top-k."
     ),
+    "kg_sparql_text_path_edges": (
+        "Textual property path (round 6): the alternative path "
+        "(v:mentions|v:tool) compiles to a union of two filtered "
+        "projections with set-dedup, the STRLEN num_cmp filter applies "
+        "over the path relation, then the heap-top-k page — no "
+        "closure fixpoint for alternation, no Python."
+    ),
 }
 
 QUERIES = list(COMMENT.keys())
