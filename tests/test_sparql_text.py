@@ -670,3 +670,88 @@ def test_text_strlen_filter_both_engines(triples, oracle):
     q2 = P + "SELECT ?d ?i WHERE { ?d v:idx ?i . FILTER(?i * 2 > 20) }"
     got2 = _match(triples, oracle, q2, ["d"])
     assert [r[1] for r in got2] == ["11"]
+
+
+# --- property-based round trip ---------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vars = st.sampled_from(["a", "b", "c", "d"])
+_iris = st.sampled_from([f"{V}p1", f"{V}p2", f"{V}p3", f"{NS}x1", f"{NS}x2"])
+_lit_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters='"\\',
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@st.composite
+def _term(draw, positions=("var", "iri", "lit")):
+    kind = draw(st.sampled_from(positions))
+    if kind == "var":
+        return "?" + draw(_vars)
+    if kind == "iri":
+        return f"<{draw(_iris)}>"
+    return f'"{draw(_lit_text)}"'
+
+
+@st.composite
+def _pattern(draw):
+    return (
+        draw(_term(("var", "iri"))),
+        draw(_term(("var", "iri"))),
+        draw(_term()),
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    patterns=st.lists(_pattern(), min_size=1, max_size=4),
+    filt=st.one_of(
+        st.none(),
+        st.tuples(_vars, st.sampled_from([">", "<", ">=", "<=", "=", "!="]),
+                  st.integers(min_value=-99, max_value=99)),
+    ),
+    page=st.one_of(
+        st.none(),
+        st.tuples(_vars, st.booleans(),
+                  st.integers(min_value=1, max_value=50),
+                  st.integers(min_value=0, max_value=20)),
+    ),
+    distinct=st.booleans(),
+)
+def test_render_parse_round_trip(patterns, filt, page, distinct):
+    """Any spec rendered to SPARQL text parses back to exactly the
+    engine tuples it came from — the parser neither drops nor invents
+    structure across the pattern/filter/modifier grammar."""
+    body = " ".join(" ".join(p) + " ." for p in patterns)
+    text = "SELECT" + (" DISTINCT" if distinct else "") + " * WHERE { " + body
+    expect_filters, expect_exprs = [], []
+    if filt is not None:
+        var, op, val = filt
+        text += f" FILTER(?{var} {op} {val})"
+        opname = {">": "gt", "<": "lt", ">=": "ge", "<=": "le",
+                  "=": "eq", "!=": "ne"}[op]
+        bound = {v[1:] for p in patterns for v in p if v.startswith("?")}
+        (expect_filters if var in bound else expect_exprs).append(
+            (var, opname, val) if var in bound else ("cmp", var, opname, val)
+        )
+    text += " }"
+    if page is not None:
+        var, desc, limit, offset = page
+        text += f" ORDER BY {'DESC(?' + var + ')' if desc else '?' + var}"
+        text += f" LIMIT {limit}"
+        if offset:
+            text += f" OFFSET {offset}"
+    spec = parse_sparql(text)
+    assert spec["patterns"] == patterns
+    assert spec["filters"] == expect_filters
+    assert spec["filter_exprs"] == expect_exprs
+    assert spec["distinct"] == distinct
+    if page is not None:
+        var, desc, limit, offset = page
+        assert spec["order_by"] == [(var, "desc" if desc else "asc")]
+        assert spec["limit"] == limit and spec["offset"] == offset
+    else:
+        assert spec["order_by"] == [] and spec["limit"] is None
