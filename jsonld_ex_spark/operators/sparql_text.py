@@ -139,9 +139,11 @@ def _unescape(raw: str) -> str:
     return "".join(out)
 
 
-_AGG_KEYWORDS = {
-    "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT",
+_AGG_FN_BY_KEYWORD = {
+    "COUNT": "count", "SUM": "sum", "MIN": "min", "MAX": "max",
+    "AVG": "avg", "SAMPLE": "sample", "GROUP_CONCAT": "group_concat",
 }
+_AGG_KEYWORDS = set(_AGG_FN_BY_KEYWORD)
 _CMP_TOKENS = {"=": "eq", "!=": "ne", "<": "lt", ">": "gt", "<=": "le", ">=": "ge"}
 
 
@@ -360,19 +362,20 @@ class _Parser:
         subj = self._term("subject")
         while True:
             kind, pred = self._maybe_path()
+            if kind == "path":
+                if restricted:
+                    raise self._err(
+                        f"property paths are not supported inside {restricted} "
+                        "groups (join the path in the required patterns)"
+                    )
+                if graph_term is not None:
+                    raise self._err(
+                        "property paths inside GRAPH blocks are not supported "
+                        "(paths evaluate over the union graph)"
+                    )
             while True:
                 obj = self._term("object")
                 if kind == "path":
-                    if restricted:
-                        raise self._err(
-                            f"property paths are not supported inside {restricted} "
-                            "groups (join the path in the required patterns)"
-                        )
-                    if graph_term is not None:
-                        raise self._err(
-                            "property paths inside GRAPH blocks are not supported "
-                            "(paths evaluate over the union graph)"
-                        )
                     self.paths.append((subj, pred, obj))
                 else:
                     pat = (subj, pred, obj)
@@ -1046,9 +1049,7 @@ class _Parser:
                 if fn_word != "COUNT" or var is None:
                     raise ValueError("DISTINCT is supported in COUNT(DISTINCT ?v) only")
                 return at.text[1:], ("agg", ("count_distinct", var))
-            fn = {"COUNT": "count", "SUM": "sum", "MIN": "min", "MAX": "max",
-                  "AVG": "avg", "SAMPLE": "sample", "GROUP_CONCAT": "group_concat"}[fn_word]
-            return at.text[1:], ("agg", (fn, var))
+            return at.text[1:], ("agg", (_AGG_FN_BY_KEYWORD[fn_word], var))
         node = self._bool_or_value()
         self._expect_word("AS")
         at = self._next()
@@ -1075,11 +1076,7 @@ class _Parser:
                 else:
                     var = self._next().text[1:]
                 self._expect_punct(")")
-                fn = "count_distinct" if distinct else {
-                    "COUNT": "count", "SUM": "sum", "MIN": "min", "MAX": "max",
-                    "AVG": "avg", "SAMPLE": "sample",
-                    "GROUP_CONCAT": "group_concat",
-                }[fn_word]
+                fn = "count_distinct" if distinct else _AGG_FN_BY_KEYWORD[fn_word]
                 matches = [a for a, spec in aggs.items() if spec == (fn, var)]
                 if not matches:
                     raise ValueError(
@@ -1134,6 +1131,18 @@ class _Parser:
         if not out:
             raise self._err("empty ORDER BY")
         return out
+
+    def _prologue(self) -> None:
+        while self._at_word("PREFIX", "BASE"):
+            if self._next().text.upper() == "BASE":
+                raise ValueError("BASE is not supported (use absolute IRIs)")
+            pt = self._next()
+            if pt.kind != "PNAME" or not pt.text.endswith(":") or ":" in pt.text[:-1]:
+                raise self._err("expected 'prefix:' in PREFIX declaration")
+            it = self._next()
+            if it.kind != "IRIREF":
+                raise self._err("expected an IRI in PREFIX declaration")
+            self.prefixes[pt.text[:-1]] = it.text[1:-1]
 
     # --- update forms --------------------------------------------------
     def _quad_block(self, label: str, ground: bool) -> list[tuple[str, ...]]:
@@ -1200,15 +1209,7 @@ class _Parser:
 
     def parse_update(self) -> dict:
         self._allow_exact_literals = True
-        while self._at_word("PREFIX"):
-            self._next()
-            pt = self._next()
-            if pt.kind != "PNAME" or not pt.text.endswith(":") or ":" in pt.text[:-1]:
-                raise self._err("expected 'prefix:' in PREFIX declaration")
-            it = self._next()
-            if it.kind != "IRIREF":
-                raise self._err("expected an IRI in PREFIX declaration")
-            self.prefixes[pt.text[:-1]] = it.text[1:-1]
+        self._prologue()
         if self._accept_word("CLEAR"):
             spec: dict = {"form": "clear", "graph": self._graph_or_default()}
         elif self._at_word("ADD", "COPY", "MOVE"):
@@ -1258,17 +1259,7 @@ class _Parser:
 
     # --- query forms ---------------------------------------------------
     def parse(self) -> dict:
-        while self._at_word("PREFIX", "BASE"):
-            kw = self._next().text.upper()
-            if kw == "BASE":
-                raise ValueError("BASE is not supported (use absolute IRIs)")
-            pt = self._next()
-            if pt.kind != "PNAME" or not pt.text.endswith(":") or ":" in pt.text[:-1]:
-                raise self._err("expected 'prefix:' in PREFIX declaration")
-            it = self._next()
-            if it.kind != "IRIREF":
-                raise self._err("expected an IRI in PREFIX declaration")
-            self.prefixes[pt.text[:-1]] = it.text[1:-1]
+        self._prologue()
         if self._at_word("SELECT"):
             spec = self._select_query()
         elif self._accept_word("ASK"):
@@ -1472,6 +1463,28 @@ def _select_kwargs(spec) -> dict:
     }
 
 
+def _agg_args(spec) -> tuple[tuple, dict]:
+    """Positional + keyword arguments shared by bgp_aggregate and its
+    oracle mirror — ONE place so the two compilations cannot drift."""
+    agg = spec["agg"]
+    return (spec["patterns"], agg["group_by"], agg["aggs"]), {
+        "optional": spec["optional"] or None, "minus": spec["minus"] or None,
+        "filters": spec["filters"] or None, "paths": spec["paths"] or None,
+        "having": agg["having"] or None,
+        "annotations": spec["annotations"] or None,
+        "filter_exprs": spec["filter_exprs"] or None,
+        "values_rows": spec["values_rows"],
+    }
+
+
+def _describe_where_kwargs(spec) -> dict:
+    return {
+        "optional": spec["optional"] or None, "filters": spec["filters"] or None,
+        "paths": spec["paths"] or None, "filter_exprs": spec["filter_exprs"] or None,
+        "exists": spec["exists"] or None, "not_exists": spec["not_exists"] or None,
+    }
+
+
 def _check_modifiers(spec) -> None:
     if spec["order_by"] and spec["limit"] is None:
         raise ValueError(
@@ -1503,9 +1516,7 @@ def sparql_query(triples, text: str):
     if spec["form"] == "describe_where":
         roots = _bgp.bgp_select(
             triples, spec["patterns"], project=[spec["var"]],
-            optional=spec["optional"] or None, filters=spec["filters"] or None,
-            paths=spec["paths"] or None, filter_exprs=spec["filter_exprs"] or None,
-            exists=spec["exists"] or None, not_exists=spec["not_exists"] or None,
+            **_describe_where_kwargs(spec),
         )
         return _bgp.bgp_describe(triples, roots)
     _check_modifiers(spec)
@@ -1514,15 +1525,8 @@ def sparql_query(triples, text: str):
             raise ValueError("UNION queries need an explicit SELECT projection")
         df = _bgp.bgp_union(triples, spec["union"], spec["project"])
     elif spec["agg"] is not None:
-        df = _bgp.bgp_aggregate(
-            triples, spec["patterns"], spec["agg"]["group_by"], spec["agg"]["aggs"],
-            optional=spec["optional"] or None, minus=spec["minus"] or None,
-            filters=spec["filters"] or None, paths=spec["paths"] or None,
-            having=spec["agg"]["having"] or None,
-            annotations=spec["annotations"] or None,
-            filter_exprs=spec["filter_exprs"] or None,
-            values_rows=spec["values_rows"],
-        )
+        pos, kw = _agg_args(spec)
+        df = _bgp.bgp_aggregate(triples, *pos, **kw)
         if spec["project"]:
             df = df.select(*spec["project"])
     else:
@@ -1561,9 +1565,7 @@ def sparql_oracle_sql(triples_sql: str, text: str) -> str:
     if spec["form"] == "describe_where":
         inner = _bgp.bgp_oracle_sql(
             triples_sql, spec["patterns"], project=[spec["var"]],
-            optional=spec["optional"] or None, filters=spec["filters"] or None,
-            paths=spec["paths"] or None, filter_exprs=spec["filter_exprs"] or None,
-            exists=spec["exists"] or None, not_exists=spec["not_exists"] or None,
+            **_describe_where_kwargs(spec),
         )
         roots_sql = f"SELECT {spec['var']} AS root FROM ({inner}) AS bound_roots"
         return _bgp.bgp_describe_oracle_sql(triples_sql, roots_sql)
@@ -1573,15 +1575,8 @@ def sparql_oracle_sql(triples_sql: str, text: str) -> str:
             raise ValueError("UNION queries need an explicit SELECT projection")
         inner = _bgp.bgp_union_oracle_sql(triples_sql, spec["union"], spec["project"])
     elif spec["agg"] is not None:
-        inner = _bgp.bgp_aggregate_oracle_sql(
-            triples_sql, spec["patterns"], spec["agg"]["group_by"], spec["agg"]["aggs"],
-            optional=spec["optional"] or None, minus=spec["minus"] or None,
-            filters=spec["filters"] or None, paths=spec["paths"] or None,
-            having=spec["agg"]["having"] or None,
-            annotations=spec["annotations"] or None,
-            filter_exprs=spec["filter_exprs"] or None,
-            values_rows=spec["values_rows"],
-        )
+        pos, kw = _agg_args(spec)
+        inner = _bgp.bgp_aggregate_oracle_sql(triples_sql, *pos, **kw)
         if spec["project"]:
             inner = (
                 f"SELECT {', '.join(spec['project'])} FROM ({inner}) AS aggregated"
