@@ -262,6 +262,9 @@ _LOCALNAME_RE = "([^/#]+)$"
 #                                   (STRLEN/arith/guarded var/int),
 #                                   FILTER(STRLEN(?n) > 10); a NULL
 #                                   side drops the solution
+# * ("str_cmp", e1, op, e2)       — LEXICAL ordering of two string
+#                                   expressions (FILTER(?a < ?b),
+#                                   the symmetric-pair idiom)
 # * ("langmatches", expr, range)  — RFC 4647 basic filtering
 
 
@@ -472,6 +475,19 @@ def _cond_col(cond, bound: set[str]):
             "eq": ca == cb, "ne": ca != cb, "gt": ca > cb,
             "ge": ca >= cb, "lt": ca < cb, "le": ca <= cb,
         }[op]
+    if head == "str_cmp":
+        # LEXICAL ordering between two string expressions — the
+        # FILTER(?a < ?b) symmetric-pair-elimination idiom.  Binary
+        # (codepoint) collation in both engines.
+        _, a, op, b = cond
+        if op not in _HAVING_OPS:
+            raise ValueError(f"bad str_cmp op {op!r}")
+        ca = _bind_string_part(a, bound, as_sql=False)
+        cb = _bind_string_part(b, bound, as_sql=False)
+        return {
+            "eq": ca == cb, "ne": ca != cb, "gt": ca > cb,
+            "ge": ca >= cb, "lt": ca < cb, "le": ca <= cb,
+        }[op]
     raise ValueError(f"bad condition {cond!r}")
 
 
@@ -530,6 +546,13 @@ def _cond_sql(cond, bound: set[str]) -> str:
             f"({_bind_num_sql(a, bound)} {_HAVING_OPS[op]} "
             f"{_bind_num_sql(b, bound)})"
         )
+    if head == "str_cmp":
+        _, a, op, b = cond
+        if op not in _HAVING_OPS:
+            raise ValueError(f"bad str_cmp op {op!r}")
+        ea = _bind_string_part(a, bound, as_sql=True)
+        eb = _bind_string_part(b, bound, as_sql=True)
+        return f"({ea} {_HAVING_OPS[op]} {eb})"
     raise ValueError(f"bad condition {cond!r}")
 
 

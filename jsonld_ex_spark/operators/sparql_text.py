@@ -627,9 +627,10 @@ class _Parser:
                 )
             if op in ("eq", "ne"):
                 return (op, self._to_strexpr(left), self._to_strexpr(right))
-            raise ValueError(
-                "ordering comparisons are only supported between a variable "
-                "and a literal or numeric expressions (STRLEN/arithmetic)"
+            # lexical ordering between two string expressions — the
+            # FILTER(?a < ?b) symmetric-pair idiom
+            return (
+                "str_cmp", self._to_strexpr(left), op, self._to_strexpr(right),
             )
         if tag == "in":
             _, left, vals = node

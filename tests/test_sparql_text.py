@@ -755,3 +755,21 @@ def test_render_parse_round_trip(patterns, filt, page, distinct):
         assert spec["limit"] == limit and spec["offset"] == offset
     else:
         assert spec["order_by"] == [] and spec["limit"] is None
+
+
+def test_parse_var_var_ordering_filter():
+    spec = parse_sparql(P + "SELECT * WHERE { ?a v:p ?x . ?b v:p ?x . FILTER(?a < ?b) }")
+    assert spec["filter_exprs"] == [("str_cmp", "a", "lt", "b")]
+
+
+@pytest.mark.spark
+def test_text_symmetric_pair_elimination(triples, oracle):
+    # co-mention pairs without the symmetric duplicate: FILTER(?a < ?b)
+    q = (
+        P + "SELECT ?a ?b ?e WHERE { ?a v:mentions ?e . ?b v:mentions ?e . "
+            "FILTER(?a < ?b) }"
+    )
+    got = _match(triples, oracle, q, ["a", "b", "e"])
+    assert got and all(r[0] < r[1] for r in got)
+    # exactly C(4,2)=6 ordered pairs per entity (4 docs mention each)
+    assert len(got) == 3 * 6
