@@ -164,6 +164,7 @@ class _Parser:
         self.bind: dict[str, object] = {}
         self.annotations: dict[str, tuple[str, str]] = {}
         self.hidden_annots: set[str] = set()
+        self.bnode_vars: set[str] = set()
         self.values: dict[str, list[str]] = {}
         self.values_rows: tuple | None = None
         self.subqueries: list[dict] = []
@@ -227,6 +228,18 @@ class _Parser:
             raise ValueError(f"undeclared prefix {pfx!r}: in {pname!r}")
         return self.prefixes[pfx] + local
 
+    def _maybe_bnode_var(self) -> str | None:
+        """``_:label`` in a query pattern is, per SPARQL, a variable
+        scoped to the query that cannot be projected — compiled to a
+        hidden ``_bn_<label>`` variable."""
+        t = self._peek()
+        if t is not None and t.kind == "PNAME" and t.text.startswith("_:"):
+            self._next()
+            name = "_bn_" + t.text[2:]
+            self.bnode_vars.add(name)
+            return "?" + name
+        return None
+
     def _iri_token(self) -> str:
         """Consume an IRI (IRIREF or PNAME or 'a'), return the bare IRI."""
         t = self._peek()
@@ -252,6 +265,9 @@ class _Parser:
         if t.kind == "VAR":
             self._next()
             return "?" + t.text[1:]
+        bnode = self._maybe_bnode_var()
+        if bnode is not None:
+            return bnode
         if t.kind in ("IRIREF", "PNAME") or (t.kind == "WORD" and t.text == "a"):
             return f"<{self._iri_token()}>"
         if t.kind == "STRING":
@@ -1008,6 +1024,7 @@ class _Parser:
             "bind": self.bind,
             "annotations": self.annotations,
             "hidden_annots": self.hidden_annots,
+            "bnode_vars": self.bnode_vars,
             "values": self.values,
             "values_rows": self.values_rows,
             "subqueries": self.subqueries,
@@ -1422,8 +1439,14 @@ def _visible_project(spec) -> list[str] | None:
     """SELECT * projection when hidden annotation variables exist:
     enumerate the user-visible variables so helper columns stay out."""
     if spec.get("project") is not None:
-        return spec["project"]
-    hidden = spec.get("hidden_annots") or set()
+        project = spec["project"]
+        stray = set(project) & (spec.get("bnode_vars") or set())
+        if stray:
+            raise ValueError(
+                f"blank-node variables cannot be projected: {sorted(stray)}"
+            )
+        return project
+    hidden = (spec.get("hidden_annots") or set()) | (spec.get("bnode_vars") or set())
     if not hidden:
         return None
     vis: set[str] = set()
@@ -1444,7 +1467,7 @@ def _visible_project(spec) -> list[str] | None:
     vis |= set(spec["bind"])
     for sub in spec["subqueries"]:
         vis |= set(sub["group_by"]) | set(sub["aggs"])
-    return sorted(vis)
+    return sorted(vis - hidden)
 
 
 def _select_kwargs(spec) -> dict:

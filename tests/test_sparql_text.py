@@ -773,3 +773,25 @@ def test_text_symmetric_pair_elimination(triples, oracle):
     assert got and all(r[0] < r[1] for r in got)
     # exactly C(4,2)=6 ordered pairs per entity (4 docs mention each)
     assert len(got) == 3 * 6
+
+
+def test_bnode_labels_are_scoped_variables():
+    spec = parse_sparql(P + "SELECT ?n WHERE { _:c v:name ?n ; v:role _:r . }")
+    assert spec["patterns"] == [
+        ("?_bn_c", f"<{V}name>", "?n"),
+        ("?_bn_c", f"<{V}role>", "?_bn_r"),
+    ]
+    assert spec["bnode_vars"] == {"_bn_c", "_bn_r"}
+
+
+@pytest.mark.spark
+def test_text_bnode_select_star_hides_bnode_vars(triples, oracle):
+    # _:d joins the two patterns but stays out of SELECT *
+    q = P + 'SELECT * WHERE { _:d v:role "tool" ; v:mentions ?e . }'
+    sdf = sparql_query(triples, q)
+    assert sdf.columns == ["e"]
+    got = _match(triples, oracle, q, ["e"])
+    assert len(got) == 6
+    from jsonld_ex_spark.operators.sparql_text import _visible_project
+    with pytest.raises(ValueError, match="cannot be projected"):
+        sparql_query(triples, P + "SELECT ?_bn_d WHERE { _:d v:mentions ?e }")
