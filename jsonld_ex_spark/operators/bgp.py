@@ -737,6 +737,32 @@ def _check_values_rows(values_rows, bound: set[str]):
     return list(vr_vars), [tuple(r) for r in vr_rows]
 
 
+def _norm_group(group) -> tuple[list, list]:
+    """An OPTIONAL group is a pattern list, or a (patterns, filters)
+    2-tuple — the SPARQL ``OPTIONAL { P FILTER(C) }`` form, whose
+    scalar filters apply INSIDE the group (compiled into the group's
+    pattern scans) before the left join, per the OPTIONAL algebra:
+    LeftJoin(A, Filter(C, P)).  Filter variables must be bound by the
+    group's own patterns."""
+    if isinstance(group, tuple):
+        patterns, filters = group
+        filters = list(filters)
+        _check_filters(filters)
+    else:
+        patterns, filters = group, []
+    return patterns, filters
+
+
+def _check_group_filters(gparsed, gfilters, label: str) -> None:
+    gvars = set().union(*(_pattern_vars(p) for p in gparsed))
+    unbound = [v for v, _, _ in gfilters if v not in gvars]
+    if unbound:
+        raise ValueError(
+            f"{label} group filters reference variables not bound inside "
+            f"the group: {unbound}"
+        )
+
+
 def _check_optional_group(
     parsed_group, bound: set[str], group_idx: int
 ) -> list[str]:
@@ -924,7 +950,8 @@ def bgp_select(
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
-        gparsed = [_parse_pattern(p) for p in group]
+        gpatterns, gfilters = _norm_group(group)
+        gparsed = [_parse_pattern(p) for p in gpatterns]
         gvars = set().union(*(_pattern_vars(p) for p in gparsed))
         if gvars & optional_vars:
             # joining on a nullable optional-introduced column would
@@ -933,8 +960,11 @@ def bgp_select(
                 "optional groups must not reference variables introduced "
                 "by another optional group"
             )
+        _check_group_filters(gparsed, gfilters, "optional")
         shared = _check_optional_group(gparsed, bound, gi)
-        gdf = _bgp_join(triples, gparsed, _join_order(gparsed, allow_cartesian))
+        gdf = _bgp_join(
+            triples, gparsed, _join_order(gparsed, allow_cartesian), gfilters
+        )
         acc = acc.join(gdf, on=shared, how="left")
         optional_vars |= set(gdf.columns) - bound
         bound |= set(gdf.columns)
@@ -1553,12 +1583,12 @@ def _pattern_sql(
     return f"SELECT {proj} FROM {rel} WHERE {where}"
 
 
-def _group_sql(parsed, order) -> str:
-    parts = [f"({_pattern_sql(parsed[order[0]])}) g0"]
+def _group_sql(parsed, order, filters=()) -> str:
+    parts = [f"({_pattern_sql(parsed[order[0]], filters=filters)}) g0"]
     bound = _pattern_vars(parsed[order[0]])
     for n, i in enumerate(order[1:], 1):
         shared = sorted(bound & _pattern_vars(parsed[i]))
-        kw = f"JOIN ({_pattern_sql(parsed[i])}) g{n}"
+        kw = f"JOIN ({_pattern_sql(parsed[i], filters=filters)}) g{n}"
         parts.append(
             f"{kw} USING ({', '.join(shared)})" if shared else f"CROSS {kw}"
         )
@@ -1700,16 +1730,18 @@ def bgp_oracle_sql(
     required_vars = set(bound)
     optional_vars: set[str] = set()
     for gi, group in enumerate(optional or []):
-        gparsed = [_parse_pattern(p) for p in group]
+        gpatterns, gfilters = _norm_group(group)
+        gparsed = [_parse_pattern(p) for p in gpatterns]
         gvars = set().union(*(_pattern_vars(p) for p in gparsed))
         if gvars & optional_vars:
             raise ValueError(
                 "optional groups must not reference variables introduced "
                 "by another optional group"
             )
+        _check_group_filters(gparsed, gfilters, "optional")
         shared = _check_optional_group(gparsed, bound, gi)
         ctes.append(
-            f"opt{gi} AS ({_group_sql(gparsed, _join_order(gparsed, allow_cartesian))})"
+            f"opt{gi} AS ({_group_sql(gparsed, _join_order(gparsed, allow_cartesian), gfilters)})"
         )
         joins.append(f"LEFT JOIN opt{gi} USING ({', '.join(shared)})")
         optional_vars |= gvars - bound

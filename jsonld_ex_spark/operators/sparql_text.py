@@ -407,12 +407,31 @@ class _Parser:
         self._accept_punct(".")
         return out
 
-    def _plain_group(self, label: str) -> list[tuple[str, ...]]:
+    def _plain_group(self, label: str, allow_filters: bool = False):
         """Parse ``{ triples... }`` allowing only plain triple patterns
-        (the engine's OPTIONAL/MINUS/EXISTS groups are pattern lists)."""
+        (the engine's OPTIONAL/MINUS/EXISTS groups are pattern lists).
+        With ``allow_filters`` (OPTIONAL groups), scalar ``FILTER(?v op
+        literal)`` constraints are collected and applied INSIDE the
+        group — the ``OPTIONAL { P FILTER(C) }`` algebra — returning
+        the engine's (patterns, filters) group form."""
         self._expect_punct("{")
         pats: list[tuple[str, ...]] = []
+        gfilters: list[tuple[str, str, object]] = []
         while not self._at_punct("}"):
+            if allow_filters and self._at_word("FILTER"):
+                self._next()
+                self._expect_punct("(")
+                cond = self._to_cond(self._bool_or_value())
+                self._expect_punct(")")
+                conjuncts = list(cond[1:]) if cond[0] == "and" else [cond]
+                if not all(c[0] == "cmp" for c in conjuncts):
+                    raise self._err(
+                        f"only scalar comparisons are supported in {label}-"
+                        "group FILTERs (move richer conditions to a "
+                        "post-OPTIONAL FILTER with BOUND)"
+                    )
+                gfilters.extend((c[1], c[2], c[3]) for c in conjuncts)
+                continue
             if self._at_word(
                 "OPTIONAL", "MINUS", "FILTER", "BIND", "VALUES", "GRAPH",
             ) or self._at_punct("{"):
@@ -423,7 +442,7 @@ class _Parser:
         self._expect_punct("}")
         if not pats:
             raise self._err(f"empty {label} group")
-        return pats
+        return (pats, gfilters) if gfilters else pats
 
     # --- expressions ---------------------------------------------------
     # Intermediate value AST: ("var", v) ("lit", s) ("int", n) ("iri", i)
@@ -709,7 +728,7 @@ class _Parser:
         saw_non_union = False
         while not self._at_punct("}"):
             if self._accept_word("OPTIONAL"):
-                self.optional.append(self._plain_group("OPTIONAL"))
+                self.optional.append(self._plain_group("OPTIONAL", allow_filters=True))
                 saw_non_union = True
             elif self._accept_word("MINUS"):
                 self.minus.append(self._plain_group("MINUS"))
@@ -1459,7 +1478,8 @@ def _visible_project(spec) -> list[str] | None:
             if term.startswith("?"):
                 vis.add(term[1:])
     for group in spec["optional"]:
-        for p in group:
+        gpatterns, _gfilters = _bgp._norm_group(group)
+        for p in gpatterns:
             for term in p:
                 if term.startswith("?"):
                     vis.add(term[1:])

@@ -245,7 +245,9 @@ def test_string_escapes_and_comments():
      "not valid SPARQL"),
     ("SELECT * WHERE { ?t <http://p> ?o . { ?t <http://q> ?x } UNION "
      "{ ?t <http://r> ?y } }", "UNION may not be combined"),
-    ("SELECT * WHERE { OPTIONAL { ?a <http://p> ?b . FILTER(?b > 1) } "
+    ("SELECT * WHERE { OPTIONAL { ?a <http://p> ?b . BIND(STR(?b) AS ?s) } "
+     "?a <http://q> ?c }", "plain triple patterns"),
+    ("SELECT * WHERE { MINUS { ?a <http://p> ?b . FILTER(?b > 1) } "
      "?a <http://q> ?c }", "plain triple patterns"),
     ("ASK { ?a <http://p>+ ?b }", "plain triple patterns only"),
     ("SELECT * WHERE { ?a <http://p> ?b } trailing", "trailing tokens"),
@@ -795,3 +797,35 @@ def test_text_bnode_select_star_hides_bnode_vars(triples, oracle):
     from jsonld_ex_spark.operators.sparql_text import _visible_project
     with pytest.raises(ValueError, match="cannot be projected"):
         sparql_query(triples, P + "SELECT ?_bn_d WHERE { _:d v:mentions ?e }")
+
+
+def test_parse_filter_inside_optional():
+    spec = parse_sparql(
+        P + "SELECT * WHERE { ?d v:name ?n . "
+            "OPTIONAL { ?d v:rating ?r . FILTER(?r > 2) } }"
+    )
+    assert spec["optional"] == [(
+        [("?d", f"<{V}rating>", "?r")], [("r", "gt", 2)],
+    )]
+    with pytest.raises(ValueError, match="scalar comparisons"):
+        parse_sparql(
+            P + "SELECT * WHERE { ?d v:name ?n . "
+                "OPTIONAL { ?d v:rating ?r . FILTER(BOUND(?r)) } }"
+        )
+
+
+@pytest.mark.spark
+def test_text_optional_group_filter_both_engines(triples, oracle):
+    # ratings: doc0 -> "0", doc4 -> "4", doc8 -> "3"; FILTER(?r > 2)
+    # keeps the OPTIONAL arm only for docs 4 and 8 — the rest keep
+    # their solution with ?r unbound (the LeftJoin(A, Filter(C, P))
+    # algebra, NOT a post-join filter that would drop them)
+    q = (
+        P + 'SELECT ?d ?r WHERE { ?d v:name ?n . '
+            'OPTIONAL { ?d v:rating ?r . FILTER(?r > 2) } }'
+    )
+    got = _match(triples, oracle, q, ["d"])
+    by_d = dict(got)
+    assert len(got) == 12
+    assert by_d[f"{NS}4"] == "4" and by_d[f"{NS}8"] == "3"
+    assert by_d[f"{NS}0"] is None  # rating "0" filtered inside the group
