@@ -159,6 +159,7 @@ EXTRA_QUERIES = [
     "kg_sparql_text_mentions",
     "kg_sparql_text_entity_stats",
     "kg_sparql_text_path_edges",
+    "kg_sparql_text_optional_tools",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

@@ -1561,3 +1561,20 @@ def kg_sparql_text_path_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.plans.oracles import SPARQL_TEXT_PATH_EDGES
 
     return sparql_query(_checkpointed_triples(spark, sf_dir), SPARQL_TEXT_PATH_EDGES)
+
+
+def kg_sparql_text_optional_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth textual-SPARQL gate witness: a blank-node label as the
+    scoped joining variable (``_:t`` — per SPARQL a non-projectable
+    variable; this engine additionally shares the label across the
+    OPTIONAL group), an OPTIONAL group with an INTERNAL scalar FILTER
+    (the LeftJoin(A, Filter(C, P)) algebra — kb_search attachments are
+    filtered inside the group, the turn keeps its solution with ?tn
+    unbound), COALESCE over the optional binding, a pushed numeric
+    FILTER, and a deterministic page."""
+    from jsonld_ex_spark.operators.sparql_text import sparql_query
+    from jsonld_ex_spark.plans.oracles import SPARQL_TEXT_OPTIONAL_TOOLS
+
+    return sparql_query(
+        _checkpointed_triples(spark, sf_dir), SPARQL_TEXT_OPTIONAL_TOOLS
+    )

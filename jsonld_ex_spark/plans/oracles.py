@@ -963,3 +963,20 @@ def kg_sparql_text_path_edges_oracle() -> str:
     from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
 
     return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_PATH_EDGES)
+
+
+SPARQL_TEXT_OPTIONAL_TOOLS = """
+PREFIX v: <https://sparkld.dev/vocab#>
+SELECT ?idx ?tool_label WHERE {
+  _:t v:turn_idx ?idx ; v:role "tool" .
+  OPTIONAL { _:t v:tool ?tn . FILTER(?tn != "kb_search") }
+  BIND(COALESCE(?tn, "none") AS ?tool_label)
+  FILTER(?idx > 8)
+} ORDER BY ?idx ?tool_label LIMIT 200
+"""
+
+
+def kg_sparql_text_optional_tools_oracle() -> str:
+    from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
+
+    return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_OPTIONAL_TOOLS)
