@@ -973,12 +973,14 @@ def bgp_select(
     for cond in filter_exprs or []:
         acc = acc.filter(_cond_col(cond, bound))
     for mi, group in enumerate(minus or []):
-        mparsed = [_parse_pattern(p) for p in group]
+        mpatterns, mfilters = _norm_group(group)
+        mparsed = [_parse_pattern(p) for p in mpatterns]
         mvars = set().union(*(_pattern_vars(p) for p in mparsed))
         if mvars & optional_vars:
             raise ValueError(
                 "minus groups must not reference optional-introduced variables"
             )
+        _check_group_filters(mparsed, mfilters, "minus")
         shared = sorted(mvars & required_vars)
         if not shared:
             raise ValueError(
@@ -986,19 +988,21 @@ def bgp_select(
                 "patterns (SPARQL MINUS with disjoint domains is a no-op; "
                 "the compiler rejects it as almost certainly a mistake)"
             )
-        mdf = _bgp_join(triples, mparsed, _join_order(mparsed, allow_cartesian))
+        mdf = _bgp_join(triples, mparsed, _join_order(mparsed, allow_cartesian), mfilters)
         acc = acc.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
     for label, groups, how in (
         ("exists", exists or [], "left_semi"),
         ("not_exists", not_exists or [], "left_anti"),
     ):
         for gi, group in enumerate(groups):
-            gparsed = [_parse_pattern(p) for p in group]
+            gpatterns, gfilters = _norm_group(group)
+            gparsed = [_parse_pattern(p) for p in gpatterns]
             gvars = set().union(*(_pattern_vars(p) for p in gparsed))
             if gvars & optional_vars:
                 raise ValueError(
                     f"{label} groups must not reference optional-introduced variables"
                 )
+            _check_group_filters(gparsed, gfilters, label)
             shared = sorted(gvars & required_vars)
             if not shared:
                 raise ValueError(
@@ -1006,7 +1010,9 @@ def bgp_select(
                     "patterns/paths (an unanchored existence check is almost "
                     "certainly a mistake)"
                 )
-            gdf = _bgp_join(triples, gparsed, _join_order(gparsed, allow_cartesian))
+            gdf = _bgp_join(
+                triples, gparsed, _join_order(gparsed, allow_cartesian), gfilters
+            )
             # SEMI/ANTI join: probes existence without multiplying or
             # materializing the group's binding bag
             acc = acc.join(gdf.select(*shared), on=shared, how=how)
@@ -1754,12 +1760,14 @@ def bgp_oracle_sql(
         values_conds.append(_cond_sql(cond, bound))
     neg_conds = []
     for mi, group in enumerate(minus or []):
-        mparsed = [_parse_pattern(p) for p in group]
+        mpatterns, mfilters = _norm_group(group)
+        mparsed = [_parse_pattern(p) for p in mpatterns]
         mvars = set().union(*(_pattern_vars(p) for p in mparsed))
         if mvars & optional_vars:
             raise ValueError(
                 "minus groups must not reference optional-introduced variables"
             )
+        _check_group_filters(mparsed, mfilters, "minus")
         shared = sorted(mvars & required_vars)
         if not shared:
             raise ValueError(
@@ -1768,7 +1776,7 @@ def bgp_oracle_sql(
                 "the compiler rejects it as almost certainly a mistake)"
             )
         ctes.append(
-            f"m{mi} AS ({_group_sql(mparsed, _join_order(mparsed, allow_cartesian))})"
+            f"m{mi} AS ({_group_sql(mparsed, _join_order(mparsed, allow_cartesian), mfilters)})"
         )
         cond = " AND ".join(f"m{mi}.{v} = base.{v}" for v in shared)
         neg_conds.append(f"NOT EXISTS (SELECT 1 FROM m{mi} WHERE {cond})")
@@ -1777,12 +1785,14 @@ def bgp_oracle_sql(
         ("not_exists", "nx", not_exists or [], "NOT EXISTS"),
     ):
         for gi, group in enumerate(groups):
-            gparsed = [_parse_pattern(p) for p in group]
+            gpatterns, gfilters = _norm_group(group)
+            gparsed = [_parse_pattern(p) for p in gpatterns]
             gvars = set().union(*(_pattern_vars(p) for p in gparsed))
             if gvars & optional_vars:
                 raise ValueError(
                     f"{label} groups must not reference optional-introduced variables"
                 )
+            _check_group_filters(gparsed, gfilters, label)
             shared = sorted(gvars & required_vars)
             if not shared:
                 raise ValueError(
@@ -1792,7 +1802,7 @@ def bgp_oracle_sql(
                 )
             name = f"{prefix}{gi}"
             ctes.append(
-                f"{name} AS ({_group_sql(gparsed, _join_order(gparsed, allow_cartesian))})"
+                f"{name} AS ({_group_sql(gparsed, _join_order(gparsed, allow_cartesian), gfilters)})"
             )
             cond = " AND ".join(f"{name}.{v} = base.{v}" for v in shared)
             neg_conds.append(f"{keyword} (SELECT 1 FROM {name} WHERE {cond})")

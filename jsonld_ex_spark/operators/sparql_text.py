@@ -731,7 +731,7 @@ class _Parser:
                 self.optional.append(self._plain_group("OPTIONAL", allow_filters=True))
                 saw_non_union = True
             elif self._accept_word("MINUS"):
-                self.minus.append(self._plain_group("MINUS"))
+                self.minus.append(self._plain_group("MINUS", allow_filters=True))
                 saw_non_union = True
             elif self._accept_word("FILTER"):
                 self._filter_clause()
@@ -776,13 +776,15 @@ class _Parser:
 
     def _filter_clause(self) -> None:
         if self._accept_word("EXISTS"):
-            self.exists.append(self._plain_group("EXISTS"))
+            self.exists.append(self._plain_group("EXISTS", allow_filters=True))
             return
         if self._at_word("NOT"):
             save = self.i
             self._next()
             if self._accept_word("EXISTS"):
-                self.not_exists.append(self._plain_group("NOT EXISTS"))
+                self.not_exists.append(
+                    self._plain_group("NOT EXISTS", allow_filters=True)
+                )
                 return
             self.i = save
         self._expect_punct("(")

@@ -247,7 +247,7 @@ def test_string_escapes_and_comments():
      "{ ?t <http://r> ?y } }", "UNION may not be combined"),
     ("SELECT * WHERE { OPTIONAL { ?a <http://p> ?b . BIND(STR(?b) AS ?s) } "
      "?a <http://q> ?c }", "plain triple patterns"),
-    ("SELECT * WHERE { MINUS { ?a <http://p> ?b . FILTER(?b > 1) } "
+    ("SELECT * WHERE { MINUS { ?a <http://p> ?b . VALUES ?b { \"x\" } } "
      "?a <http://q> ?c }", "plain triple patterns"),
     ("ASK { ?a <http://p>+ ?b }", "plain triple patterns only"),
     ("SELECT * WHERE { ?a <http://p> ?b } trailing", "trailing tokens"),
@@ -829,3 +829,23 @@ def test_text_optional_group_filter_both_engines(triples, oracle):
     assert len(got) == 12
     assert by_d[f"{NS}4"] == "4" and by_d[f"{NS}8"] == "3"
     assert by_d[f"{NS}0"] is None  # rating "0" filtered inside the group
+
+
+@pytest.mark.spark
+def test_text_filters_inside_minus_and_not_exists(triples, oracle):
+    # MINUS { ... FILTER(...) }: drop docs whose rating survives the
+    # group-internal constraint (ratings: 0->"0", 4->"4", 8->"3")
+    q = (
+        P + 'SELECT DISTINCT ?d WHERE { ?d v:name ?n . '
+            'MINUS { ?d v:rating ?r . FILTER(?r > 2) } }'
+    )
+    got = _match(triples, oracle, q, ["d"])
+    names = {r[0] for r in got}
+    assert f"{NS}4" not in names and f"{NS}8" not in names
+    assert f"{NS}0" in names  # rating "0" fails the filter -> not minused
+    # FILTER NOT EXISTS with an internal scalar filter, same shape
+    q2 = (
+        P + 'SELECT DISTINCT ?d WHERE { ?d v:name ?n . '
+            'FILTER NOT EXISTS { ?d v:rating ?r . FILTER(?r > 2) } }'
+    )
+    assert {r[0] for r in _match(triples, oracle, q2, ["d"])} == names
