@@ -1249,8 +1249,17 @@ class _Parser:
     def parse_update(self) -> dict:
         self._allow_exact_literals = True
         self._prologue()
-        if self._accept_word("CLEAR"):
-            spec: dict = {"form": "clear", "graph": self._graph_or_default()}
+        if self._accept_word("LOAD"):
+            t = self._next()
+            if t.kind != "IRIREF":
+                raise self._err("LOAD takes a source IRI (<file:...> or a path IRI)")
+            into = None
+            if self._accept_word("INTO"):
+                self._expect_word("GRAPH")
+                into = self._iri_token()
+            spec: dict = {"form": "load", "source": t.text[1:-1], "into": into}
+        elif self._accept_word("CLEAR"):
+            spec = {"form": "clear", "graph": self._graph_or_default()}
         elif self._at_word("ADD", "COPY", "MOVE"):
             op = self._next().text.lower()
             src = self._graph_or_default()
@@ -1422,6 +1431,22 @@ def run_sparql_update(spark, table_dir: str, text: str) -> dict:
 
     spec = parse_sparql_update(text)
     form = spec["form"]
+    if form == "load":
+        # SPARQL LOAD: ingest an N-Quads document (the reference
+        # ecosystem's interchange format; read_nquads is the
+        # line-splittable zero-shuffle source) and append-commit it —
+        # INTO GRAPH <g> rewrites the destination graph, per spec.
+        from pyspark.sql import functions as F
+
+        from jsonld_ex_spark.operators.triples import read_nquads
+
+        src = spec["source"]
+        path = src[len("file://"):] if src.startswith("file://") else src
+        df = read_nquads(spark, path)
+        if spec["into"] is not None:
+            df = df.withColumn("graph", F.lit(spec["into"]))
+        snap = gu.insert_data(df, table_dir)
+        return {"kind": "load", "snapshot": snap}
     if form == "insert_data":
         rows = [_ground_quad_to_row(q) for q in spec["quads"]]
         df = spark.createDataFrame(rows, _UPDATE_ROW_SCHEMA)

@@ -849,3 +849,34 @@ def test_text_filters_inside_minus_and_not_exists(triples, oracle):
             'FILTER NOT EXISTS { ?d v:rating ?r . FILTER(?r > 2) } }'
     )
     assert {r[0] for r in _match(triples, oracle, q2, ["d"])} == names
+
+
+def test_parse_load():
+    spec = parse_sparql_update("LOAD <file:///tmp/data.nq> INTO GRAPH <urn:g1>")
+    assert spec == {"form": "load", "source": "file:///tmp/data.nq", "into": "urn:g1"}
+    assert parse_sparql_update("LOAD </tmp/d.nq>")["into"] is None
+
+
+@pytest.mark.spark
+def test_run_sparql_load_end_to_end(spark, tmp_path):  # noqa: F811
+    from jsonld_ex_spark.operators.triples import write_nquads
+    from jsonld_ex_spark.sources.snapshot_table import read_snapshot
+
+    rows = [
+        ("urn:s1", f"{V}p", "v1", False, None, None, None),
+        ("urn:s2", f"{V}p", "urn:o", True, None, None, "urn:gx"),
+    ]
+    src = spark.createDataFrame(rows, SCHEMA)
+    nq_dir = str(tmp_path / "nq")
+    write_nquads(src, nq_dir)
+    t = str(tmp_path / "tbl")
+    r = run_sparql_update(spark, t, f"LOAD <file://{nq_dir}> INTO GRAPH <urn:dest>")
+    assert r["kind"] == "load"
+    got = read_snapshot(spark, t).select("subj", "graph").collect()
+    assert len(got) == 2 and all(x["graph"] == "urn:dest" for x in got)
+    # without INTO: source graphs preserved
+    r2 = run_sparql_update(spark, t, f"LOAD <file://{nq_dir}>")
+    graphs = sorted(
+        (x["graph"] or "") for x in read_snapshot(spark, t).collect()
+    )
+    assert graphs.count("urn:gx") == 1 and graphs.count("urn:dest") == 2
