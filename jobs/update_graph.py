@@ -19,7 +19,8 @@ Forms:
   (standard 7-column schema); no patterns allowed.
 * --sparql 'UPDATE TEXT'      — a full SPARQL Update string (INSERT
   DATA / DELETE DATA / DELETE WHERE / [WITH g] DELETE-INSERT-WHERE /
-  CLEAR / ADD / COPY / MOVE), parsed by operators/sparql_text.py;
+  LOAD <uri> [INTO GRAPH <g>] / CLEAR / ADD / COPY / MOVE), parsed by
+  operators/sparql_text.py;
   mutually exclusive with every other operation flag.
 * --clear-graph IRI|DEFAULT   — SPARQL CLEAR GRAPH (DROP: identical).
 * --copy/--move/--add-graph 'SRC DST' (IRI or DEFAULT) — SPARQL
