@@ -763,6 +763,50 @@ def _check_group_filters(gparsed, gfilters, label: str) -> None:
         )
 
 
+def _union_parts(alternatives, label_idx: int):
+    """Validate an EMBEDDED UNION's alternatives (the ``unions``
+    argument — a union group joined with the rest of the query, unlike
+    :func:`bgp_union`'s standalone form): each alternative is a plain
+    pattern group (optionally (patterns, filters)); ALL must bind the
+    same variable set — branches with differing domains produce unbound
+    variables whose NULL equi-join semantics diverge from SPARQL's
+    compatible-bindings rule, so the compiler supports the uniform case
+    and rejects the rest with guidance."""
+    if len(alternatives) < 2:
+        raise ValueError(f"union {label_idx} needs at least two alternatives")
+    parts, var_set = [], None
+    for alt in alternatives:
+        apatterns, afilters = _norm_group(alt)
+        aparsed = [_parse_pattern(p) for p in apatterns]
+        _check_group_filters(aparsed, afilters, "union")
+        avars = set().union(*(_pattern_vars(p) for p in aparsed))
+        if var_set is None:
+            var_set = avars
+        elif avars != var_set:
+            raise ValueError(
+                f"union {label_idx}: embedded UNION alternatives must bind "
+                f"identical variable sets ({sorted(var_set)} vs "
+                f"{sorted(avars)}); use the standalone UNION query form for "
+                "NULL-padded branches"
+            )
+        parts.append((aparsed, afilters))
+    return parts, var_set
+
+
+def _union_rel(triples, ui: int, alternatives, allow_cartesian: bool):
+    """Evaluate an embedded UNION to one relation (UNION ALL — SPARQL
+    union is a bag) over the alternatives' shared variable columns."""
+    parts, var_set = _union_parts(alternatives, ui)
+    cols = sorted(var_set)
+    rel = None
+    for aparsed, afilters in parts:
+        adf = _bgp_join(
+            triples, aparsed, _join_order(aparsed, allow_cartesian), afilters
+        ).select(*cols)
+        rel = adf if rel is None else rel.unionByName(adf)
+    return rel, var_set
+
+
 def _check_optional_group(
     parsed_group, bound: set[str], group_idx: int
 ) -> list[str]:
@@ -793,6 +837,7 @@ def bgp_select(
     filter_exprs: list | None = None,
     subqueries: list[dict] | None = None,
     values_rows: tuple | None = None,
+    unions: list[list] | None = None,
 ) -> DataFrame:
     """Compile a BGP into a DataFrame of variable bindings (bag
     semantics, like SPARQL BGP matching).  Column names are the
@@ -880,20 +925,26 @@ def bgp_select(
     result, and may not reference optional-introduced variables (the
     anti-join null-key semantics would diverge from SPARQL)."""
     paths = paths or []
-    if not patterns and not paths:
+    if not patterns and not paths and not unions:
         raise ValueError("empty BGP")
     parsed = [_parse_pattern(p) for p in patterns]
     filters = filters or []
     _check_filters(filters)
     required = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     path_vars = _path_pattern_vars(paths)
-    unbound = [v for v, _, _ in filters if v not in required and v not in path_vars]
+    union_vars = set()
+    for alternatives in unions or []:
+        union_vars |= _union_parts(alternatives, 0)[1]
+    unbound = [
+        v for v, _, _ in filters
+        if v not in required and v not in path_vars and v not in union_vars
+    ]
     if unbound:
         raise ValueError(
             f"filter variables not bound by required patterns or paths: {unbound}"
         )
     # filters on plain-pattern variables push into the pattern scans;
-    # filters on path-only variables apply after the path join
+    # filters on path-only/union-only variables apply after that join
     post_filters = [f for f in filters if f[0] not in required]
     annots = _annots_by_pattern(parsed, annotations)
     if parsed:
@@ -917,6 +968,19 @@ def bgp_select(
             )
         acc = acc.join(rel, on=shared, how="inner") if shared else acc.crossJoin(rel)
         bound |= set(rel.columns)
+    for ui, alternatives in enumerate(unions or []):
+        rel, uvars = _union_rel(triples, ui, alternatives, allow_cartesian)
+        if acc is None:
+            acc, bound = rel, set(uvars)
+            continue
+        shared = sorted(bound & uvars)
+        if not shared and not allow_cartesian:
+            raise ValueError(
+                f"union {ui} shares no variable with the prior patterns "
+                "(cross product); pass allow_cartesian=True"
+            )
+        acc = acc.join(rel, on=shared, how="inner") if shared else acc.crossJoin(rel)
+        bound |= uvars
     for si, spec in enumerate(subqueries or []):
         sub = bgp_aggregate(triples, **spec)
         shared = sorted(bound & set(spec["group_by"]))
@@ -1064,6 +1128,7 @@ def bgp_aggregate(
     annotations: dict[str, tuple[str, str]] | None = None,
     filter_exprs: list | None = None,
     values_rows: tuple | None = None,
+    unions: list[list] | None = None,
 ) -> DataFrame:
     """SPARQL SELECT-with-GROUP-BY over BGP bindings: ``aggs`` maps
     output column -> (fn, var), fn in {count, count_distinct, min, max,
@@ -1093,7 +1158,7 @@ def bgp_aggregate(
     b = bgp_select(
         triples, patterns, optional=optional, minus=minus,
         filters=filters, paths=paths, annotations=annotations,
-        filter_exprs=filter_exprs, values_rows=values_rows,
+        filter_exprs=filter_exprs, values_rows=values_rows, unions=unions,
     )
     cols = []
     avg_outs: list[str] = []
@@ -1179,13 +1244,14 @@ def bgp_aggregate_oracle_sql(
     annotations: dict[str, tuple[str, str]] | None = None,
     filter_exprs: list | None = None,
     values_rows: tuple | None = None,
+    unions: list[list] | None = None,
 ) -> str:
     """SQL mirror of :func:`bgp_aggregate` (counts CAST to BIGINT so
     DuckDB's types render identically to Spark's longs)."""
     inner = bgp_oracle_sql(
         triples_sql, patterns, optional=optional, minus=minus,
         filters=filters, paths=paths, annotations=annotations,
-        filter_exprs=filter_exprs, values_rows=values_rows,
+        filter_exprs=filter_exprs, values_rows=values_rows, unions=unions,
     )
     parts = []
     for out, (fn, var) in aggs.items():
@@ -1343,7 +1409,11 @@ def bgp_union(
         raise ValueError("empty UNION")
     out = None
     for alt in alternatives:
-        b = bgp_select(triples, alt, allow_cartesian=allow_cartesian)
+        apatterns, afilters = _norm_group(alt)
+        b = bgp_select(
+            triples, apatterns, allow_cartesian=allow_cartesian,
+            filters=afilters or None,
+        )
         cols = [
             F.col(v).alias(v) if v in b.columns
             else F.lit(None).cast("string").alias(v)
@@ -1365,12 +1435,14 @@ def bgp_union_oracle_sql(
         raise ValueError("empty UNION")
     parts = []
     for alt in alternatives:
-        parsed = [_parse_pattern(p) for p in alt]
+        apatterns, afilters = _norm_group(alt)
+        parsed = [_parse_pattern(p) for p in apatterns]
+        _check_group_filters(parsed, afilters, "union")
         bound = set().union(*(_pattern_vars(p) for p in parsed))
         sel = ", ".join(
             v if v in bound else f"CAST(NULL AS VARCHAR) AS {v}" for v in project
         )
-        inner = _group_sql(parsed, _join_order(parsed, allow_cartesian))
+        inner = _group_sql(parsed, _join_order(parsed, allow_cartesian), afilters)
         parts.append(f"SELECT {sel} FROM ({inner}) alt")
     body = " UNION ALL ".join(parts)
     return f"WITH triples AS ({triples_sql})\n{body}"
@@ -1619,6 +1691,7 @@ def bgp_oracle_sql(
     filter_exprs: list | None = None,
     subqueries: list[dict] | None = None,
     values_rows: tuple | None = None,
+    unions: list[list] | None = None,
 ) -> str:
     """ANSI-SQL text with the SAME bag semantics as :func:`bgp_select`
     (same greedy join order, USING-joins on shared variables, LEFT
@@ -1630,13 +1703,15 @@ def bgp_oracle_sql(
     patterns), runnable by DuckDB over the relationally-derived
     triples CTE — the oracle never touches the Spark plan."""
     paths = paths or []
-    if not patterns and not paths:
+    if not patterns and not paths and not unions:
         raise ValueError("empty BGP")
     parsed = [_parse_pattern(p) for p in patterns]
     filters = filters or []
     _check_filters(filters)
     required = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     pvars = _path_pattern_vars(paths)
+    for alternatives in unions or []:
+        pvars |= _union_parts(alternatives, 0)[1]
     unbound = [v for v, _, _ in filters if v not in required and v not in pvars]
     if unbound:
         raise ValueError(
@@ -1687,6 +1762,30 @@ def bgp_oracle_sql(
                 "patterns (cross product); pass allow_cartesian=True"
             )
         bound |= pvars
+    for ui, alternatives in enumerate(unions or []):
+        parts, uvars = _union_parts(alternatives, ui)
+        cols = ", ".join(sorted(uvars))
+        alt_sqls = [
+            f"SELECT {cols} FROM "
+            f"({_group_sql(aparsed, _join_order(aparsed, allow_cartesian), afilters)}) AS a"
+            for aparsed, afilters in parts
+        ]
+        name = f"u{ui}"
+        ctes.append(f"{name} AS ({' UNION ALL '.join(alt_sqls)})")
+        if not joins:
+            joins, bound = [name], set(uvars)
+            continue
+        shared = sorted(bound & uvars)
+        if shared:
+            joins.append(f"JOIN {name} USING ({', '.join(shared)})")
+        elif allow_cartesian:
+            joins.append(f"CROSS JOIN {name}")
+        else:
+            raise ValueError(
+                f"union {ui} shares no variable with the prior patterns "
+                "(cross product); pass allow_cartesian=True"
+            )
+        bound |= uvars
     for si, spec in enumerate(subqueries or []):
         # the sub-aggregate's SQL embeds its own triples CTE (the full
         # text again — CTE self-shadowing would be ambiguous); DuckDB

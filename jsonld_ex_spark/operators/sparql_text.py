@@ -169,6 +169,8 @@ class _Parser:
         self.values_rows: tuple | None = None
         self.subqueries: list[dict] = []
         self.union_alts: list[list[tuple[str, ...]]] | None = None
+        self.embedded_unions: list = []
+        self._union_groups: list = []
         self._pending_conds: list = []
 
     # --- token helpers -------------------------------------------------
@@ -757,19 +759,34 @@ class _Parser:
                     self._subquery_clause()
                     saw_non_union = True
                 else:
-                    self._union_clause(saw_non_union)
+                    self._union_clause()
             else:
                 self.patterns.extend(self._triples_block(None, restricted=None))
                 saw_non_union = True
         self._expect_punct("}")
-        if self.union_alts is not None and saw_non_union:
-            raise ValueError(
-                "UNION may not be combined with other group elements "
-                "(the engine's UNION evaluates standalone alternatives)"
-            )
+        # UNION routing: the EMBEDDED form (a joined union relation) is
+        # strictly more capable — it composes with other patterns,
+        # aggregates, and modifiers — but requires every alternative to
+        # bind the same variables.  A lone union whose branches bind
+        # DIFFERENT variable sets keeps the standalone NULL-padding
+        # form (bgp_union); everything else is embedded.
+        if self._union_groups:
+            def _alt_vars(alt):
+                pats, _f = _bgp._norm_group(alt)
+                return {t[1:] for p in pats for t in p if t.startswith("?")}
+
+            lone = len(self._union_groups) == 1 and not saw_non_union
+            sets = [_alt_vars(a) for a in self._union_groups[0]]
+            if lone and any(s != sets[0] for s in sets):
+                self.union_alts = self._union_groups[0]
+            else:
+                self.embedded_unions = self._union_groups
+            self._union_groups = []
         scope = {v for p in self.patterns for k, v in
                  (_bgp._parse_term(t) for t in p) if k == "var"}
         scope |= self._path_vars()
+        for alternatives in self.embedded_unions:
+            scope |= _bgp._union_parts(alternatives, 0)[1]
         for cond in self._pending_conds:
             self._route_filter(cond, scope)
         self._pending_conds = []
@@ -910,7 +927,7 @@ class _Parser:
         for key in (
             "paths", "optional", "minus", "filter_exprs", "bind",
             "annotations", "values", "values_rows", "subqueries", "union",
-            "order_by", "offset",
+            "unions", "order_by", "offset",
         ):
             if spec.get(key):
                 raise ValueError(f"subqueries do not support {key}")
@@ -920,18 +937,13 @@ class _Parser:
             raise ValueError("subqueries do not support DISTINCT (groups are already distinct)")
         self.subqueries.append(entry)
 
-    def _union_clause(self, saw_non_union: bool) -> None:
-        if saw_non_union or self.union_alts is not None:
-            raise ValueError(
-                "UNION may not be combined with other group elements "
-                "(the engine's UNION evaluates standalone alternatives)"
-            )
-        alts = [self._plain_group("UNION")]
+    def _union_clause(self) -> None:
+        alts = [self._plain_group("UNION", allow_filters=True)]
         while self._accept_word("UNION"):
-            alts.append(self._plain_group("UNION"))
+            alts.append(self._plain_group("UNION", allow_filters=True))
         if len(alts) < 2:
             raise ValueError("UNION needs at least two alternatives")
-        self.union_alts = alts
+        self._union_groups.append(alts)
 
     # --- SELECT clause -------------------------------------------------
     def _select_query(self, subquery: bool = False) -> dict:
@@ -1050,6 +1062,7 @@ class _Parser:
             "values_rows": self.values_rows,
             "subqueries": self.subqueries,
             "union": self.union_alts,
+            "unions": self.embedded_unions,
         }
 
     def _projection_expr(self):
@@ -1227,7 +1240,8 @@ class _Parser:
         unsupported = {
             "OPTIONAL": self.optional, "MINUS": self.minus,
             "BIND": self.bind, "VALUES": self.values or self.values_rows,
-            "subqueries": self.subqueries, "UNION": self.union_alts,
+            "subqueries": self.subqueries,
+            "UNION": self.union_alts or self.embedded_unions,
             "expression FILTER": self.filter_exprs,
             "LANG/DATATYPE": self.annotations,
         }
@@ -1316,7 +1330,8 @@ class _Parser:
             if (self.paths or self.optional or self.minus or self.exists or
                     self.not_exists or self.filters or self.filter_exprs or
                     self.bind or self.annotations or self.values or
-                    self.values_rows or self.subqueries or self.union_alts):
+                    self.values_rows or self.subqueries or self.union_alts or
+                    self.embedded_unions):
                 raise ValueError(
                     "ASK supports plain triple patterns only (wrap richer "
                     "groups in a SELECT and test for rows)"
@@ -1333,7 +1348,7 @@ class _Parser:
             if (self.paths or self.minus or self.exists or self.not_exists or
                     self.filters or self.filter_exprs or self.bind or
                     self.annotations or self.values or self.values_rows or
-                    self.subqueries or self.union_alts):
+                    self.subqueries or self.union_alts or self.embedded_unions):
                 raise ValueError(
                     "CONSTRUCT supports plain patterns + OPTIONAL groups only"
                 )
@@ -1351,7 +1366,8 @@ class _Parser:
                 self._group_graph_pattern()
                 for what, val in (
                     ("BIND", self.bind), ("VALUES", self.values or self.values_rows),
-                    ("subqueries", self.subqueries), ("UNION", self.union_alts),
+                    ("subqueries", self.subqueries),
+                    ("UNION", self.union_alts or self.embedded_unions),
                     ("LANG/DATATYPE", self.annotations), ("MINUS", self.minus),
                 ):
                     if val:
@@ -1514,6 +1530,8 @@ def _visible_project(spec) -> list[str] | None:
     vis |= set(spec["bind"])
     for sub in spec["subqueries"]:
         vis |= set(sub["group_by"]) | set(sub["aggs"])
+    for alternatives in spec.get("unions") or []:
+        vis |= _bgp._union_parts(alternatives, 0)[1]
     return sorted(vis - hidden)
 
 
@@ -1531,6 +1549,7 @@ def _select_kwargs(spec) -> dict:
         "filter_exprs": spec["filter_exprs"] or None,
         "subqueries": spec["subqueries"] or None,
         "values_rows": spec["values_rows"],
+        "unions": spec.get("unions") or None,
     }
 
 
@@ -1545,6 +1564,7 @@ def _agg_args(spec) -> tuple[tuple, dict]:
         "annotations": spec["annotations"] or None,
         "filter_exprs": spec["filter_exprs"] or None,
         "values_rows": spec["values_rows"],
+        "unions": spec.get("unions") or None,
     }
 
 

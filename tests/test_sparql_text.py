@@ -208,13 +208,23 @@ def test_graph_clause():
 
 
 def test_union():
+    # identical-variable branches take the embedded (joinable) form
     spec = parse_sparql(
         P + 'SELECT ?x WHERE { { ?x v:role "tool" } UNION { ?x v:role "user" } }'
     )
-    assert spec["union"] == [
+    assert spec["union"] is None
+    assert spec["unions"] == [[
         [("?x", f"<{V}role>", '"tool"')],
         [("?x", f"<{V}role>", '"user"')],
-    ]
+    ]]
+    # differing-variable branches keep the standalone NULL-padding form
+    spec2 = parse_sparql(
+        P + 'SELECT ?x ?y WHERE { { ?x v:role "tool" } UNION { ?y v:role "user" } }'
+    )
+    assert spec2["union"] == [
+        [("?x", f"<{V}role>", '"tool"')],
+        [("?y", f"<{V}role>", '"user"')],
+    ] and spec2["unions"] == []
 
 
 def test_ask_construct_describe():
@@ -244,7 +254,7 @@ def test_string_escapes_and_comments():
     ("SELECT ?o (MAX(*) AS ?m) WHERE { ?t <http://p> ?o } GROUP BY ?o",
      "not valid SPARQL"),
     ("SELECT * WHERE { ?t <http://p> ?o . { ?t <http://q> ?x } UNION "
-     "{ ?t <http://r> ?y } }", "UNION may not be combined"),
+     "{ ?t <http://r> ?y } }", "identical variable sets"),
     ("SELECT * WHERE { OPTIONAL { ?a <http://p> ?b . BIND(STR(?b) AS ?s) } "
      "?a <http://q> ?c }", "plain triple patterns"),
     ("SELECT * WHERE { MINUS { ?a <http://p> ?b . VALUES ?b { \"x\" } } "
@@ -484,11 +494,19 @@ def test_in_keeps_integer_semantics():
     ]
 
 
-def test_union_with_aggregates_raises():
+def test_union_with_aggregates():
+    # identical-variable union branches: aggregation over the union now
+    # compiles (embedded form)
+    spec = parse_sparql(
+        P + "SELECT ?e (COUNT(?e) AS ?n) WHERE "
+            "{ { ?t v:mentions ?e } UNION { ?t v:cites ?e } } GROUP BY ?e"
+    )
+    assert spec["agg"] is not None and len(spec["unions"]) == 1
+    # differing-variable branches (standalone form) still reject
     with pytest.raises(ValueError, match="UNION queries do not support"):
         parse_sparql(
             P + "SELECT ?e (COUNT(?e) AS ?n) WHERE "
-                "{ { ?t v:mentions ?e } UNION { ?t v:cites ?e } } GROUP BY ?e"
+                "{ { ?t v:mentions ?e } UNION { ?x v:cites ?e } } GROUP BY ?e"
         )
 
 
@@ -880,3 +898,42 @@ def test_run_sparql_load_end_to_end(spark, tmp_path):  # noqa: F811
         (x["graph"] or "") for x in read_snapshot(spark, t).collect()
     )
     assert graphs.count("urn:gx") == 1 and graphs.count("urn:dest") == 2
+
+
+def test_parse_embedded_union():
+    spec = parse_sparql(
+        P + 'SELECT * WHERE { ?t v:turn_idx ?i . '
+            '{ ?t v:role "tool" . ?t v:mentions ?x } UNION '
+            '{ ?t v:role "user" . ?t v:mentions ?x } }'
+    )
+    assert spec["union"] is None
+    assert spec["unions"] == [[
+        [("?t", f"<{V}role>", '"tool"'), ("?t", f"<{V}mentions>", "?x")],
+        [("?t", f"<{V}role>", '"user"'), ("?t", f"<{V}mentions>", "?x")],
+    ]]
+    # a lone identical-variable union is ALSO embedded now
+    lone = parse_sparql(
+        P + 'SELECT ?x WHERE { { ?x v:role "tool" } UNION { ?x v:role "user" } }'
+    )
+    assert lone["union"] is None and len(lone["unions"]) == 1
+
+
+@pytest.mark.spark
+def test_text_embedded_union_both_engines(triples, oracle):
+    # union joined onto an outer pattern — docs with idx > 7 whose role
+    # arm contributes its mention edge (bag: both arms can match)
+    q = (
+        P + 'SELECT ?d ?i ?e WHERE { ?d v:idx ?i . FILTER(?i > 7) '
+            '{ ?d v:role "tool" . ?d v:mentions ?e } UNION '
+            '{ ?d v:role "user" . ?d v:mentions ?e } }'
+    )
+    got = _match(triples, oracle, q, ["d", "i", "e"])
+    assert {r[0] for r in got} == {f"{NS}{i}" for i in (8, 9, 10, 11)}
+    # union with group-internal FILTER in one arm
+    q2 = (
+        P + 'SELECT ?d ?e WHERE { ?d v:name ?n . '
+            '{ ?d v:mentions ?e . FILTER(?d != "nope") } UNION '
+            '{ ?d v:mentions ?e } }'
+    )
+    got2 = _match(triples, oracle, q2, ["d", "e"])
+    assert len(got2) == 24  # every mention edge twice (bag semantics)
