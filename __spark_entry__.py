@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_text_entity_stats": kg_queries.kg_sparql_text_entity_stats,
         "kg_sparql_text_path_edges": kg_queries.kg_sparql_text_path_edges,
         "kg_sparql_text_optional_tools": kg_queries.kg_sparql_text_optional_tools,
+        "kg_sparql_text_union_stats": kg_queries.kg_sparql_text_union_stats,
         "kg_path_conv_turns": kg_queries.kg_path_conv_turns,
         "kg_bgp_top_entities": kg_queries.kg_bgp_top_entities,
         "kg_path_tool_turns": kg_queries.kg_path_tool_turns,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_text_entity_stats": oracles.kg_sparql_text_entity_stats_oracle(),
         "kg_sparql_text_path_edges": oracles.kg_sparql_text_path_edges_oracle(),
         "kg_sparql_text_optional_tools": oracles.kg_sparql_text_optional_tools_oracle(),
+        "kg_sparql_text_union_stats": oracles.kg_sparql_text_union_stats_oracle(),
         "kg_path_conv_turns": oracles.kg_path_conv_turns_oracle(),
         "kg_bgp_top_entities": oracles.kg_bgp_top_entities_oracle(),
         "kg_path_tool_turns": oracles.kg_path_tool_turns_oracle(),

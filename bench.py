@@ -160,6 +160,7 @@ EXTRA_QUERIES = [
     "kg_sparql_text_entity_stats",
     "kg_sparql_text_path_edges",
     "kg_sparql_text_optional_tools",
+    "kg_sparql_text_union_stats",
     "skew_entity_profile",
     "jsonld_frame_select",
     "kg_frame_tool_turns",

@@ -1578,3 +1578,16 @@ def kg_sparql_text_optional_tools(spark: SparkSession, sf_dir: str) -> DataFrame
     return sparql_query(
         _checkpointed_triples(spark, sf_dir), SPARQL_TEXT_OPTIONAL_TOOLS
     )
+
+
+def kg_sparql_text_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth textual witness — EMBEDDED UNION composing with
+    aggregation: the two role arms evaluate as one UNION ALL relation
+    (bag semantics) that feeds GROUP BY + COUNT + HAVING + DESC paging,
+    all from one query string compiled to both engines."""
+    from jsonld_ex_spark.operators.sparql_text import sparql_query
+    from jsonld_ex_spark.plans.oracles import SPARQL_TEXT_UNION_STATS
+
+    return sparql_query(
+        _checkpointed_triples(spark, sf_dir), SPARQL_TEXT_UNION_STATS
+    )

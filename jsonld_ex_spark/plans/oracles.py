@@ -980,3 +980,19 @@ def kg_sparql_text_optional_tools_oracle() -> str:
     from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
 
     return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_OPTIONAL_TOOLS)
+
+
+SPARQL_TEXT_UNION_STATS = """
+PREFIX v: <https://sparkld.dev/vocab#>
+SELECT ?entity (COUNT(?turn) AS ?n_edges) WHERE {
+  { ?turn v:role "user" . ?turn v:mentions ?entity } UNION
+  { ?turn v:role "assistant" . ?turn v:mentions ?entity }
+} GROUP BY ?entity HAVING(?n_edges >= 6)
+ORDER BY DESC(?n_edges) ?entity LIMIT 40
+"""
+
+
+def kg_sparql_text_union_stats_oracle() -> str:
+    from jsonld_ex_spark.operators.sparql_text import sparql_oracle_sql
+
+    return sparql_oracle_sql(kg_triples_oracle(), SPARQL_TEXT_UNION_STATS)
