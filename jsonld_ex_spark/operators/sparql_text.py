@@ -32,19 +32,28 @@ positioned ValueError rather than mis-executing):
 
 * Query forms: SELECT (with DISTINCT/REDUCED, aggregates + GROUP BY +
   HAVING, ORDER BY + LIMIT + OFFSET paging, expression projections),
-  ASK, CONSTRUCT, DESCRIBE <iri>....
+  ASK, CONSTRUCT, DESCRIBE <iri>... and DESCRIBE ?var WHERE.
 * Group graph patterns: triple blocks with ``;`` / ``,`` elision,
+  blank-node labels as scoped non-projectable variables,
   property paths in predicate position (``/ | ^ * + ? !(...)``),
-  OPTIONAL, MINUS, FILTER (EXISTS / NOT EXISTS groups and value
-  constraints), BIND, VALUES (single- and multi-variable), GRAPH
-  blocks (constant and variable graph terms), top-level UNION of
-  plain alternatives, and nested aggregate SELECT subqueries.
+  OPTIONAL / MINUS / FILTER [NOT] EXISTS groups (each accepting
+  group-INTERNAL scalar FILTERs — the LeftJoin(A, Filter(C, P))
+  algebra), BIND, VALUES (single- and multi-variable), GRAPH blocks
+  (constant and variable graph terms), UNION (embedded — joined with
+  the rest of the query — when branches bind identical variables;
+  standalone NULL-padding otherwise), and nested aggregate SELECT
+  subqueries.
 * Expressions: BOUND, REGEX, STRSTARTS, STRENDS, CONTAINS,
-  LANGMATCHES, LANG, DATATYPE, STR, CONCAT, COALESCE, IF, LCASE,
-  UCASE, SUBSTR, REPLACE, STRBEFORE, STRAFTER, STRLEN, ``IN``,
-  ``&& || !``, comparisons, and integer ``+ - *`` arithmetic —
-  exactly the function library _cond_col/_bind_col compiles to both
-  engines.
+  LANGMATCHES, LANG, DATATYPE, isIRI/isURI/isLiteral/isBlank, STR,
+  CONCAT, COALESCE, IF, LCASE, UCASE, SUBSTR, REPLACE, STRBEFORE,
+  STRAFTER, STRLEN, ``IN``, ``&& || !``, comparisons (including
+  numeric-expression and lexical var-to-var ordering), and integer
+  ``+ - *`` arithmetic — exactly the function library
+  _cond_col/_bind_col compiles to both engines.
+* Updates (parse_sparql_update / run_sparql_update): INSERT DATA /
+  DELETE DATA (exact-term) / DELETE WHERE / [WITH g]
+  DELETE-INSERT-WHERE / LOAD <uri> [INTO GRAPH g] / CLEAR / ADD /
+  COPY / MOVE over the snapshot store.
 
 Design choices a reviewer should know:
 
