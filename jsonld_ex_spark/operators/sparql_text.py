@@ -1347,13 +1347,31 @@ class _Parser:
                 )
             spec = {"form": "ask", "patterns": self.patterns}
         elif self._accept_word("CONSTRUCT"):
-            self._expect_punct("{")
             template: list[tuple[str, ...]] = []
-            while not self._at_punct("}"):
-                template.extend(self._triples_block(None, restricted="CONSTRUCT template"))
-            self._expect_punct("}")
-            self._accept_word("WHERE")
+            if self._at_punct("{"):
+                self._next()
+                while not self._at_punct("}"):
+                    template.extend(
+                        self._triples_block(None, restricted="CONSTRUCT template")
+                    )
+                self._expect_punct("}")
+                self._accept_word("WHERE")
+            else:
+                # CONSTRUCT WHERE { ... } shorthand: the pattern IS the
+                # template (plain triples only, per the SPARQL grammar)
+                self._expect_word("WHERE")
             self._group_graph_pattern()
+            if not template:
+                if self.optional:
+                    raise ValueError(
+                        "CONSTRUCT WHERE takes a plain BGP (no OPTIONAL) — "
+                        "use the explicit-template form"
+                    )
+                template = [p for p in self.patterns]
+                if any(len(p) == 4 for p in template):
+                    raise ValueError(
+                        "CONSTRUCT WHERE does not support GRAPH-scoped patterns"
+                    )
             if (self.paths or self.minus or self.exists or self.not_exists or
                     self.filters or self.filter_exprs or self.bind or
                     self.annotations or self.values or self.values_rows or

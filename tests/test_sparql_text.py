@@ -937,3 +937,21 @@ def test_text_embedded_union_both_engines(triples, oracle):
     )
     got2 = _match(triples, oracle, q2, ["d", "e"])
     assert len(got2) == 24  # every mention edge twice (bag semantics)
+
+
+def test_construct_where_shorthand():
+    spec = parse_sparql(P + 'CONSTRUCT WHERE { ?t v:mentions ?e . ?t v:role "tool" }')
+    assert spec["form"] == "construct"
+    assert spec["template"] == spec["patterns"] and len(spec["template"]) == 2
+    with pytest.raises(ValueError, match="plain BGP"):
+        parse_sparql(
+            P + "CONSTRUCT WHERE { ?t v:mentions ?e . OPTIONAL { ?t v:tool ?n } }"
+        )
+
+
+@pytest.mark.spark
+def test_text_construct_where_both_engines(triples, oracle):
+    q = P + 'CONSTRUCT WHERE { ?t v:role "tool" ; v:mentions ?e }'
+    got = _match(triples, oracle, q, ["subj", "pred", "obj"])
+    # 6 tool turns: 6 role triples + 6 mention triples, deduped as a set
+    assert len(got) == 12
