@@ -759,6 +759,12 @@ class _Parser:
                     raise self._err("GRAPH term must be an IRI or variable")
                 self._expect_punct("{")
                 while not self._at_punct("}"):
+                    if self._accept_word("FILTER"):
+                        # scalar/expr FILTER inside GRAPH: same deferred
+                        # routing as the enclosing group (equivalent for
+                        # the conjunctive queries this engine compiles)
+                        self._filter_clause()
+                        continue
                     self.patterns.extend(self._triples_block(gt, restricted=None))
                 self._expect_punct("}")
                 saw_non_union = True

@@ -955,3 +955,13 @@ def test_text_construct_where_both_engines(triples, oracle):
     got = _match(triples, oracle, q, ["subj", "pred", "obj"])
     # 6 tool turns: 6 role triples + 6 mention triples, deduped as a set
     assert len(got) == 12
+
+
+@pytest.mark.spark
+def test_text_filter_inside_graph_block(triples, oracle):
+    q = (
+        P + 'SELECT ?g ?e WHERE { GRAPH ?g { ?e a v:Entity . '
+            'FILTER(STRENDS(?e, "0")) } }'
+    )
+    got = _match(triples, oracle, q, ["e"])
+    assert [r[1] for r in got] == [f"{NS}e0"]
