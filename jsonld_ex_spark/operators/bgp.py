@@ -744,12 +744,15 @@ def _norm_group(group) -> tuple[list, list]:
     pattern scans) before the left join, per the OPTIONAL algebra:
     LeftJoin(A, Filter(C, P)).  Filter variables must be bound by the
     group's own patterns."""
-    if isinstance(group, tuple):
+    # shape sentinel: the (patterns, filters) form is a 2-tuple whose
+    # FIRST element is a list — a tuple OF patterns (each pattern being
+    # a tuple of term strings) stays a plain pattern group
+    if isinstance(group, tuple) and len(group) == 2 and isinstance(group[0], list):
         patterns, filters = group
         filters = list(filters)
         _check_filters(filters)
     else:
-        patterns, filters = group, []
+        patterns, filters = list(group), []
     return patterns, filters
 
 
@@ -933,8 +936,8 @@ def bgp_select(
     required = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     path_vars = _path_pattern_vars(paths)
     union_vars = set()
-    for alternatives in unions or []:
-        union_vars |= _union_parts(alternatives, 0)[1]
+    for ui, alternatives in enumerate(unions or []):
+        union_vars |= _union_parts(alternatives, ui)[1]
     unbound = [
         v for v, _, _ in filters
         if v not in required and v not in path_vars and v not in union_vars
@@ -1710,8 +1713,8 @@ def bgp_oracle_sql(
     _check_filters(filters)
     required = set().union(*(_pattern_vars(p) for p in parsed)) if parsed else set()
     pvars = _path_pattern_vars(paths)
-    for alternatives in unions or []:
-        pvars |= _union_parts(alternatives, 0)[1]
+    for ui, alternatives in enumerate(unions or []):
+        pvars |= _union_parts(alternatives, ui)[1]
     unbound = [v for v, _, _ in filters if v not in required and v not in pvars]
     if unbound:
         raise ValueError(

@@ -231,6 +231,13 @@ class _Parser:
     # meaningful on the UPDATE side (graph_update's term-identity
     # matching); query patterns keep rejecting them with guidance
     _allow_exact_literals = False
+    # blank-node labels compile to variables — legal in QUERY patterns
+    # (SPARQL: query bnodes ARE scoped variables) but forbidden in
+    # updates (a bnode in DELETE WHERE is spec-illegal and would
+    # silently become a mass-matching wildcard) and in CONSTRUCT
+    # (template bnodes mint FRESH nodes per solution, which this
+    # compiler does not do — raising beats silently coreferencing)
+    _forbid_bnodes: str | None = None
 
     # --- terms ---------------------------------------------------------
     def _expand_pname(self, pname: str) -> str:
@@ -245,6 +252,11 @@ class _Parser:
         hidden ``_bn_<label>`` variable."""
         t = self._peek()
         if t is not None and t.kind == "PNAME" and t.text.startswith("_:"):
+            if self._forbid_bnodes:
+                raise self._err(
+                    f"blank-node labels are not allowed in {self._forbid_bnodes} "
+                    "(use a named ?variable)"
+                )
             self._next()
             name = "_bn_" + t.text[2:]
             self.bnode_vars.add(name)
@@ -418,18 +430,18 @@ class _Parser:
         self._accept_punct(".")
         return out
 
-    def _plain_group(self, label: str, allow_filters: bool = False):
+    def _plain_group(self, label: str):
         """Parse ``{ triples... }`` allowing only plain triple patterns
-        (the engine's OPTIONAL/MINUS/EXISTS groups are pattern lists).
-        With ``allow_filters`` (OPTIONAL groups), scalar ``FILTER(?v op
-        literal)`` constraints are collected and applied INSIDE the
-        group — the ``OPTIONAL { P FILTER(C) }`` algebra — returning
-        the engine's (patterns, filters) group form."""
+        (the engine's OPTIONAL/MINUS/EXISTS/UNION groups are pattern
+        lists).  Scalar ``FILTER(?v op literal)`` constraints are
+        collected and applied INSIDE the group — the
+        ``OPTIONAL { P FILTER(C) }`` algebra — returning the engine's
+        (patterns, filters) group form when any are present."""
         self._expect_punct("{")
         pats: list[tuple[str, ...]] = []
         gfilters: list[tuple[str, str, object]] = []
         while not self._at_punct("}"):
-            if allow_filters and self._at_word("FILTER"):
+            if self._at_word("FILTER"):
                 self._next()
                 self._expect_punct("(")
                 cond = self._to_cond(self._bool_or_value())
@@ -673,8 +685,19 @@ class _Parser:
                 )
             if op in ("eq", "ne"):
                 return (op, self._to_strexpr(left), self._to_strexpr(right))
-            # lexical ordering between two string expressions — the
-            # FILTER(?a < ?b) symmetric-pair idiom
+            # ordering between expressions: LEXICAL via str_cmp — but a
+            # bare ?a < ?b is ambiguous (lexical "9" < "10" is FALSE
+            # while numeric 9 < 10 is TRUE, and both engines would
+            # agree on the silently-wrong answer), so it must be made
+            # explicit: STR(?a) < STR(?b) for lexical order, ?a + 0 <
+            # ?b + 0 for the numeric path
+            if left[0] == "var" and right[0] == "var":
+                raise ValueError(
+                    "ordering two variables is ambiguous over lexical "
+                    "bindings: write STR(?a) < STR(?b) for lexical "
+                    "(codepoint) order, or ?a + 0 < ?b + 0 for numeric "
+                    "comparison under the strict-integer guard"
+                )
             return (
                 "str_cmp", self._to_strexpr(left), op, self._to_strexpr(right),
             )
@@ -739,10 +762,10 @@ class _Parser:
         saw_non_union = False
         while not self._at_punct("}"):
             if self._accept_word("OPTIONAL"):
-                self.optional.append(self._plain_group("OPTIONAL", allow_filters=True))
+                self.optional.append(self._plain_group("OPTIONAL"))
                 saw_non_union = True
             elif self._accept_word("MINUS"):
-                self.minus.append(self._plain_group("MINUS", allow_filters=True))
+                self.minus.append(self._plain_group("MINUS"))
                 saw_non_union = True
             elif self._accept_word("FILTER"):
                 self._filter_clause()
@@ -760,9 +783,19 @@ class _Parser:
                 self._expect_punct("{")
                 while not self._at_punct("}"):
                     if self._accept_word("FILTER"):
-                        # scalar/expr FILTER inside GRAPH: same deferred
-                        # routing as the enclosing group (equivalent for
-                        # the conjunctive queries this engine compiles)
+                        # value-constraint FILTER inside GRAPH: same
+                        # deferred routing as the enclosing group
+                        # (equivalent for conjunctive queries).  EXISTS
+                        # groups are NOT graph-invariant — they would
+                        # evaluate over the union graph instead of the
+                        # enclosing GRAPH scope — so they are rejected.
+                        if self._at_word("EXISTS", "NOT"):
+                            raise self._err(
+                                "FILTER [NOT] EXISTS inside GRAPH blocks is "
+                                "not supported (the existence group would "
+                                "evaluate over the union graph; add the "
+                                "graph term to its patterns at top level)"
+                            )
                         self._filter_clause()
                         continue
                     self.patterns.extend(self._triples_block(gt, restricted=None))
@@ -800,22 +833,22 @@ class _Parser:
         scope = {v for p in self.patterns for k, v in
                  (_bgp._parse_term(t) for t in p) if k == "var"}
         scope |= self._path_vars()
-        for alternatives in self.embedded_unions:
-            scope |= _bgp._union_parts(alternatives, 0)[1]
+        for ui, alternatives in enumerate(self.embedded_unions):
+            scope |= _bgp._union_parts(alternatives, ui)[1]
         for cond in self._pending_conds:
             self._route_filter(cond, scope)
         self._pending_conds = []
 
     def _filter_clause(self) -> None:
         if self._accept_word("EXISTS"):
-            self.exists.append(self._plain_group("EXISTS", allow_filters=True))
+            self.exists.append(self._plain_group("EXISTS"))
             return
         if self._at_word("NOT"):
             save = self.i
             self._next()
             if self._accept_word("EXISTS"):
                 self.not_exists.append(
-                    self._plain_group("NOT EXISTS", allow_filters=True)
+                    self._plain_group("NOT EXISTS")
                 )
                 return
             self.i = save
@@ -953,9 +986,9 @@ class _Parser:
         self.subqueries.append(entry)
 
     def _union_clause(self) -> None:
-        alts = [self._plain_group("UNION", allow_filters=True)]
+        alts = [self._plain_group("UNION")]
         while self._accept_word("UNION"):
-            alts.append(self._plain_group("UNION", allow_filters=True))
+            alts.append(self._plain_group("UNION"))
         if len(alts) < 2:
             raise ValueError("UNION needs at least two alternatives")
         self._union_groups.append(alts)
@@ -1277,6 +1310,10 @@ class _Parser:
 
     def parse_update(self) -> dict:
         self._allow_exact_literals = True
+        # SPARQL 1.1 Update forbids blank nodes in DELETE templates /
+        # DELETE WHERE / DELETE DATA; permitting them here would turn a
+        # spec-illegal label into a mass-matching free variable
+        self._forbid_bnodes = "update patterns"
         self._prologue()
         if self._accept_word("LOAD"):
             t = self._next()
@@ -1353,6 +1390,9 @@ class _Parser:
                 )
             spec = {"form": "ask", "patterns": self.patterns}
         elif self._accept_word("CONSTRUCT"):
+            # template bnodes mint fresh nodes per solution in SPARQL —
+            # not coreferenced variables; reject rather than mis-build
+            self._forbid_bnodes = "CONSTRUCT queries"
             template: list[tuple[str, ...]] = []
             if self._at_punct("{"):
                 self._next()
@@ -1563,9 +1603,15 @@ def _visible_project(spec) -> list[str] | None:
     vis |= set(spec["bind"])
     for sub in spec["subqueries"]:
         vis |= set(sub["group_by"]) | set(sub["aggs"])
-    for alternatives in spec.get("unions") or []:
-        vis |= _bgp._union_parts(alternatives, 0)[1]
-    return sorted(vis - hidden)
+    for ui, alternatives in enumerate(spec.get("unions") or []):
+        vis |= _bgp._union_parts(alternatives, ui)[1]
+    out = sorted(vis - hidden)
+    if not out:
+        raise ValueError(
+            "SELECT * would project nothing (every variable is a "
+            "blank-node label); name at least one ?variable"
+        )
+    return out
 
 
 def _select_kwargs(spec) -> dict:

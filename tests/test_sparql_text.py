@@ -778,8 +778,20 @@ def test_render_parse_round_trip(patterns, filt, page, distinct):
 
 
 def test_parse_var_var_ordering_filter():
-    spec = parse_sparql(P + "SELECT * WHERE { ?a v:p ?x . ?b v:p ?x . FILTER(?a < ?b) }")
-    assert spec["filter_exprs"] == [("str_cmp", "a", "lt", "b")]
+    # bare ?a < ?b is ambiguous over lexical bindings -> explicit forms
+    spec = parse_sparql(
+        P + "SELECT * WHERE { ?a v:p ?x . ?b v:p ?x . FILTER(STR(?a) < STR(?b)) }"
+    )
+    assert spec["filter_exprs"] == [("str_cmp", ("str", "a"), "lt", ("str", "b"))]
+    with pytest.raises(ValueError, match="ambiguous over lexical"):
+        parse_sparql(P + "SELECT * WHERE { ?a v:p ?x . ?b v:p ?x . FILTER(?a < ?b) }")
+    # numeric path via arithmetic
+    spec2 = parse_sparql(
+        P + "SELECT * WHERE { ?a v:p ?x . ?b v:p ?x . FILTER(?a + 0 < ?b + 0) }"
+    )
+    assert spec2["filter_exprs"] == [
+        ("num_cmp", ("add", "a", 0), "lt", ("add", "b", 0))
+    ]
 
 
 @pytest.mark.spark
@@ -787,7 +799,7 @@ def test_text_symmetric_pair_elimination(triples, oracle):
     # co-mention pairs without the symmetric duplicate: FILTER(?a < ?b)
     q = (
         P + "SELECT ?a ?b ?e WHERE { ?a v:mentions ?e . ?b v:mentions ?e . "
-            "FILTER(?a < ?b) }"
+            "FILTER(STR(?a) < STR(?b)) }"
     )
     got = _match(triples, oracle, q, ["a", "b", "e"])
     assert got and all(r[0] < r[1] for r in got)
@@ -965,3 +977,35 @@ def test_text_filter_inside_graph_block(triples, oracle):
     )
     got = _match(triples, oracle, q, ["e"])
     assert [r[1] for r in got] == [f"{NS}e0"]
+
+
+def test_review_guards_round6b():
+    # bnode in an update pattern would silently become a wildcard
+    with pytest.raises(ValueError, match="blank-node labels are not allowed"):
+        parse_sparql_update(P + "DELETE WHERE { _:b v:tool ?n }")
+    # bnode in CONSTRUCT (template OR shorthand) minting is unsupported
+    with pytest.raises(ValueError, match="blank-node labels are not allowed"):
+        parse_sparql(P + "CONSTRUCT { _:n v:p ?o } WHERE { ?s v:p ?o }")
+    with pytest.raises(ValueError, match="blank-node labels are not allowed"):
+        parse_sparql(P + "CONSTRUCT WHERE { _:s v:p ?o }")
+    # EXISTS inside GRAPH would leak to the union graph
+    with pytest.raises(ValueError, match="union graph"):
+        parse_sparql(
+            P + "SELECT * WHERE { GRAPH ?g { ?s v:p ?o "
+                "FILTER EXISTS { ?s v:q ?x } } }"
+        )
+    # SELECT * with only bnode variables projects nothing
+    from jsonld_ex_spark.operators.sparql_text import _visible_project
+    with pytest.raises(ValueError, match="project nothing"):
+        _visible_project(parse_sparql(P + 'SELECT * WHERE { _:a v:role "tool" }'))
+
+
+def test_norm_group_tuple_of_patterns_is_not_filters():
+    # a group passed as a TUPLE of patterns keeps pattern-list semantics
+    from jsonld_ex_spark.operators.bgp import _norm_group
+    pats = (("?s", "<http://p>", "?o"), ("?s", "<http://q>", "?x"))
+    assert _norm_group(pats) == ([("?s", "<http://p>", "?o"),
+                                  ("?s", "<http://q>", "?x")], [])
+    assert _norm_group(([("?s", "<http://p>", "?o")], [("o", "gt", 1)])) == (
+        [("?s", "<http://p>", "?o")], [("o", "gt", 1)],
+    )
