@@ -316,7 +316,28 @@ def _connected_components(
     without truncation the logical plan doubles every iteration and
     Catalyst itself OOMs long before the data does.  (For
     fault-tolerant production runs swap in reliable checkpointing via
-    sparkContext.setCheckpointDir — same plan shape.)"""
+    sparkContext.setCheckpointDir — same plan shape.)
+
+    The shuffle width is capped to core count for the supersteps:
+    localCheckpointed DataFrames report UnknownPartitioning, so every
+    superstep join/agg would otherwise re-shuffle at the session's
+    full width (hundreds of near-empty tasks per iteration at the
+    bench's 128 partitions) — the same sizing rule as
+    graph_paths._walk_fixed and property_paths.eval_path; the conf is
+    restored before returning."""
+    spark = labels.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = str(min(int(prev), max(spark.sparkContext.defaultParallelism, 2)))
+    spark.conf.set("spark.sql.shuffle.partitions", cap)
+    try:
+        return _cc_supersteps(labels, edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _cc_supersteps(
+    labels: DataFrame, edges: DataFrame, max_iters: int
+) -> tuple[DataFrame, int]:
     edges = edges.repartition("dst").cache()
     labels = labels.localCheckpoint(eager=True)
     changed = -1
