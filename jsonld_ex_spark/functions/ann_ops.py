@@ -40,7 +40,13 @@ N_PLANES = N_ANN_BANDS * PLANES_PER_BAND  # first N_PLANES vectors are planes
 
 
 def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from jsonld_ex_spark.functions.dedup_ops import _spread
+
+    # spread the single-split test file before the per-vector math — the
+    # quantize transform and every downstream dot-product projection
+    # otherwise run single-threaded until the first exchange (guide
+    # §2.5; _spread is a no-op on a properly-split production table)
+    e = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     return e.select(
         "vec_id",
         F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {Q}) as long))").alias("qv"),
@@ -85,14 +91,25 @@ def _sign_buckets(q: DataFrame) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH top-k: exact integer scoring within the band-OR
-    candidate set (see module docstring for the recall/scale dials)."""
-    q = _qvecs(spark, sf_dir)
-    buckets = _sign_buckets(q)
+    candidate set (see module docstring for the recall/scale dials).
+
+    q and the bucket table are materialized ONCE (localCheckpoint): q
+    feeds the bucket pipeline and both scoring-join sides, and the
+    bucket table feeds both sides of the candidate equi-join — the
+    un-materialized plan re-ran the scan+quantize+bucket subtree per
+    consumer (12 parquet scans; guide §3.3)."""
+    q = _qvecs(spark, sf_dir).localCheckpoint(eager=True)
+    buckets = _sign_buckets(q).localCheckpoint(eager=True)
     qb = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
+    # the query-bucket side is bounded by N_QUERIES × N_ANN_BANDS rows
+    # (a fixed query batch, not a function of corpus size) — broadcast
+    # it so the candidate equi-join shuffles NOTHING on the corpus side
+    # (guide §3.1; the SortMergeJoin here cost two full-width exchanges)
     cand = (
-        qb.join(buckets.withColumnRenamed("vec_id", "cand_id"), on=["band", "bucket"])
+        F.broadcast(qb)
+        .join(buckets.withColumnRenamed("vec_id", "cand_id"), on=["band", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
@@ -137,7 +154,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id — same distributed shape as LSH but with data-adaptive
     partitioning of the vector space.
     """
-    q = _qvecs(spark, sf_dir)
+    q = _qvecs(spark, sf_dir).localCheckpoint(eager=True)
     return _ivf_search(q, centroids_row(q, N_CENTROIDS))
 
 
@@ -147,7 +164,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive cells, the search is the identical zero-shuffle
     assignment + probe equi-join as ann_ivf_topk.  Gated with a DuckDB
     oracle that re-derives the refined centroids AND the search."""
-    q = _qvecs(spark, sf_dir)
+    q = _qvecs(spark, sf_dir).localCheckpoint(eager=True)
     refined = _kmeans_refined_cents(q)
     cents_row = centroids_row(
         refined.select(F.col("cent_id").alias("vec_id"), "qv"), N_CENTROIDS
@@ -161,10 +178,13 @@ def _ivf_candidates(q: DataFrame, cents: DataFrame) -> DataFrame:
     against the ONE broadcast centroid row), queries probe their
     N_PROBE nearest cells, candidates = cell-membership equi-join."""
     # per-vector sorted cells (l2s asc, cent_id asc) in ONE projection —
-    # exact same ordering the former row_number window produced
+    # exact same ordering the former row_number window produced;
+    # materialized once because BOTH the cell-membership side and the
+    # probe side read it (otherwise the scan + centroid distance
+    # projection runs twice — guide §3.3)
     assigned = q.crossJoin(F.broadcast(cents)).select(
         "vec_id", F.expr(cells_sorted_expr()).alias("cells_sorted")
-    )
+    ).localCheckpoint(eager=True)
     cells = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.expr("cells_sorted[0].cent_id").alias("cell"),
@@ -175,8 +195,11 @@ def _ivf_candidates(q: DataFrame, cents: DataFrame) -> DataFrame:
             F.expr(f"transform(slice(cells_sorted, 1, {N_PROBE}), c -> c.cent_id)")
         ).alias("cell"),
     )
+    # probes are bounded by N_QUERIES × N_PROBE rows (fixed query batch)
+    # — broadcast so the cell-membership join never shuffles the corpus
+    # side (guide §3.1)
     return (
-        probes.join(cells, on="cell")
+        F.broadcast(probes).join(cells, on="cell")
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
@@ -255,7 +278,7 @@ def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     promises, delivered): N_KMEANS_ITERS Lloyd iterations over the
     quantized vectors, centroids exploded to scalar rows so every
     coordinate sits under the hash-exact oracle."""
-    cents = _kmeans_refined_cents(_qvecs(spark, sf_dir))
+    cents = _kmeans_refined_cents(_qvecs(spark, sf_dir).localCheckpoint(eager=True))
     return cents.select(
         "cent_id", F.posexplode("qv").alias("dim_idx", "value")
     )
@@ -351,7 +374,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (the IVF cell restriction composes exactly as in
     ann_ivf_topk); distances are integer-exact so the DuckDB oracle
     reproduces scores AND ranks bit-for-bit."""
-    q = _qvecs(spark, sf_dir)
+    q = _qvecs(spark, sf_dir).localCheckpoint(eager=True)
     coded = _pq_coded(q)
     queries = q.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
@@ -384,7 +407,7 @@ def ann_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     al., 'Product Quantization for Nearest Neighbor Search').  Scores
     are integer-exact; the oracle composes its own IVF candidate CTE
     with the ADC CTE bit-for-bit."""
-    q = _qvecs(spark, sf_dir)
+    q = _qvecs(spark, sf_dir).localCheckpoint(eager=True)
     cand = _ivf_candidates(q, centroids_row(q, N_CENTROIDS))
     coded = _pq_coded(q).select(F.col("vec_id").alias("cand_id"), "codes")
     queries = q.where(F.col("vec_id") < N_QUERIES).select(

@@ -40,6 +40,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition an UNDER-PARTITIONED input to the cluster's
+    parallelism before a CPU-heavy per-row stage (tokenization, shingle
+    explosion, vector math).  The test corpus is one small parquet file
+    → ONE scan split → the whole kernel runs single-threaded until the
+    first exchange (measured: the sf0.1 shingle stage alone was 7.8 s
+    on one core, guide §2.5 'input skew: repartition immediately after
+    the read').  Guarded on the actual scan partition count so a
+    properly-split production table (100 TB = thousands of splits) is
+    returned untouched — no extra exchange at scale; the key is a
+    deterministic column hash (never rand() — SPARK-38388)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: fingerprint → group size + canonical (min) doc_id."""
     d = _docs(spark, sf_dir)
@@ -69,7 +86,7 @@ def _shingles(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) ->
     key the DF aggregation already uses — forcing broadcast here would
     be the wrong call at exactly the scale the cap exists for.
     """
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir), "doc_id")
     words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
     d = d.select("doc_id", words.alias("words"))
     shingles = F.expr(
@@ -146,9 +163,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", *[F.concat(F.lit(f"{s}:"), F.col(f"mh{s}")) for s in seeds])
         )
         band_structs.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
-    buckets = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize the bucket table ONCE before the self-join: the two
+    # join sides are not recognized as a shared exchange (one side gets
+    # broadcast), so without this the whole shingle→minhash pipeline —
+    # tokenize, explode, dedup, DF-cap anti-join, 12 md5-min aggregates —
+    # executes TWICE (plan showed 8 parquet scans; guide §3.3/§5:
+    # localCheckpoint truncates the duplicated subtree)
+    buckets = (
+        mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -202,7 +227,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``md5(word)[:8]`` — both reproducible in SQL, so the DuckDB oracle
     extracts the same 64 bits from the md5 hex (see oracle_sql()).
     """
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
     return d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
 
 
@@ -213,6 +238,11 @@ _DOT_EXPR = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as long), (ac
 
 
 def _qvecs_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT _spread: cosine's per-vector work (quantize +
+    # norm + 16 sign dots) is trivial; the heavy work — pair scoring —
+    # runs after the candidate exchanges and is parallel regardless.
+    # Measured A/B at sf0.1: spreading cost ~1.8 s (extra exchange +
+    # wider checkpoint) with zero compute spread in return
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.select(
         "vec_id",
@@ -245,11 +275,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expected recall at cosine 0.9 is ≈95% (per-plane agreement
     p = 1 − acos(0.9)/π ≈ 0.857; 1 − (1 − p⁴)⁴).
     """
-    q = _qvecs_with_norm(spark, sf_dir)
+    # materialize the quantized vectors ONCE: q feeds the bucket pipeline
+    # and BOTH sides of the scoring join — without this the scan +
+    # transform + norm subtree executes four times (plan showed 12
+    # parquet scans across the bucket self-join and the qa/qb joins)
+    q = _qvecs_with_norm(spark, sf_dir).localCheckpoint(eager=True)
     rows_per_band = COS_PLANES // COS_BANDS
     # planes broadcast as ONE collect_list(struct) row; all band buckets
     # computed per-vector in a single higher-order projection — zero
-    # shuffle on the vector side (see vector_buckets.py)
+    # shuffle on the vector side (see vector_buckets.py).  The bucket
+    # projection itself is NOT checkpointed: from the materialized q it
+    # is a cheap per-row expression, and an eager checkpoint here costs
+    # a sequential job barrier worth more than the duplicated projection
     buckets = sign_buckets(q.select("vec_id", "qv"), COS_PLANES, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -418,7 +455,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     run+k-1.  Every stage is a hash shuffle on uniform keys — no
     all-pairs comparison anywhere."""
     k, cap = SUBSTR_K, SUBSTR_DF_CAP
-    toks = _docs(spark, sf_dir).select(
+    toks = _spread(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", F.split("text", "\\s+").alias("t")
     )
     grams = toks.select(
@@ -439,7 +476,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > cap)
         .select("fp")
     )
-    g = grams.join(hot, on="fp", how="left_anti")
+    # materialize the capped gram table ONCE before the self-join (both
+    # sides otherwise re-run tokenize+explode+DF-cap — guide §3.3)
+    g = grams.join(hot, on="fp", how="left_anti").localCheckpoint(eager=True)
     a, b = g.alias("a"), g.alias("b")
     pairs = (
         a.join(b, on="fp", how="inner")

@@ -116,20 +116,24 @@ def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties: a purchase at the EXACT error timestamp counts (at-or-before
     is inclusive) — the union sort orders build rows before probe rows
-    at equal ts; the build side is pre-deduped to one row per
-    (user_id, ts) (max event_id) so both engines are deterministic.
-    The DuckDB oracle is the engine's NATIVE ASOF JOIN — an independent
-    implementation of the same semantics.
+    at equal ts.  The old build-side (user_id, ts)→max(event_id)
+    pre-aggregation (a full extra shuffle of the purchase rows) is
+    FOLDED INTO the window sort key instead: build rows at equal
+    (user, ts) sort purchase_id ASCENDING, so the running ``last(...,
+    ignorenulls)`` lands on the max event_id — identical output rows,
+    one Exchange fewer (guide §2.4: operations keyed the same way
+    share one shuffle).  The DuckDB oracle is the engine's NATIVE ASOF
+    JOIN over a pre-deduped build — an independent implementation of
+    the same semantics.
     """
     from pyspark.sql.window import Window
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    build = (
-        e.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("purchase_id"))
-        .select("user_id", F.col("ts").alias("t"), "purchase_id", F.lit(1).alias("is_build"),
-                F.lit(None).cast("long").alias("probe_id"))
+    build = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_build"),
+        F.lit(None).cast("long").alias("probe_id"),
     )
     probe = e.where(F.col("event_type") == "error").select(
         "user_id", F.col("ts").alias("t"),
@@ -140,7 +144,7 @@ def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = build.unionByName(probe)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("t"), F.desc("is_build"))
+        .orderBy(F.asc("t"), F.desc("is_build"), F.asc("purchase_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

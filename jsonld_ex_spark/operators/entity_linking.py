@@ -47,18 +47,25 @@ def link_score_udf():
 
 
 def mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positioned mention candidates: JVM regexp + position arithmetic."""
+    """Positioned mention candidates: JVM regexp + position arithmetic.
+
+    Per-row ``array_distinct`` replaces the post-explode
+    ``dropDuplicates`` shuffle: (conv_id, turn_idx) is unique by
+    construction and position/text_len/role are functions of the row +
+    surface (instr finds the FIRST occurrence either way), so the
+    emitted rows are identical with one fewer exchange (guide §2.4)."""
     t = transcripts_df(spark, sf_dir)
     return (
         t.select(
             "conv_id", "turn_idx", "role",
             F.length("text").alias("text_len"),
-            F.explode(F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")).alias("surface_norm"),
+            F.explode(
+                F.array_distinct(F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)"))
+            ).alias("surface_norm"),
             F.col("text"),
         )
         .withColumn("position", F.instr("text", F.col("surface_norm")) - F.lit(1))
         .drop("text")
-        .dropDuplicates(["conv_id", "turn_idx", "surface_norm"])
     )
 
 

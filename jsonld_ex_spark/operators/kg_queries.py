@@ -19,15 +19,21 @@ def kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mention detection: JVM-side regexp over turn text (no Python UDF)."""
+    """Mention detection: JVM-side regexp over turn text (no Python UDF).
+
+    Dedup is per-ROW ``array_distinct`` before the explode, not a
+    ``dropDuplicates`` after it: (conv_id, turn_idx) is unique by
+    construction (row_number), so duplicate (conv_id, turn_idx,
+    surface) tuples can only come from repeats WITHIN one turn's text —
+    identical output, one full shuffle of every mention row removed
+    (guide §2.4; plan went 2 Exchanges → 1)."""
     t = transcripts_df(spark, sf_dir)
-    return (
-        t.select(
-            "conv_id",
-            "turn_idx",
-            F.explode(F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")).alias("surface_norm"),
-        )
-        .dropDuplicates(["conv_id", "turn_idx", "surface_norm"])
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)"))
+        ).alias("surface_norm"),
     )
 
 
@@ -360,6 +366,33 @@ def _checkpointed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PATH_REL_MEMO: dict[tuple[str, str], DataFrame] = {}
 _PERSISTED_DIR_MEMO: dict[tuple[str, str], str] = {}
+_CHAIN_POS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _chain_positions_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rdf:list pointer-doubling walk (head, position, member),
+    evaluated ONCE per (session, sf_dir): kg_list_walk and
+    kg_conversation_text traverse the IDENTICAL chain-position relation
+    over the (already memoized) triple table — re-running the O(log L)
+    superstep walk per consumer was the same waste the shared
+    checkpointed triples eliminated in round 4 (round-6 verdict item 3;
+    same keying and lifecycle as _PATH_REL_MEMO).  Production form:
+    persist the walk output next to the triple table like the path
+    closure (ensure_path_closure) and let every consumer scan it."""
+    from jsonld_ex_spark.operators.graph_paths import chain_positions
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rel = _CHAIN_POS_MEMO.get(key)
+    if rel is None:
+        for k in [k for k in _CHAIN_POS_MEMO if k[0] != key[0]]:
+            del _CHAIN_POS_MEMO[k]
+        triples = _checkpointed_triples(spark, sf_dir)
+        rel = chain_positions(
+            triples, _list_heads(triples),
+            known_max_length=_max_list_length(triples),
+        ).localCheckpoint(eager=False)
+        _CHAIN_POS_MEMO[key] = rel
+    return rel
 
 
 def _conv_turn_path_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,12 +689,7 @@ def kg_list_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcript table's turn_idx.  The oracle re-derives positions with
     a DuckDB recursive CTE over the relational triple derivation, so
     agreement proves the @list serialization AND the walker."""
-    from jsonld_ex_spark.operators.graph_paths import chain_positions
-
-    triples = _checkpointed_triples(spark, sf_dir)
-    return chain_positions(
-        triples, _list_heads(triples), known_max_length=_max_list_length(triples)
-    ).select(
+    return _chain_positions_rel(spark, sf_dir).select(
         F.col("head").alias("conv_iri"), "position", F.col("member").alias("turn_iri")
     )
 
@@ -695,13 +723,10 @@ def kg_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     so agreement proves the north star's per-turn-text-equality
     criterion at conversation granularity: nothing was lost, reordered
     or altered between the source table and the materialized graph."""
-    from jsonld_ex_spark.operators.graph_paths import chain_positions
     from jsonld_ex_spark.sources.transcripts import VOCAB
 
     triples = _checkpointed_triples(spark, sf_dir)
-    walk = chain_positions(
-        triples, _list_heads(triples), known_max_length=_max_list_length(triples)
-    )
+    walk = _chain_positions_rel(spark, sf_dir)
     texts = triples.filter(F.col("pred") == f"{VOCAB}text").select(
         F.col("subj").alias("member"), F.col("obj").alias("text")
     )

@@ -31,19 +31,37 @@ ENTITY_NS = "https://sparkld.dev/entity/"
 EPOCH = 1704067200  # 2024-01-01T00:00:00Z
 
 # {ts_fn}: Spark=timestamp_micros, DuckDB=make_timestamp (both: µs → naive ts)
+#
+# {conv_cte}/{conv_expr}/{part_key}/{li_rel}: the window partition key.
+# conv_id = concat('conv-', lpad(orderkey)) is a BIJECTION of l_orderkey
+# (orderkeys < 10^10 by the lpad width), so partitioning the row_number
+# window by either yields identical partition groups and identical
+# row_numbers.  The SPARK rendering computes conv_id in an inner
+# subquery and partitions the window by the conv_id COLUMN, so the one
+# exchange this window plans is hashpartitioning(conv_id) and every
+# downstream groupBy("conv_id") / Window.partitionBy("conv_id") — the
+# pipeline's per-conversation assembly above all — REUSES it instead of
+# adding a second full-payload shuffle (optimization guide §2.4: two
+# operations keyed the same way share one exchange; partitioning by the
+# raw expression does NOT work — the analyzer extracts it as a fresh
+# `_w0` attribute that never unifies with the conv_id alias).  The
+# DUCKDB rendering is BYTE-IDENTICAL to the pre-r7 text (l_orderkey
+# key, no inner subquery): the oracle SQL is fingerprinted by the
+# driver and must not change.  Equality of the two renderings' results
+# is the bijection argument above, proven by the gate at three scales.
 _TRANSCRIPTS_SQL = """
-WITH turns_base AS (
+WITH {conv_cte}turns_base AS (
   SELECT
-    concat('conv-', lpad(concat('', l_orderkey), 10, '0')) AS conv_id,
+    {conv_expr} AS conv_id,
     CAST(row_number() OVER (
-      PARTITION BY l_orderkey
+      PARTITION BY {part_key}
       -- (orderkey, linenumber) is NOT unique in the generated data;
       -- extend the sort key until it is, so row_number is deterministic
       -- and identical across engines
       ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
     ) - 1 AS INT) AS turn_idx,
     l_orderkey, l_partkey, l_suppkey, l_quantity, l_returnflag, l_linestatus
-  FROM {lineitem}
+  FROM {li_rel}
 ), enriched AS (
   SELECT
     conv_id, turn_idx, l_orderkey, l_quantity, l_returnflag, l_linestatus,
@@ -81,10 +99,24 @@ FROM {range_rel}
 """
 
 
+_CONV_EXPR = "concat('conv-', lpad(concat('', l_orderkey), 10, '0'))"
+
+
 def transcripts_sql(lineitem_rel: str, dialect: str) -> str:
     ts_fn = "timestamp_micros" if dialect == "spark" else "make_timestamp"
+    if dialect == "spark":
+        conv_cte = (
+            f"conv_base AS (\n  SELECT {_CONV_EXPR} AS conv_id, *"
+            f"\n  FROM {lineitem_rel}\n), "
+        )
+        conv_expr, part_key, li_rel = "conv_id", "conv_id", "conv_base"
+    else:
+        conv_cte, conv_expr, part_key, li_rel = (
+            "", _CONV_EXPR, "l_orderkey", lineitem_rel
+        )
     return _TRANSCRIPTS_SQL.format(
-        lineitem=lineitem_rel, ts_fn=ts_fn, epoch=EPOCH,
+        conv_cte=conv_cte, conv_expr=conv_expr, part_key=part_key,
+        li_rel=li_rel, ts_fn=ts_fn, epoch=EPOCH,
         hot=HOT_ENTITIES, n_ent=N_ENTITIES,
     )
 

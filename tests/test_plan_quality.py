@@ -105,17 +105,27 @@ def test_bucket_construction_is_zero_shuffle(spark):  # noqa: F811
         sign_buckets,
     )
 
+    def _no_required_vecid_shuffle(plan: str) -> None:
+        # the r7 input-spreading repartition (REPARTITION_BY_NUM over the
+        # raw single-split scan — dedup_ops._spread) is allowed: it moves
+        # 1×n input rows once so the signature projection parallelizes.
+        # What must NOT appear is a planner-required (ENSURE_REQUIREMENTS)
+        # vec_id shuffle — the round-2 groupBy/Window signature shape
+        # that shuffled 16-64×n constructed rows.
+        for line in plan.splitlines():
+            if "hashpartitioning(vec_id" in line:
+                assert "REPARTITION_BY_NUM" in line, plan
+        assert "Window" not in plan
+
     q = ann_ops._qvecs(spark, SF)
     buckets_plan = _plan(sign_buckets(q, ann_ops.N_PLANES, ann_ops.PLANES_PER_BAND))
-    assert "hashpartitioning(vec_id" not in buckets_plan, buckets_plan
-    assert "Window" not in buckets_plan
+    _no_required_vecid_shuffle(buckets_plan)
 
     cells = q.crossJoin(F.broadcast(centroids_row(q, ann_ops.N_CENTROIDS))).select(
         "vec_id", F.expr(cells_sorted_expr()).alias("cells_sorted")
     )
     cells_plan = _plan(cells)
-    assert "hashpartitioning(vec_id" not in cells_plan, cells_plan
-    assert "Window" not in cells_plan
+    _no_required_vecid_shuffle(cells_plan)
 
 
 def test_frame_tool_turns_plan_shape(spark):  # noqa: F811
