@@ -320,7 +320,11 @@ _DOC_CTX = {
 def jsonld_doc_triples(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-split test file before the per-document Python
+    # kernel (dedup_ops._spread: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.dedup_ops import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps(_DOC_CTX)
     # assemble {"@context":..., "@id":"<ns><id>", "name":..., "chars":...}
     # — to_json builds (and escapes) the data part; the shared context is
@@ -369,7 +373,11 @@ def jsonld_frame_select(spark, sf_dir: str) -> DataFrame:
     for this document shape)."""
     from pyspark.sql import functions as F
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-split test file before the per-document Python
+    # kernel (dedup_ops._spread: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.dedup_ops import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps({"@vocab": VOCAB})
     docs = d.select(
         "doc_id",
@@ -453,7 +461,11 @@ def jsonld_canonical_hashes(spark, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.core.canonicalization import canonical_nquads
     from jsonld_ex_spark.core.to_rdf import to_rdf_from_node_map
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-split test file before the per-document Python
+    # kernel (dedup_ops._spread: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.dedup_ops import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps({"@vocab": VOCAB})
     docs = d.select(
         "doc_id",
@@ -530,7 +542,11 @@ def _named_graph_triples(spark, sf_dir: str) -> DataFrame:
     got = _NAMED_GRAPH_MEMO.get(key)
     if got is not None:
         return got
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-split test file before the per-document Python
+    # kernel (dedup_ops._spread: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.dedup_ops import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps(_DOC_CTX)
     docs = d.select(
         "doc_id",
@@ -678,7 +694,11 @@ def _lang_doc_triples(spark, sf_dir: str) -> DataFrame:
     got = _LANG_DOC_MEMO.get(key)
     if got is not None:
         return got
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-split test file before the per-document Python
+    # kernel (dedup_ops._spread: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.dedup_ops import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps(_LANG_DOC_CTX)
     mod3 = F.col("doc_id") % 3
     docs = d.select(
