@@ -38,21 +38,26 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity linking: mentions ⋈ broadcast(entity_dict) + aggregate.
+    """Entity linking: aggregate mentions per surface, THEN ⋈
+    broadcast(entity_dict).
 
-    The dictionary is tiny and hot → explicit broadcast hash join (no
-    shuffle of the big side); at 10^12-turn scale this is the only
-    viable join shape for the dictionary side.
-    """
+    The dictionary join is 1:1 on the unique surface_norm key, so
+    aggregating first is exactly equivalent (a surface missing from the
+    dict drops its one aggregate row instead of its raw rows) — and the
+    countDistinct's two exchanges now carry (surface, conv) keys
+    instead of (entity_id, canonical_iri, conv) and the broadcast join
+    probes ~|dict| aggregate rows instead of every mention row (guide
+    §2.3: shuffle fewer bytes; aggregate before you shuffle).  The
+    broadcast dictionary join itself is the only viable shape at
+    10^12-turn scale."""
     mentions = kg_mentions(spark, sf_dir)
     dict_df = entity_dict_df(spark)
-    return (
-        mentions.join(F.broadcast(dict_df), on="surface_norm", how="inner")
-        .groupBy("entity_id", "canonical_iri")
-        .agg(
-            F.count(F.lit(1)).alias("n_mentions"),
-            F.countDistinct("conv_id").alias("n_convs"),
-        )
+    agg = mentions.groupBy("surface_norm").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    return agg.join(F.broadcast(dict_df), on="surface_norm", how="inner").select(
+        "entity_id", "canonical_iri", "n_mentions", "n_convs"
     )
 
 

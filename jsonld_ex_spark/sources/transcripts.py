@@ -105,9 +105,16 @@ _CONV_EXPR = "concat('conv-', lpad(concat('', l_orderkey), 10, '0'))"
 def transcripts_sql(lineitem_rel: str, dialect: str) -> str:
     ts_fn = "timestamp_micros" if dialect == "spark" else "make_timestamp"
     if dialect == "spark":
+        # DISTRIBUTE BY conv_id makes the one per-conversation shuffle an
+        # EXPLICIT repartition at the source: the row_number window (and
+        # every downstream groupBy/Window on conv_id) reuses it, and
+        # consumers whose plan PRUNES the window (e.g. kg_entity_links
+        # needs no turn_idx) still get the scan → synthesize → explode →
+        # partial-aggregate chain spread across the cluster instead of
+        # running inside the single scan split (guide §2.4/§2.5)
         conv_cte = (
             f"conv_base AS (\n  SELECT {_CONV_EXPR} AS conv_id, *"
-            f"\n  FROM {lineitem_rel}\n), "
+            f"\n  FROM {lineitem_rel}\n  DISTRIBUTE BY conv_id\n), "
         )
         conv_expr, part_key, li_rel = "conv_id", "conv_id", "conv_base"
     else:
