@@ -143,13 +143,18 @@ def test_frame_tool_turns_plan_shape(spark):  # noqa: F811
 
 def test_jsonld_doc_triples_is_shuffle_free(spark):  # noqa: F811
     """The generic doc→triples operator is a pure map: scan → JSON build
-    (JVM) → one MapInPandas.  No shuffle may appear — partitioning of
-    the input corpus is preserved end-to-end."""
+    (JVM) → one MapInPandas.  The only Exchange allowed is the r7
+    input-spreading repartition of the raw single-split scan
+    (REPARTITION_BY_NUM — dedup_ops._spread; absent on a properly-split
+    corpus): no planner-REQUIRED shuffle may appear — partitioning of a
+    well-partitioned input corpus is preserved end-to-end."""
     from jsonld_ex_spark.operators.jsonld_ops import jsonld_doc_triples
 
     plan = _plan(jsonld_doc_triples(spark, SF))
     assert plan.count("MapInPandas") == 1
-    assert "Exchange hashpartitioning" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "REPARTITION_BY_NUM" in line, plan
     assert "BatchEvalPython" not in plan
 
 
