@@ -406,23 +406,29 @@ def _conv_turn_path_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries traverse this exact closure, and a closure is a pure
     function of the (already memoized) triple table — re-running the
     fixpoint per query is the same waste the shared checkpointed
-    triples eliminated in round 4.  eval_path returns an eager
-    localCheckpoint, so consumers scan a materialized (s, o) table.
-    Production form: persist the closure next to the triple table and
-    let every traversal query scan it (path_select accepts the
-    precomputed relation)."""
-    from jsonld_ex_spark.operators.graph_paths import RDF_NS
-    from jsonld_ex_spark.operators.property_paths import eval_path
-    from jsonld_ex_spark.sources.transcripts import VOCAB
+    triples eliminated in round 4.
 
+    r7 physical-operator rewrite (guide §8: use what you know that the
+    generic engine does not): over an rdf:list spine this path's pair
+    set is EXACTLY the chain walk's (head, member) relation — rest* from
+    the entry cell visits the same cells the pointer-doubling walker
+    positions, and rdf:first is functional per cell, so the pairs are
+    already distinct.  The session therefore shares ONE walk
+    materialization (_chain_positions_rel) between the path family and
+    the list-walk family instead of ALSO running the generic
+    path-doubling closure (~23 s at sf0.1 for an identical result).
+    The generic path algebra (property_paths.eval_path) still executes
+    under the gate via kg_sparql_text_path_edges and the persisted
+    closure build (ensure_path_closure), and across the full pytest
+    path-AST suite.  Production form: persist the closure next to the
+    triple table and let every traversal query scan it."""
     key = (spark.sparkContext.applicationId, sf_dir)
     rel = _PATH_REL_MEMO.get(key)
     if rel is None:
         for k in [k for k in _PATH_REL_MEMO if k[0] != key[0]]:
             del _PATH_REL_MEMO[k]
-        rel = eval_path(
-            _checkpointed_triples(spark, sf_dir),
-            ("seq", f"<{VOCAB}turns>", ("star", f"<{RDF_NS}rest>"), f"<{RDF_NS}first>"),
+        rel = _chain_positions_rel(spark, sf_dir).select(
+            F.col("head").alias("s"), F.col("member").alias("o")
         )
         _PATH_REL_MEMO[key] = rel
     return rel
@@ -551,6 +557,39 @@ def kg_bgp_bridge_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DELTA_PARTICIPATE = "substr(md5(conv_id), 1, 1) IN ('0','1','2','3')"
 _DELTA_GROWING = "substr(md5(conv_id), 1, 1) IN ('0','1')"
 
+_DELTA_TRIPLES_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _delta_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (new, old) triple tables of the delta scenario,
+    built ONCE per (session, sf_dir): kg_triples_delta and
+    kg_triples_delta_snapshot derive the identical two graphs, and each
+    pipeline run is the expensive Python stage — four runs per bench/
+    gate session before this memo, two after (same rationale and
+    lifecycle as _checkpointed_triples)."""
+    from pyspark.sql import Window
+
+    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DELTA_TRIPLES_MEMO.get(key)
+    if got is None:
+        for k in [k for k in _DELTA_TRIPLES_MEMO if k[0] != key[0]]:
+            del _DELTA_TRIPLES_MEMO[k]
+        t = transcripts_df(spark, sf_dir).filter(F.expr(_DELTA_PARTICIPATE))
+        mx = F.max("turn_idx").over(Window.partitionBy("conv_id"))
+        old_t = (
+            t.withColumn("_mx", mx)
+            .filter(~(F.expr(_DELTA_GROWING) & (F.col("turn_idx") == F.col("_mx"))))
+            .drop("_mx")
+        )
+        got = (
+            conversation_triples(t).localCheckpoint(eager=False),
+            conversation_triples(old_t).localCheckpoint(eager=False),
+        )
+        _DELTA_TRIPLES_MEMO[key] = got
+    return got
+
 
 def _delta_key(df: DataFrame) -> DataFrame:
     """Null-safe full-width triple identity key (chr(30) null marker,
@@ -585,19 +624,9 @@ def kg_triples_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell triple and adds the whole new turn (type/role/text/ts/
     turn_idx/mentions + list cell), so BOTH delta directions are
     non-empty — no vacuous pass."""
-    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
-    from jsonld_ex_spark.sources.transcripts import transcripts_df
-    from pyspark.sql import Window
-
-    t = transcripts_df(spark, sf_dir).filter(F.expr(_DELTA_PARTICIPATE))
-    mx = F.max("turn_idx").over(Window.partitionBy("conv_id"))
-    old_t = (
-        t.withColumn("_mx", mx)
-        .filter(~(F.expr(_DELTA_GROWING) & (F.col("turn_idx") == F.col("_mx"))))
-        .drop("_mx")
-    )
-    newk = _delta_key(conversation_triples(t)).localCheckpoint(eager=False)
-    oldk = _delta_key(conversation_triples(old_t)).localCheckpoint(eager=False)
+    new_t, old_triples = _delta_inputs(spark, sf_dir)
+    newk = _delta_key(new_t).localCheckpoint(eager=False)
+    oldk = _delta_key(old_triples).localCheckpoint(eager=False)
     added = (
         newk.join(oldk.select("k"), on="k", how="left_anti")
         .groupBy("pred")
@@ -630,25 +659,16 @@ def kg_triples_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
-
-    from jsonld_ex_spark.operators.kg_pipeline import conversation_triples
     from jsonld_ex_spark.sources.snapshot_table import (
         read_snapshot,
         write_triples_snapshot,
     )
 
-    t = transcripts_df(spark, sf_dir).filter(F.expr(_DELTA_PARTICIPATE))
-    mx = F.max("turn_idx").over(Window.partitionBy("conv_id"))
-    old_t = (
-        t.withColumn("_mx", mx)
-        .filter(~(F.expr(_DELTA_GROWING) & (F.col("turn_idx") == F.col("_mx"))))
-        .drop("_mx")
-    )
+    new_t, old_triples = _delta_inputs(spark, sf_dir)
     tdir = tempfile.mkdtemp(prefix="delta_snap_")
     atexit.register(shutil.rmtree, tdir, ignore_errors=True)
-    write_triples_snapshot(conversation_triples(old_t), tdir, operation="append")
-    write_triples_snapshot(conversation_triples(t), tdir, operation="overwrite")
+    write_triples_snapshot(old_triples, tdir, operation="append")
+    write_triples_snapshot(new_t, tdir, operation="overwrite")
     oldk = _delta_key(read_snapshot(spark, tdir, 1))
     newk = _delta_key(read_snapshot(spark, tdir, 2))
     added = (
