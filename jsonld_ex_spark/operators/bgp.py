@@ -104,12 +104,97 @@ def _n_constants(parsed: list[tuple[str, str]]) -> int:
     return sum(1 for kind, _ in parsed if kind != _VAR)
 
 
-def _join_order(parsed: list[list[tuple[str, str]]], allow_cartesian: bool) -> list[int]:
-    """Greedy left-deep order: most constants first, then connected
-    patterns by constant count; stable tie-break on original index so
-    plans (and oracle SQL) are deterministic."""
+# --- statistics-driven join ordering (r7, round-6 verdict item 1) ----------
+
+_PRED_STATS_MEMO: dict[tuple[str, int], dict] = {}
+
+
+def predicate_stats(triples: DataFrame) -> dict:
+    """Per-predicate cardinality statistics for cost-based join
+    ordering: {pred: (n_rows, ndv_subj, ndv_obj)} plus the total row
+    count — the tiny ANALYZE relation the round-6 verdict asked for
+    (item 1).  One map-side-combined aggregate over the predicate/
+    subject/object columns, memoized per (session, plan semantic hash)
+    so the whole BGP gate family pays it once per triple table.  The
+    collect is bounded by the PREDICATE VOCABULARY (tens of IRIs even
+    at 10^12 triples — predicates are schema, not data), the same
+    bounded-result class as the lineage ledger's driver reads;
+    production form: a stats table written next to the triple table at
+    load time, refreshed with it.  Statistics influence only the JOIN
+    ORDER of the compiled Spark plan — never the result set, and never
+    the (fingerprinted) oracle SQL, which keeps the static
+    constant-count order."""
+    spark = triples.sparkSession
+    try:
+        key = (spark.sparkContext.applicationId, triples.semanticHash())
+    except Exception:  # pragma: no cover — hash unavailable on exotic plans
+        key = None
+    if key is not None and key in _PRED_STATS_MEMO:
+        return _PRED_STATS_MEMO[key]
+    rows = triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("subj").alias("ndv_s"),
+        F.approx_count_distinct("obj").alias("ndv_o"),
+    ).collect()
+    stats = {
+        "total": int(sum(r["n"] for r in rows)),
+        "preds": {
+            r["pred"]: (int(r["n"]), max(int(r["ndv_s"]), 1), max(int(r["ndv_o"]), 1))
+            for r in rows
+        },
+    }
+    if key is not None:
+        for k in [k for k in _PRED_STATS_MEMO if k[0] != key[0]]:
+            del _PRED_STATS_MEMO[k]
+        _PRED_STATS_MEMO[key] = stats
+    return stats
+
+
+def _estimated_rows(parsed: list[tuple[str, str]], stats: dict) -> float:
+    """System-R-style output estimate for one pattern scan: the
+    predicate's row count, divided by the per-position NDV for each
+    additional constant (equality selectivity 1/V); an unknown
+    predicate estimates near-empty, a variable predicate scans the
+    whole table."""
+    s, p, o = parsed[0], parsed[1], parsed[2]
+    if p[0] != _VAR:
+        got = stats["preds"].get(p[1])
+        if got is None:
+            return 0.5
+        est, ndv_s, ndv_o = float(got[0]), got[1], got[2]
+    else:
+        est, ndv_s, ndv_o = float(stats["total"] or 1), 10, 10
+    if s[0] != _VAR:
+        est /= ndv_s
+    if o[0] != _VAR:
+        est /= ndv_o
+    if len(parsed) == 4 and parsed[3][0] != _VAR:
+        est /= 2.0
+    return est
+
+
+def _join_order(
+    parsed: list[list[tuple[str, str]]], allow_cartesian: bool, stats: dict | None = None
+) -> list[int]:
+    """Greedy left-deep order.  Without ``stats``: most constants
+    first, then connected patterns by constant count — the static
+    heuristic the ORACLE SQL always uses (its text is fingerprinted
+    and join order never changes results).  With ``stats``
+    (predicate_stats — the Spark compile path): smallest ESTIMATED
+    cardinality first, constant count then original index as
+    deterministic tie-breaks, so a huge constant-predicate pattern
+    (?t v:text ?x — one triple per turn) no longer beats a far more
+    selective pattern by heuristic luck (round-6 verdict item 1).
+    Either way a pattern sharing no variable with the bound set is a
+    cross product and is rejected."""
+    if stats is not None:
+        def rank(i: int):
+            return (_estimated_rows(parsed[i], stats), -_n_constants(parsed[i]), i)
+    else:
+        def rank(i: int):
+            return (-_n_constants(parsed[i]), i)
     remaining = list(range(len(parsed)))
-    remaining.sort(key=lambda i: (-_n_constants(parsed[i]), i))
+    remaining.sort(key=rank)
     order = [remaining.pop(0)]
     bound = set(_pattern_vars(parsed[order[0]]))
     while remaining:
@@ -120,7 +205,7 @@ def _join_order(parsed: list[list[tuple[str, str]]], allow_cartesian: bool) -> l
                     "BGP is disconnected (cross product); pass allow_cartesian=True"
                 )
             connected = remaining
-        nxt = min(connected, key=lambda i: (-_n_constants(parsed[i]), i))
+        nxt = min(connected, key=rank)
         remaining.remove(nxt)
         order.append(nxt)
         bound |= _pattern_vars(parsed[nxt])
@@ -796,7 +881,7 @@ def _union_parts(alternatives, label_idx: int):
     return parts, var_set
 
 
-def _union_rel(triples, ui: int, alternatives, allow_cartesian: bool):
+def _union_rel(triples, ui: int, alternatives, allow_cartesian: bool, stats=None):
     """Evaluate an embedded UNION to one relation (UNION ALL — SPARQL
     union is a bag) over the alternatives' shared variable columns."""
     parts, var_set = _union_parts(alternatives, ui)
@@ -804,7 +889,7 @@ def _union_rel(triples, ui: int, alternatives, allow_cartesian: bool):
     rel = None
     for aparsed, afilters in parts:
         adf = _bgp_join(
-            triples, aparsed, _join_order(aparsed, allow_cartesian), afilters
+            triples, aparsed, _join_order(aparsed, allow_cartesian, stats), afilters
         ).select(*cols)
         rel = adf if rel is None else rel.unionByName(adf)
     return rel, var_set
@@ -950,8 +1035,12 @@ def bgp_select(
     # filters on path-only/union-only variables apply after that join
     post_filters = [f for f in filters if f[0] not in required]
     annots = _annots_by_pattern(parsed, annotations)
+    # cost-based ordering for the SPARK plan only (the oracle SQL keeps
+    # the static constant-count order — its text is fingerprinted, and
+    # join order never changes the result set)
+    stats = predicate_stats(triples) if parsed or minus or optional or exists or not_exists or unions else None
     if parsed:
-        order = _join_order(parsed, allow_cartesian)
+        order = _join_order(parsed, allow_cartesian, stats)
         acc = _bgp_join(triples, parsed, order, filters, annots)
         bound = set(acc.columns)
     else:
@@ -972,7 +1061,7 @@ def bgp_select(
         acc = acc.join(rel, on=shared, how="inner") if shared else acc.crossJoin(rel)
         bound |= set(rel.columns)
     for ui, alternatives in enumerate(unions or []):
-        rel, uvars = _union_rel(triples, ui, alternatives, allow_cartesian)
+        rel, uvars = _union_rel(triples, ui, alternatives, allow_cartesian, stats)
         if acc is None:
             acc, bound = rel, set(uvars)
             continue
@@ -1030,7 +1119,7 @@ def bgp_select(
         _check_group_filters(gparsed, gfilters, "optional")
         shared = _check_optional_group(gparsed, bound, gi)
         gdf = _bgp_join(
-            triples, gparsed, _join_order(gparsed, allow_cartesian), gfilters
+            triples, gparsed, _join_order(gparsed, allow_cartesian, stats), gfilters
         )
         acc = acc.join(gdf, on=shared, how="left")
         optional_vars |= set(gdf.columns) - bound
@@ -1055,7 +1144,7 @@ def bgp_select(
                 "patterns (SPARQL MINUS with disjoint domains is a no-op; "
                 "the compiler rejects it as almost certainly a mistake)"
             )
-        mdf = _bgp_join(triples, mparsed, _join_order(mparsed, allow_cartesian), mfilters)
+        mdf = _bgp_join(triples, mparsed, _join_order(mparsed, allow_cartesian, stats), mfilters)
         acc = acc.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
     for label, groups, how in (
         ("exists", exists or [], "left_semi"),
@@ -1078,7 +1167,7 @@ def bgp_select(
                     "certainly a mistake)"
                 )
             gdf = _bgp_join(
-                triples, gparsed, _join_order(gparsed, allow_cartesian), gfilters
+                triples, gparsed, _join_order(gparsed, allow_cartesian, stats), gfilters
             )
             # SEMI/ANTI join: probes existence without multiplying or
             # materializing the group's binding bag
