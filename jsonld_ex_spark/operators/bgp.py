@@ -1037,8 +1037,19 @@ def bgp_select(
     annots = _annots_by_pattern(parsed, annotations)
     # cost-based ordering for the SPARK plan only (the oracle SQL keeps
     # the static constant-count order — its text is fingerprinted, and
-    # join order never changes the result set)
-    stats = predicate_stats(triples) if parsed or minus or optional or exists or not_exists or unions else None
+    # join order never changes the result set).  Collected ONLY when
+    # some pattern list actually has a join to order: a single-pattern
+    # BGP (the common update/ask shape, often over a fresh un-memoizable
+    # snapshot table) would pay the ANALYZE aggregate for nothing.
+    def _multi(groups) -> bool:
+        return any(len(_norm_group(g)[0]) > 1 for g in groups or [])
+
+    needs_stats = (
+        len(parsed) > 1
+        or _multi(optional) or _multi(minus) or _multi(exists) or _multi(not_exists)
+        or any(_multi(alts) for alts in (unions or []))
+    )
+    stats = predicate_stats(triples) if needs_stats else None
     if parsed:
         order = _join_order(parsed, allow_cartesian, stats)
         acc = _bgp_join(triples, parsed, order, filters, annots)
