@@ -796,6 +796,27 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as a ratio
 _EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+def _capped_materialize(df: DataFrame) -> DataFrame:
+    """Materialize an iterative/analytics plan under a shuffle width
+    capped to core count (the r6 iterative-loop sizing rule, CLAUDE.md):
+    these plans run over localCheckpointed inputs (UnknownPartitioning),
+    so every join/aggregate would otherwise shuffle at the session's
+    full width — at the bench's 128 partitions that is many stages of
+    near-empty tasks over a 211-node entity graph.  The EAGER
+    localCheckpoint executes the plan INSIDE the capped window (a
+    lazily-returned plan evaluates after the conf restore and the cap
+    is a no-op — the kg_entity_pagerank lesson in CLAUDE.md);
+    consumers scan the materialized result."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = str(min(int(prev), max(spark.sparkContext.defaultParallelism, 2)))
+    spark.conf.set("spark.sql.shuffle.partitions", cap)
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric entity co-occurrence edges: the gated
     kg_entity_cooccurrence pair set (entity_linking.py — single source
@@ -833,7 +854,9 @@ def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division).  Each iteration is one contribs equi-join + one
     map-side-combined sum — the standard distributed PageRank shape;
     the oracle unrolls the same three iterations as CTEs (the k-means
-    oracle pattern), so convergence-free bit-exact comparison."""
+    oracle pattern), so convergence-free bit-exact comparison.  The
+    3-iteration unrolled plan materializes via _capped_materialize so
+    its ~10 shuffles run at core-count width, not the session's."""
     edges = _cooccur_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("ent")).distinct()
     deg = edges.groupBy(F.col("src").alias("ent")).agg(
@@ -864,7 +887,7 @@ def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return pr.select("ent", F.col("pr").cast("long").alias("pr"))
+    return _capped_materialize(pr.select("ent", F.col("pr").cast("long").alias("pr")))
 
 
 def _kg_shapes() -> list[dict]:
@@ -995,7 +1018,9 @@ def kg_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("b").alias("ent")))
         .unionByName(tri.select(F.col("c").alias("ent")))
     )
-    return corners.groupBy("ent").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return _capped_materialize(
+        corners.groupBy("ent").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
 
 
 def kg_entity_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1053,7 @@ def kg_entity_neighbor_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     da = deg.select(F.col("ent").alias("ent_a"), F.col("d").alias("da"))
     db = deg.select(F.col("ent").alias("ent_b"), F.col("d").alias("db"))
-    return (
+    return _capped_materialize(
         shared.join(da, on="ent_a")
         .join(db, on="ent_b")
         .select(
@@ -1242,7 +1267,7 @@ def kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     result, _ = _connected_components(labels, edges)
     w = Window.partitionBy("component")
-    return (
+    return _capped_materialize(
         result.select(
             F.col("doc_id").alias("ent"), F.col("cluster_id").alias("component")
         )
