@@ -40,13 +40,13 @@ N_PLANES = N_ANN_BANDS * PLANES_PER_BAND  # first N_PLANES vectors are planes
 
 
 def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonld_ex_spark.functions.dedup_ops import _spread
+    from jsonld_ex_spark.functions.partitioning import spread_input
 
     # spread the single-split test file before the per-vector math — the
     # quantize transform and every downstream dot-product projection
     # otherwise run single-threaded until the first exchange (guide
-    # §2.5; _spread is a no-op on a properly-split production table)
-    e = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+    # §2.5; spread_input is a no-op on a properly-split production table)
+    e = spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     return e.select(
         "vec_id",
         F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {Q}) as long))").alias("qv"),

@@ -40,21 +40,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _spread(df: DataFrame, *keys: str) -> DataFrame:
-    """Hash-repartition an UNDER-PARTITIONED input to the cluster's
-    parallelism before a CPU-heavy per-row stage (tokenization, shingle
-    explosion, vector math).  The test corpus is one small parquet file
-    → ONE scan split → the whole kernel runs single-threaded until the
-    first exchange (measured: the sf0.1 shingle stage alone was 7.8 s
-    on one core, guide §2.5 'input skew: repartition immediately after
-    the read').  Guarded on the actual scan partition count so a
-    properly-split production table (100 TB = thousands of splits) is
-    returned untouched — no extra exchange at scale; the key is a
-    deterministic column hash (never rand() — SPARK-38388)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n, *[F.col(k) for k in keys])
+# shared input-spreading helper (functions/partitioning.py — also used
+# by ann_ops and the jsonld_ops document kernels)
+from jsonld_ex_spark.functions.partitioning import spread_input as _spread  # noqa: E402
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,6 +146,11 @@ def predicate_stats(triples: DataFrame) -> dict:
     if key is not None:
         for k in [k for k in _PRED_STATS_MEMO if k[0] != key[0]]:
             del _PRED_STATS_MEMO[k]
+        # bound same-session growth too: a long-lived session issuing
+        # many updates over fresh snapshot reads gets a new semantic
+        # hash per table — evict oldest beyond a small working set
+        while len(_PRED_STATS_MEMO) >= 32:
+            del _PRED_STATS_MEMO[next(iter(_PRED_STATS_MEMO))]
         _PRED_STATS_MEMO[key] = stats
     return stats
 

@@ -321,10 +321,10 @@ def jsonld_doc_triples(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     # spread the single-split test file before the per-document Python
-    # kernel (dedup_ops._spread: no-op on a properly-split table)
-    from jsonld_ex_spark.functions.dedup_ops import _spread
+    # kernel (partitioning.spread_input: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.partitioning import spread_input
 
-    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    d = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps(_DOC_CTX)
     # assemble {"@context":..., "@id":"<ns><id>", "name":..., "chars":...}
     # — to_json builds (and escapes) the data part; the shared context is
@@ -374,10 +374,10 @@ def jsonld_frame_select(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     # spread the single-split test file before the per-document Python
-    # kernel (dedup_ops._spread: no-op on a properly-split table)
-    from jsonld_ex_spark.functions.dedup_ops import _spread
+    # kernel (partitioning.spread_input: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.partitioning import spread_input
 
-    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    d = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps({"@vocab": VOCAB})
     docs = d.select(
         "doc_id",
@@ -462,10 +462,10 @@ def jsonld_canonical_hashes(spark, sf_dir: str) -> DataFrame:
     from jsonld_ex_spark.core.to_rdf import to_rdf_from_node_map
 
     # spread the single-split test file before the per-document Python
-    # kernel (dedup_ops._spread: no-op on a properly-split table)
-    from jsonld_ex_spark.functions.dedup_ops import _spread
+    # kernel (partitioning.spread_input: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.partitioning import spread_input
 
-    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    d = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps({"@vocab": VOCAB})
     docs = d.select(
         "doc_id",
@@ -543,10 +543,10 @@ def _named_graph_triples(spark, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     # spread the single-split test file before the per-document Python
-    # kernel (dedup_ops._spread: no-op on a properly-split table)
-    from jsonld_ex_spark.functions.dedup_ops import _spread
+    # kernel (partitioning.spread_input: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.partitioning import spread_input
 
-    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    d = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps(_DOC_CTX)
     docs = d.select(
         "doc_id",
@@ -695,10 +695,10 @@ def _lang_doc_triples(spark, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     # spread the single-split test file before the per-document Python
-    # kernel (dedup_ops._spread: no-op on a properly-split table)
-    from jsonld_ex_spark.functions.dedup_ops import _spread
+    # kernel (partitioning.spread_input: no-op on a properly-split table)
+    from jsonld_ex_spark.functions.partitioning import spread_input
 
-    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    d = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     ctx_lit = json.dumps(_LANG_DOC_CTX)
     mod3 = F.col("doc_id") % 3
     docs = d.select(

@@ -41,9 +41,17 @@ def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking: aggregate mentions per surface, THEN ⋈
     broadcast(entity_dict).
 
-    The dictionary join is 1:1 on the unique surface_norm key, so
-    aggregating first is exactly equivalent (a surface missing from the
-    dict drops its one aggregate row instead of its raw rows) — and the
+    EQUIVALENCE INVARIANT: the dictionary is a BIJECTION — one row per
+    surface_norm AND one surface per (entity_id, canonical_iri)
+    (tests/test_kg_pipeline.py::test_entity_dict_is_bijective guards
+    it).  Uniqueness per surface means the join multiplies nothing;
+    uniqueness per entity means per-surface groups ARE per-entity
+    groups.  A future alias dictionary (several surfaces → one entity)
+    would need the old aggregate-after-join form back, because
+    countDistinct over conv_id is not mergeable across surfaces.
+    Aggregating first is then exactly equivalent (a surface missing
+    from the dict drops its one aggregate row instead of its raw rows)
+    — and the
     countDistinct's two exchanges now carry (surface, conv) keys
     instead of (entity_id, canonical_iri, conv) and the broadcast join
     probes ~|dict| aggregate rows instead of every mention row (guide

@@ -102,7 +102,7 @@ FROM {range_rel}
 _CONV_EXPR = "concat('conv-', lpad(concat('', l_orderkey), 10, '0'))"
 
 
-def transcripts_sql(lineitem_rel: str, dialect: str) -> str:
+def transcripts_sql(lineitem_rel: str, dialect: str, distribute: bool = True) -> str:
     ts_fn = "timestamp_micros" if dialect == "spark" else "make_timestamp"
     if dialect == "spark":
         # DISTRIBUTE BY conv_id makes the one per-conversation shuffle an
@@ -111,10 +111,15 @@ def transcripts_sql(lineitem_rel: str, dialect: str) -> str:
         # consumers whose plan PRUNES the window (e.g. kg_entity_links
         # needs no turn_idx) still get the scan → synthesize → explode →
         # partial-aggregate chain spread across the cluster instead of
-        # running inside the single scan split (guide §2.4/§2.5)
+        # running inside the single scan split (guide §2.4/§2.5).
+        # ``distribute=False`` drops it: transcripts_df passes the same
+        # under-partitioned-input guard as partitioning.spread_input, so
+        # a properly-split production source is NOT forced through an
+        # exchange its window-pruned consumers never needed.
+        dist = "  DISTRIBUTE BY conv_id\n" if distribute else ""
         conv_cte = (
             f"conv_base AS (\n  SELECT {_CONV_EXPR} AS conv_id, *"
-            f"\n  FROM {lineitem_rel}\n  DISTRIBUTE BY conv_id\n), "
+            f"\n  FROM {lineitem_rel}\n{dist}), "
         )
         conv_expr, part_key, li_rel = "conv_id", "conv_id", "conv_base"
     else:
@@ -137,8 +142,15 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicals, oracle comparisons) is caller-environment-independent.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("_li_src")
-    return spark.sql(transcripts_sql("_li_src", "spark"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_li_src")
+    # same under-partitioned-input guard as partitioning.spread_input:
+    # only force the source-side conv_id exchange when the scan would
+    # otherwise run single-threaded (the one-file test corpus); a
+    # well-split production table keeps its natural partitioning and
+    # the window plans its own exchange where needed
+    under = li.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    return spark.sql(transcripts_sql("_li_src", "spark", distribute=under))
 
 
 def transcripts_oracle_cte(lineitem_rel: str = "lineitem") -> str:

@@ -106,3 +106,20 @@ def test_graph_fingerprints_detect_duplicate_conversations(spark):  # noqa: F811
     assert fp["convC"]["graph_md5"] != fp["convA"]["graph_md5"]
     assert fp["convA"]["group_size"] == 2 and fp["convC"]["group_size"] == 1
     assert fp["convB"]["canonical_conv_id"] == "convA"
+
+
+def test_entity_dict_is_bijective(spark):  # noqa: F811
+    """Guards the r7 kg_entity_links aggregate-before-join rewrite: it
+    is only equivalent to the old aggregate-after-join form while the
+    entity dictionary maps surfaces and entities 1:1 in BOTH directions
+    (per-surface groups == per-entity groups; countDistinct(conv) is
+    not mergeable across alias surfaces).  If aliases are ever added,
+    this fails loudly instead of the query silently changing shape."""
+    from pyspark.sql import functions as F
+
+    from jsonld_ex_spark.sources.transcripts import entity_dict_df
+
+    d = entity_dict_df(spark)
+    n = d.count()
+    assert d.select("surface_norm").distinct().count() == n
+    assert d.select("entity_id", "canonical_iri").distinct().count() == n

@@ -78,7 +78,14 @@ def test_lsh_and_ivf_plans_are_jvm_only_no_cartesian(spark):  # noqa: F811
     """The similarity operators must stay entirely JVM-side (zero Python
     stages — the round-1 numpy GEMM is gone) and never degenerate into a
     CartesianProduct: the plane/centroid side is a broadcast, the
-    candidate join is a bucket/cell equi-join."""
+    candidate join is a bucket/cell equi-join.
+
+    NOTE (r7): the quantize/bucket construction subtrees are now
+    materialized behind localCheckpoints ('Scan ExistingRDD' in these
+    plans), so THIS test only sees the candidate/scoring half; the
+    hidden construction half is plan-asserted directly by
+    test_bucket_construction_is_zero_shuffle below (same subtrees,
+    pre-checkpoint)."""
     from jsonld_ex_spark.functions.ann_ops import ann_ivf_topk, ann_lsh_topk
     from jsonld_ex_spark.functions.dedup_ops import dedup_embedding_cosine
 
@@ -238,8 +245,9 @@ def test_temporal_join_plan_shapes(spark):  # noqa: F811
 
     asof_plan = _plan(asof_purchase_before_error(spark, SF))
     assert "Join" not in asof_plan, asof_plan  # window rewrite, no join op
-    # build-side (user_id, ts) dedup agg + the user_id window = 2 exchanges
-    assert asof_plan.count("Exchange hashpartitioning") <= 2
+    # r7: the build-side (user_id, ts) dedup aggregate was folded into
+    # the window sort key — exactly ONE shuffle (the user_id window)
+    assert asof_plan.count("Exchange hashpartitioning") <= 1, asof_plan
 
     range_plan = _plan(range_join_copresence(spark, SF))
     assert "CartesianProduct" not in range_plan
